@@ -1,0 +1,201 @@
+"""ValidationRun — executes profiling + all rules in a minimal number of
+passes and emits the engine's three output DataFrames plus a resume manifest.
+
+Outputs (FIXTURES.md "output contracts"):
+
+* ``violations`` — ``(partition, rule_id, doc_id, detail)`` one row per
+  violating document per rule (≈ the reference's per-category anomaly dict,
+  multidimensional_detector.py:33-38,877-888).
+* ``verdicts``   — ``(partition, rule_id, pass, violation_count,
+  rows_scanned)`` the per-partition pass/fail matrix (≈ risk_calculator.py's
+  per-user score map recast as booleans).
+* ``metrics``    — per (partition, rule_id) row counts + durations, appended
+  to the manifest for resumability (≈ risk_history_tracker.py history).
+
+Physical shape: all row rules are compiled into ONE fused ``select`` — a
+single scan of the snapshot; each dataset rule contributes its own
+aggregation/join topology. Verdicts derive from violation counts joined
+against the full (partition × rule) grid so zero-violation pairs still get a
+PASS row.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.rules.core import (
+    VIOLATION_COLUMNS,
+    RowRule,
+    RuleContext,
+    RuleSet,
+)
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    metrics: DataFrame
+
+
+class ValidationRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        rules: RuleSet,
+        media_catalog: DataFrame | None = None,
+        partition_col: str = "partition",
+        doc_id_col: str = "doc_id",
+        snapshot_id: str = "s0",
+        manifest=None,
+    ) -> None:
+        self.spark = spark
+        self.documents = documents
+        self.rules = rules
+        self.ctx = RuleContext(
+            partition_col=partition_col,
+            doc_id_col=doc_id_col,
+            media_catalog=media_catalog,
+        )
+        self.snapshot_id = snapshot_id
+        self.manifest = manifest
+
+    # ------------------------------------------------------------------
+    def fused_row_violations(self, docs: DataFrame) -> DataFrame:
+        """All row rules in one projection: build an array of (rule_id, detail)
+        structs — NULL when the rule passes — filter the NULLs, explode.
+        One scan; Catalyst fuses everything into whole-stage codegen."""
+        p, d = self.ctx.partition_col, self.ctx.doc_id_col
+        if not self.rules.row_rules:
+            return self._empty_violations()
+        hits = F.array(*[
+            F.when(
+                r.violation,
+                F.struct(F.lit(r.rule_id).alias("rule_id"), r.detail.alias("detail")),
+            )
+            for r in self.rules.row_rules
+        ])
+        fired = F.filter(hits, lambda x: x.isNotNull())
+        return (
+            docs.select(
+                F.col(p).alias("partition"),
+                F.col(d).alias("doc_id"),
+                F.explode(fired).alias("_v"),
+            )
+            .select(
+                "partition",
+                F.col("_v.rule_id").alias("rule_id"),
+                "doc_id",
+                F.col("_v.detail").alias("detail"),
+            )
+        )
+
+    def _empty_violations(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "partition string, rule_id string, doc_id string, detail string"
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = True) -> ValidationResult:
+        docs = self.documents
+        p = self.ctx.partition_col
+
+        pending_pairs = None  # (partition, rule_id) DataFrame or None = all
+        if self.manifest is not None and resume:
+            planned = self._planned_grid(docs)
+            pending_pairs = self.manifest.pending(planned, self.snapshot_id)
+            pending_parts = [
+                r["partition"] for r in pending_pairs.select("partition").distinct().collect()
+            ]
+            if not pending_parts:
+                return ValidationResult(
+                    self._empty_verdicts(), self._empty_violations(),
+                    self._empty_metrics(),
+                )
+            # Partition pruning for resume: only rescan partitions with work.
+            docs = docs.filter(F.col(p).isin(pending_parts))
+
+        t0 = time.time()
+        parts = docs.groupBy(F.col(p).alias("partition")).agg(
+            F.count("*").alias("rows_scanned")
+        )
+
+        violations = self.fused_row_violations(docs)
+        for rule in self.rules.dataset_rules:
+            violations = violations.unionByName(
+                rule.build(docs, self.ctx).select(*VIOLATION_COLUMNS)
+            )
+
+        rules_dim = self.spark.createDataFrame(
+            [(rid,) for rid in self.rules.rule_ids], "rule_id string"
+        )
+        grid = parts.crossJoin(F.broadcast(rules_dim))
+        if pending_pairs is not None:
+            grid = grid.join(pending_pairs, ["partition", "rule_id"], "left_semi")
+            violations = violations.join(
+                pending_pairs, ["partition", "rule_id"], "left_semi"
+            )
+
+        counts = violations.groupBy("partition", "rule_id").agg(
+            F.count("*").alias("violation_count")
+        )
+        verdicts = (
+            grid.join(counts, ["partition", "rule_id"], "left")
+            .select(
+                "partition",
+                "rule_id",
+                F.coalesce(F.col("violation_count"), F.lit(0)).alias("violation_count"),
+                "rows_scanned",
+            )
+            .withColumn("pass", F.col("violation_count") == 0)
+            .select("partition", "rule_id", "pass", "violation_count", "rows_scanned")
+        )
+
+        duration_ms = int((time.time() - t0) * 1000)
+        metrics = verdicts.select(
+            "partition",
+            "rule_id",
+            F.lit(self.snapshot_id).alias("snapshot_id"),
+            F.when(F.col("pass"), F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+            "rows_scanned",
+            "violation_count",
+            F.lit(duration_ms).alias("duration_ms"),
+            F.current_timestamp().alias("committed_at"),
+        )
+        if self.manifest is not None:
+            # verdict-derived metrics are committed last (write-ahead order:
+            # violations/verdicts first, manifest commit second) so a crash
+            # mid-run re-evaluates, never skips — re-runs overwrite by key.
+            self.manifest.commit(metrics)
+        return ValidationResult(verdicts, violations, metrics)
+
+    # ------------------------------------------------------------------
+    def _planned_grid(self, docs: DataFrame) -> DataFrame:
+        p = self.ctx.partition_col
+        rules_dim = self.spark.createDataFrame(
+            [(rid,) for rid in self.rules.rule_ids], "rule_id string"
+        )
+        return (
+            docs.select(F.col(p).alias("partition")).distinct()
+            .crossJoin(F.broadcast(rules_dim))
+        )
+
+    def _empty_verdicts(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "partition string, rule_id string, pass boolean, "
+            "violation_count long, rows_scanned long",
+        )
+
+    def _empty_metrics(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "partition string, rule_id string, snapshot_id string, status string, "
+            "rows_scanned long, violation_count long, duration_ms long, "
+            "committed_at timestamp",
+        )

@@ -1,0 +1,86 @@
+"""Arrow-vectorized UDFs over the nested ``spans`` column.
+
+These are the engine's only Python hot-path functions; everything else is
+JVM-side Column expressions. They exist because the BASELINE.json input_hint
+pins the per-row invariant — *span-sequence equality (kind, text, media_ref,
+order) verified by sorting spans by offset inside an Arrow UDF* — and because
+``array<struct<...>>`` must round-trip through Arrow (exercised by tests
+early, SURVEY.md §7 "what's hard").
+
+Each UDF receives an Arrow batch as a pandas Series whose elements are the
+span lists; work happens per batch, never per Spark row in the executor loop.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+
+def _canonical(items) -> str:
+    """Offset-sorted canonical signature 'kind|text|media_ref' joined by ';'.
+
+    Sort key is (offset, kind, text, media_ref) so duplicate offsets still
+    yield a deterministic signature.
+    """
+    def key(s):
+        return (
+            s["offset"] if s["offset"] is not None else -(2**31),
+            s["kind"] or "",
+            s["text"] or "",
+            s["media_ref"] or "",
+        )
+
+    return ";".join(
+        f"{s['kind'] or ''}|{s['text'] or ''}|{s['media_ref'] or ''}"
+        for s in sorted(items, key=key)
+    )
+
+
+@F.pandas_udf(StringType())
+def span_signature(spans: pd.Series) -> pd.Series:
+    """Canonical offset-sorted sequence signature per document.
+
+    Two documents have equal span *sequences* (kind, text, media_ref, order)
+    iff their signatures are equal — the reference-parity invariant.
+    """
+    return pd.Series(
+        [None if s is None else _canonical(s) for s in spans],
+        index=spans.index, dtype="object",
+    )
+
+
+@F.pandas_udf(StringType())
+def span_sequence_invalid_reason(spans: pd.Series) -> pd.Series:
+    """NULL when the span sequence is valid; else a reason string.
+
+    Valid ⇔ spans is a non-null list whose offsets are all non-negative and
+    pairwise distinct (i.e. sorting by offset yields a strict total order).
+    Empty lists are valid here — emptiness is a separate row rule.
+    """
+
+    def check(items):
+        if items is None:
+            return "spans is NULL"
+        offs = [s["offset"] for s in items]
+        if any(o is None for o in offs):
+            return "NULL offset"
+        neg = [o for o in offs if o < 0]
+        if neg:
+            return f"negative offsets: {sorted(neg)}"
+        srt = sorted(offs)
+        dups = sorted({a for a, b in zip(srt, srt[1:]) if a == b})
+        if dups:
+            return f"duplicate offsets: {dups}"
+        return None
+
+    return pd.Series([check(s) for s in spans], index=spans.index, dtype="object")
+
+
+@F.pandas_udf(LongType())
+def span_count(spans: pd.Series) -> pd.Series:
+    """Arrow-UDF twin of ``F.size(spans)`` (used in UDF-parity tests)."""
+    return pd.Series(
+        [0 if s is None else len(s) for s in spans], index=spans.index, dtype="int64"
+    )

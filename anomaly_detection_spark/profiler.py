@@ -1,0 +1,143 @@
+"""Column-stats profiler: one aggregation pass per table.
+
+≈ the reference's per-user profile building
+(``user_profile_builder.py:22-59``, ``time_analyzer.py:40-54``) — per-entity
+histograms, means/stds, distinct sets — generalized to per-partition column
+statistics computed by a SINGLE ``groupBy(partition).agg(...)`` (operators
+A1–A6, A10 in SURVEY.md §2.4):
+
+* count, null_count/null_rate per column
+* min / max
+* ``approx_count_distinct`` (HyperLogLog) — exact countDistinct is optional
+* ``percentile_approx`` for numeric columns
+* span-level stats after ``explode(spans)``: per-kind counts — the skewed
+  aggregation, available in salted two-phase form (north_rule).
+
+All metrics for all columns land in one wide row per partition, then melt to
+a long (partition, column, metric, value) frame — one shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_col: str = "partition",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Long-format per-partition column stats:
+    ``(partition, column, metric, value double, value_str string)``."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = [c for c in df.columns if c != partition_col]
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        dt = schema[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+            if exact_distinct:
+                aggs.append(F.countDistinct(c).alias(f"__dist__{c}"))
+            else:
+                aggs.append(F.approx_count_distinct(c).alias(f"__dist__{c}"))
+            for q in percentiles:
+                aggs.append(
+                    F.percentile_approx(c, q).alias(f"__p{int(q * 100)}__{c}")
+                )
+        elif isinstance(dt, (T.StringType, T.TimestampType, T.DateType, T.BooleanType)):
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"__mins__{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"__maxs__{c}"))
+            if exact_distinct:
+                aggs.append(F.countDistinct(c).alias(f"__dist__{c}"))
+            else:
+                aggs.append(F.approx_count_distinct(c).alias(f"__dist__{c}"))
+        elif isinstance(dt, T.ArrayType):
+            aggs.append(F.avg(F.size(c)).alias(f"__avglen__{c}"))
+            aggs.append(F.max(F.size(c)).alias(f"__maxlen__{c}"))
+
+    wide = df.groupBy(F.col(partition_col).alias("partition")).agg(*aggs)
+
+    # melt: one stack expression — still a single pass over the tiny wide frame
+    pairs = []
+    for f in wide.schema.fields:
+        if not f.name.startswith("__"):
+            continue
+        if f.name == "__rows":
+            pairs.append(("_table_", "rows", f.name, False))
+            continue
+        tag, col = f.name[2:].split("__", 1)
+        metric = {
+            "nulls": "null_count", "min": "min", "max": "max",
+            "mins": "min", "maxs": "max", "dist": "approx_distinct",
+            "avglen": "avg_length", "maxlen": "max_length",
+        }.get(tag, tag.replace("p", "p", 1))
+        if tag.startswith("p") and tag[1:].isdigit():
+            metric = f"p{tag[1:]}"
+        is_str = tag in ("mins", "maxs")
+        pairs.append((col, metric, f.name, is_str))
+
+    stack_expr = ", ".join(
+        f"'{col}', '{metric}', "
+        + (f"CAST(NULL AS DOUBLE), CAST(`{name}` AS STRING)" if is_str
+           else f"CAST(`{name}` AS DOUBLE), CAST(NULL AS STRING)")
+        for col, metric, name, is_str in pairs
+    )
+    n = len(pairs)
+    long = wide.selectExpr(
+        "partition",
+        f"stack({n}, {stack_expr}) as (column, metric, value, value_str)",
+    )
+    # null_rate derives from null_count and rows without a second scan
+    rows = wide.select("partition", F.col("__rows").alias("__rows"))
+    rates = (
+        long.filter(F.col("metric") == "null_count")
+        .join(rows, "partition")
+        .select(
+            "partition", "column", F.lit("null_rate").alias("metric"),
+            (F.col("value") / F.col("__rows")).alias("value"),
+            F.lit(None).cast("string").alias("value_str"),
+        )
+    )
+    return long.unionByName(rates)
+
+
+def span_kind_counts(
+    docs: DataFrame,
+    partition_col: str = "partition",
+    spans_col: str = "spans",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-(partition, kind) span counts — the skewed aggregation ('text' is
+    ~50% of spans in the fixture).
+
+    ``salt_buckets=None`` → plain hash agg (Catalyst already map-side
+    combines, so the skewed key ships one partial row per map task).
+    ``salt_buckets=S`` → explicit two-phase salted agg per north_rule:
+    pre-aggregate on (partition, kind, salt) then finalize on (partition,
+    kind); provably equivalent (tested) and robust if the first phase ever
+    uses non-combinable aggregates.
+    """
+    ex = docs.select(
+        F.col(partition_col).alias("partition"),
+        F.explode(spans_col).alias("s"),
+    ).select("partition", F.col("s.kind").alias("kind"))
+    if not salt_buckets:
+        return ex.groupBy("partition", "kind").agg(F.count("*").alias("span_count"))
+    salted = ex.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("partition", "kind", "_salt").agg(
+        F.count("*").alias("_c")
+    )
+    return partial.groupBy("partition", "kind").agg(F.sum("_c").alias("span_count"))

@@ -1,0 +1,224 @@
+"""Builtin constraint rules for the interleaved-documents table.
+
+Row rules are pure Column expressions (fused by the engine into one scan).
+Dataset rules carry their own distributed topology:
+
+* ``unique``              — doc_id uniqueness; two strategies: JVM hash-agg
+                            (map-side partial agg, one shuffle) and the
+                            north_rule's explicit ``repartitionByRange`` +
+                            per-range Arrow pass (provably equivalent; tested).
+* ``referential``         — dangling ``media_ref`` vs the media catalog via a
+                            *broadcast left-anti join* (≈ the reference's LDAP
+                            dimension lookup, SURVEY.md J2).
+* ``span_sequence_valid`` — offsets sortable/unique/non-negative, verified by
+                            the Arrow UDF that sorts spans by offset
+                            (BASELINE.json input_hint invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.rules.core import DatasetRule, RowRule, RuleContext
+from anomaly_detection_spark.functions.spans import span_sequence_invalid_reason
+
+
+# ---------------------------------------------------------------- row rules
+
+def not_null(col: str, rule_id: str | None = None) -> RowRule:
+    """≈ required-column presence check, data_loader.py:49-52 (made row-level
+    and first-class instead of a log warning)."""
+    return RowRule(
+        rule_id=rule_id or f"not_null:{col}",
+        violation=F.col(col).isNull(),
+        detail=F.lit(f"{col} is NULL"),
+    )
+
+
+def non_empty_array(col: str, rule_id: str | None = None) -> RowRule:
+    return RowRule(
+        rule_id=rule_id or f"non_empty:{col}",
+        violation=F.col(col).isNull() | (F.size(F.col(col)) == 0),
+        detail=F.lit(f"{col} is empty"),
+    )
+
+
+def accepted_values(col: str, values: list[str], rule_id: str | None = None) -> RowRule:
+    return RowRule(
+        rule_id=rule_id or f"accepted_values:{col}",
+        violation=~F.col(col).isin(values) | F.col(col).isNull(),
+        detail=F.concat(F.lit(f"{col}="), F.coalesce(F.col(col), F.lit("NULL"))),
+    )
+
+
+def span_kinds_accepted(kinds: list[str], spans_col: str = "spans") -> RowRule:
+    bad = F.filter(F.col(spans_col), lambda s: ~s["kind"].isin(kinds) | s["kind"].isNull())
+    return RowRule(
+        rule_id="span_kinds_accepted",
+        violation=F.size(bad) > 0,
+        detail=F.concat(
+            F.lit("bad kinds: "),
+            F.concat_ws(",", F.transform(bad, lambda s: F.coalesce(s["kind"], F.lit("NULL")))),
+        ),
+    )
+
+
+def text_present_on_text_spans(spans_col: str = "spans") -> RowRule:
+    """Every span with kind='text' must carry non-null text (FIXTURES.md plant
+    NULL_TEXT)."""
+    bad = F.filter(F.col(spans_col), lambda s: (s["kind"] == "text") & s["text"].isNull())
+    return RowRule(
+        rule_id="text_present_on_text_spans",
+        violation=F.size(bad) > 0,
+        detail=F.concat(F.lit("text-kind spans with NULL text: "), F.size(bad).cast("string")),
+    )
+
+
+def media_ref_present_on_media_spans(spans_col: str = "spans") -> RowRule:
+    bad = F.filter(
+        F.col(spans_col), lambda s: (s["kind"] != "text") & s["media_ref"].isNull()
+    )
+    return RowRule(
+        rule_id="media_ref_present_on_media_spans",
+        violation=F.size(bad) > 0,
+        detail=F.concat(F.lit("media spans missing media_ref: "), F.size(bad).cast("string")),
+    )
+
+
+def offsets_valid_native(spans_col: str = "spans") -> RowRule:
+    """Offsets non-negative and strictly increasing once sorted (i.e. unique).
+
+    Pure-expression twin of the Arrow-UDF dataset rule: sort offsets with
+    ``array_sort`` and compare neighbours with ``zip_with`` — no Python.
+    """
+    offs = F.array_sort(F.transform(F.col(spans_col), lambda s: s["offset"]))
+    neg = F.size(F.filter(offs, lambda o: o < 0)) > 0
+    pairs_bad = F.size(
+        F.filter(
+            F.zip_with(offs, F.slice(offs, 2, F.greatest(F.size(offs) - 1, F.lit(1))),
+                       lambda a, b: b <= a),
+            lambda x: x,
+        )
+    ) > 0
+    has_pairs = F.size(offs) > 1
+    return RowRule(
+        rule_id="offsets_valid_native",
+        violation=neg | (has_pairs & pairs_bad),
+        detail=F.concat(F.lit("offsets="), F.concat_ws(",", F.transform(offs, lambda o: o.cast("string")))),
+    )
+
+
+# ------------------------------------------------------------ dataset rules
+
+def unique(col: str = "doc_id", strategy: str = "hashagg", rule_id: str = "unique:doc_id") -> DatasetRule:
+    """doc_id uniqueness at 10^12 rows — pure shuffle aggregation, no collect.
+
+    strategy='hashagg': ``groupBy(doc_id).count()`` — Catalyst plans a partial
+    (map-side) count before the single hash shuffle, so each distinct key
+    ships at most one row per map task; the duplicate set then joins back to
+    recover the partitions involved.
+
+    strategy='range': the north_rule's explicit ``repartitionByRange(doc_id)``
+    + per-range Arrow pass — equal keys are co-located by the range
+    partitioner, so duplicates are detected entirely partition-locally
+    (also yields range-clustered output for clustered writes). Tested equal
+    to 'hashagg'.
+    """
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p, d = ctx.partition_col, ctx.doc_id_col
+        keyed = docs.select(F.col(p).alias("partition"), F.col(d).alias("doc_id")) \
+                    .filter(F.col("doc_id").isNotNull())
+        if strategy == "range":
+            n = ctx.range_partitions or keyed.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions")
+            ranged = keyed.repartitionByRange(int(n), "doc_id")
+            # Equal keys are co-located ⇒ a partition-local count is global.
+            counts = ranged.groupBy("partition", "doc_id").agg(
+                F.count("*").alias("_n_in_part"))
+            # second tiny agg only over per-(partition,key) rows
+            dup = counts.groupBy("doc_id").agg(F.sum("_n_in_part").alias("_n")) \
+                        .filter(F.col("_n") > 1)
+            hits = counts.join(dup, "doc_id")
+        else:
+            dup = keyed.groupBy("doc_id").agg(F.count("*").alias("_n")) \
+                       .filter(F.col("_n") > 1)
+            hits = keyed.join(dup, "doc_id").select("partition", "doc_id", "_n").distinct()
+        return hits.select(
+            F.col("partition"),
+            F.lit(rule_id).alias("rule_id"),
+            F.col("doc_id"),
+            F.concat(F.lit("duplicate doc_id x"), F.col("_n").cast("string")).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+def referential(catalog_col: str = "media_ref", rule_id: str = "referential:media_ref") -> DatasetRule:
+    """Dangling media_ref check: explode spans, broadcast left-anti join to the
+    media catalog (≈ reference LDAP broadcast-dimension lookup, SURVEY.md J2 —
+    user_profile_builder.py:25,61-65 re-expressed as an anti-join)."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        if ctx.media_catalog is None:
+            raise ValueError("referential rule needs ctx.media_catalog")
+        p, d = ctx.partition_col, ctx.doc_id_col
+        refs = (
+            docs.select(F.col(p).alias("partition"), F.col(d).alias("doc_id"),
+                        F.explode("spans").alias("s"))
+            .select("partition", "doc_id", F.col("s.media_ref").alias(catalog_col))
+            .filter(F.col(catalog_col).isNotNull())
+        )
+        dangling = refs.join(
+            F.broadcast(ctx.media_catalog.select(catalog_col).distinct()),
+            catalog_col, "left_anti",
+        )
+        return (
+            dangling.groupBy("partition", "doc_id")
+            .agg(F.concat_ws(",", F.collect_set(catalog_col)).alias("_refs"))
+            .select(
+                "partition",
+                F.lit(rule_id).alias("rule_id"),
+                "doc_id",
+                F.concat(F.lit("dangling media_ref: "), F.col("_refs")).alias("detail"),
+            )
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+def span_sequence_valid(rule_id: str = "span_sequence_valid") -> DatasetRule:
+    """Arrow-UDF path for the input_hint invariant: sort spans by offset
+    inside a vectorized pandas UDF; invalid docs (negative / duplicate
+    offsets) become violations."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p, d = ctx.partition_col, ctx.doc_id_col
+        checked = docs.select(
+            F.col(p).alias("partition"),
+            F.col(d).alias("doc_id"),
+            span_sequence_invalid_reason(F.col("spans")).alias("_reason"),
+        )
+        return checked.filter(F.col("_reason").isNotNull()).select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            "doc_id",
+            F.col("_reason").alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+def default_document_rules() -> list:
+    """The engine's standard document rule suite (≈ the reference's fixed
+    seven-pass detector fan-out, multidimensional_detector.py:134-155,
+    recast as declarative constraints)."""
+    return [
+        not_null("doc_id"),
+        non_empty_array("spans"),
+        text_present_on_text_spans(),
+        media_ref_present_on_media_spans(),
+        span_kinds_accepted(["text", "image", "audio", "table"]),
+        offsets_valid_native(),
+    ]

@@ -1,0 +1,141 @@
+"""End-to-end rule-engine correctness against a pandas oracle.
+
+The oracle recomputes every rule's expected violation set from the collected
+synthetic table (seed-free deterministic generation), then asserts the
+engine's violation rows and per-partition pass/fail matrix match EXACTLY —
+the north_star parity requirement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from anomaly_detection_spark.engine import ValidationRun
+from anomaly_detection_spark.rules import builtin
+from anomaly_detection_spark.rules.core import RuleSet
+
+
+def _oracle_row_violations(docs_pd: pd.DataFrame) -> set[tuple]:
+    """(partition, rule_id, doc_id) triples the fused row pass must emit."""
+    out = set()
+    for _, row in docs_pd.iterrows():
+        part, did, spans = row["partition"], row["doc_id"], row["spans"]
+        spans = list(spans) if spans is not None else []
+        if did is None:
+            out.add((part, "not_null:doc_id", None))
+        if len(spans) == 0:
+            out.add((part, "non_empty:spans", did))
+        if any(s["kind"] == "text" and s["text"] is None for s in spans):
+            out.add((part, "text_present_on_text_spans", did))
+        if any(s["kind"] != "text" and s["media_ref"] is None for s in spans):
+            out.add((part, "media_ref_present_on_media_spans", did))
+        if any(s["kind"] not in ("text", "image", "audio", "table") for s in spans):
+            out.add((part, "span_kinds_accepted", did))
+        offs = sorted(s["offset"] for s in spans)
+        if any(o < 0 for o in offs) or any(a == b for a, b in zip(offs, offs[1:])):
+            out.add((part, "offsets_valid_native", did))
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs, catalog):
+    rules = RuleSet(
+        row_rules=builtin.default_document_rules(),
+        dataset_rules=[
+            builtin.unique("doc_id"),
+            builtin.referential(),
+            builtin.span_sequence_valid(),
+        ],
+    )
+    run = ValidationRun(spark, docs, rules, media_catalog=catalog)
+    return run.run(resume=False)
+
+
+def test_row_violations_exact(result, docs_pd):
+    got = {
+        (r["partition"], r["rule_id"], r["doc_id"])
+        for r in result.violations.collect()
+        if r["rule_id"]
+        in {
+            "not_null:doc_id", "non_empty:spans", "text_present_on_text_spans",
+            "media_ref_present_on_media_spans", "span_kinds_accepted",
+            "offsets_valid_native",
+        }
+    }
+    assert got == _oracle_row_violations(docs_pd)
+
+
+def test_uniqueness_exact(result, docs_pd):
+    counts = docs_pd[docs_pd.doc_id.notna()].doc_id.value_counts()
+    dups = set(counts[counts > 1].index)
+    expected = {
+        (r["partition"], r["doc_id"])
+        for _, r in docs_pd.iterrows()
+        if r["doc_id"] in dups
+    }
+    got = {
+        (r["partition"], r["doc_id"])
+        for r in result.violations.filter("rule_id = 'unique:doc_id'").collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_referential_exact(result, docs_pd, catalog):
+    valid = {r["media_ref"] for r in catalog.collect()}
+    expected = set()
+    for _, row in docs_pd.iterrows():
+        spans = list(row["spans"]) if row["spans"] is not None else []
+        if any(
+            s["media_ref"] is not None and s["media_ref"] not in valid for s in spans
+        ):
+            expected.add((row["partition"], row["doc_id"]))
+    got = {
+        (r["partition"], r["doc_id"])
+        for r in result.violations.filter("rule_id = 'referential:media_ref'").collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_span_sequence_arrow_udf_matches_native(result):
+    """input_hint invariant: the Arrow-UDF offset-sort check and the pure
+    Column-expression check flag the same (partition, doc_id) sets."""
+    arrow = {
+        (r["partition"], r["doc_id"])
+        for r in result.violations.filter("rule_id = 'span_sequence_valid'").collect()
+    }
+    native = {
+        (r["partition"], r["doc_id"])
+        for r in result.violations.filter("rule_id = 'offsets_valid_native'").collect()
+    }
+    # native also fires on empty-span docs? No: empty lists pass both. They
+    # must agree exactly.
+    assert arrow == native and len(arrow) > 0
+
+
+def test_passfail_matrix(result, docs_pd):
+    verd = {(r["partition"], r["rule_id"]): r for r in result.verdicts.collect()}
+    # every (partition, rule) pair present
+    parts = set(docs_pd["partition"])
+    assert {k[0] for k in verd} == parts
+    viol = result.violations.groupBy("partition", "rule_id").count().collect()
+    counts = {(r["partition"], r["rule_id"]): r["count"] for r in viol}
+    for key, row in verd.items():
+        expected = counts.get(key, 0)
+        assert row["violation_count"] == expected
+        assert row["pass"] == (expected == 0)
+    # rows_scanned matches partition sizes
+    sizes = docs_pd.groupby("partition").size().to_dict()
+    for (part, _), row in verd.items():
+        assert row["rows_scanned"] == sizes[part]
+
+
+def test_unique_range_strategy_equivalent(spark, docs, catalog):
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    ctx = RuleContext(media_catalog=catalog, range_partitions=8)
+    hashagg = builtin.unique("doc_id", strategy="hashagg").build(docs, ctx)
+    ranged = builtin.unique("doc_id", strategy="range").build(docs, ctx)
+    a = {(r["partition"], r["doc_id"]) for r in hashagg.collect()}
+    b = {(r["partition"], r["doc_id"]) for r in ranged.collect()}
+    assert a == b and len(a) > 0
