@@ -69,16 +69,19 @@ def generate_documents(
     n_partitions: int = 8,
     n_media: int = 500,
     plant_defects: bool = True,
+    drift_last_partition: bool = True,
 ) -> DataFrame:
     """Build the interleaved documents table.
 
     ``partition`` is ``p0..p{n_partitions-1}``; the last one (``p{n-1}``) has
-    a drifted span-kind distribution. Spans are stored in *scrambled* order
-    for ~1/7 of docs so that offset-sorted sequence comparison is meaningful.
+    a drifted span-kind distribution unless ``drift_last_partition=False``
+    (pass False to produce the *baseline* snapshot for drift tests). Spans are
+    stored in *scrambled* order for ~1/7 of docs so that offset-sorted
+    sequence comparison is meaningful.
     """
     base = spark.range(n_docs).withColumnRenamed("id", "_id")
     part_idx = F.pmod(F.col("_id"), F.lit(n_partitions))
-    drifted = part_idx == n_partitions - 1
+    drifted = (part_idx == n_partitions - 1) & F.lit(drift_last_partition)
     n_spans = (F.lit(1) + _h(F.col("_id"), "nspans") % 5).cast("int")
     if plant_defects:
         n_spans = F.when(
