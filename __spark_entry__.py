@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation pass; ``queries()`` /
+``oracle_sql()`` expose the operator-coverage registry from
+``anomaly_detection_spark.queries`` (each Spark query paired with a DuckDB
+oracle; see that module's cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anomaly_detection_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full constraint-validation pass over an interleaved-
+    documents table synthesized from /root/testdata/sf0.001/documents.parquet.
+
+    Documents become (doc_id, spans, partition=source) with a text span and a
+    media span each; the engine then runs the default rule suite + uniqueness
+    + referential + Arrow span-sequence checks and returns the per-partition
+    pass/fail verdict matrix.
+    """
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = raw.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring("text", 1, 200).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("m"), F.pmod(F.col("doc_id"), F.lit(64)).cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+        F.col("source").alias("partition"),
+    )
+    catalog = spark.range(64).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref")
+    )
+    rules = RuleSet(
+        row_rules=builtin.default_document_rules(),
+        dataset_rules=[
+            builtin.unique("doc_id"),
+            builtin.referential(),
+            builtin.span_sequence_valid(),
+        ],
+    )
+    run = ValidationRun(spark, docs, rules, media_catalog=catalog)
+    return run.run(resume=False).verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data-pipeline ops: dedup, ANN, text analysis, multimodal)."""
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; omitted keys
+    (Python-side Arrow passes) get the driver's rows-only check."""
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

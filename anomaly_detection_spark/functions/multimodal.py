@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` passes.
+
+The decode step is STUBBED (this container ships no image/audio codecs):
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (hash-derived
+dimensions) stands in. Everything around the stub — schema contract,
+partition-preserving ``mapInPandas`` signature, Arrow batch shapes, metadata
+extraction — is real and tested; swapping in PIL/ffmpeg later changes one
+function body, not the plan.
+
+At 100 TB the important properties are already here:
+* binaries never pass through the driver — ``mapInPandas`` streams Arrow
+  batches executor-side;
+* `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory (large
+  payloads → small batches);
+* metadata-only passes (`media_metadata`) prune the binary column at the
+  scan (column pruning) when payloads aren't needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, media_kind string, payload binary"
+)
+FEATURE_SCHEMA = (
+    "media_ref string, media_kind string, byte_len long, sha256 string, "
+    "width int, height int, n_frames int"
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic fake decoder: dimensions derived from the payload hash.
+    Replace with PIL/ffmpeg decode in production."""
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    n_frames = 1 if kind == "image" else 1 + h[2] % 64
+    return width, height, n_frames
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True "
+            "for the deterministic stub decoder"
+        )
+    return _fake_decode(payload, "image")
+
+
+def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas pass over (media_ref, media_kind, payload binary):
+    emits byte length, content hash, and decoded dimensions.
+
+    The pass is partition-preserving (no shuffle); wrap with
+    ``repartition(n)`` upstream to size Arrow batches for big payloads."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _fake_decode(p, k) if fake_decode else decode_image(p)
+                for p, k in zip(pdf["payload"], pdf["media_kind"])
+            ]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "media_kind": pdf["media_kind"],
+                "byte_len": [len(p) for p in pdf["payload"]],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": [d[2] for d in dims],
+            })
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only pass: pure Column expressions, so Parquet column pruning
+    drops the payload bytes from the scan entirely when this is all you need."""
+    return media.select(
+        "media_ref",
+        "media_kind",
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+
+
+def synth_media(spark, n: int = 200) -> DataFrame:
+    """Deterministic synthetic binary payloads for tests (payload = utf-8 of a
+    hash-derived string, so lengths/hashes are stable)."""
+    return spark.range(n).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_kind"),
+        F.encode(
+            F.repeat(F.md5(F.col("id").cast("string")), (F.pmod(F.xxhash64("id", F.lit("len")), F.lit(8)) + 1).cast("int")),
+            "utf-8",
+        ).alias("payload"),
+    )

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k via JVM-side ``zip_with``/``aggregate``
+(no UDF, no collect). Scale path: IVF-style bucketing — restrict candidate
+pairs to a coarse partition (cluster label or LSH sign-bucket) so the join
+is per-bucket instead of O(n²).
+
+At 10^12 scale the brute-force path is only for reranking within buckets;
+the bucket join IS the plan. Both paths share the same cosine expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — runs in codegen, double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbours for every query vector (defaults to all
+    vectors, self excluded). Returns (query_id, neighbor_id, cos, rank).
+
+    Ties broken by neighbor_id so results are deterministic."""
+    q = (queries or emb).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the same coarse bucket
+    (cluster label / LSH bucket). The join is an equi-join on the bucket —
+    shuffle-partitioned by bucket, Σ|bucket|² work instead of n²."""
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                   F.col(bucket_col).alias("_b"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                   F.col(bucket_col).alias("_b"))
+    scored = (
+        q.join(c, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_sign_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket as a bit string. Hyperplane components
+    are deterministic pseudo-randoms derived from (plane, dim-index) hashes —
+    reproducible across engines and runs without storing planes."""
+    bits = []
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.concat(F.lit(f"{p}:"), i.cast("string"))), F.lit(1000)) - 499.5) / 500.0,
+        )
+        s = F.aggregate(
+            F.zip_with(vec_col, comps, lambda v, c: v.cast("double") * c),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

@@ -1,0 +1,94 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — language ID,
+quality scoring, token counting, and document fingerprinting, the text ops a
+100 TB training-data pipeline runs per document.
+
+≈ the reference's text handling (``text_processor.py:6-60`` tokenize/patterns,
+``data_normalizer.py:398-499`` keyword sensitivity scoring) made vectorized.
+Every function has an ANSI-SQL twin used by the DuckDB oracle in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish tokenization: runs of letters, runs of digits, or single
+    punctuation — a stand-in for subword tokenizers at profiling time."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = stopwords or STOPWORDS
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """0-1 heuristic quality: long enough, low punctuation noise, sane
+    stopword density (≈ the reference's additive keyword scores,
+    data_normalizer.py:398-421, recast for corpus quality)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_ok = F.lit(1.0) - F.abs(sw - F.lit(0.15)) / F.lit(0.85)
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    return F.round((len_ok + sw_ok + punct_ok) / 3.0, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Tiny n-gram/stopword language heuristic: English if common English
+    function words dominate. Deliberately simple and SQL-twin-able; real
+    deployments swap in fastText via mapInPandas."""
+    sw = stopword_ratio(col)
+    return F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def word_val(t: Column) -> Column:
+    """Deterministic small integer per word — identical in Spark and ANSI SQL:
+    ``length(w)*31 + ascii(substr(w,1,1))``."""
+    return F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Rolling polynomial hash over words, mod 1e9+7 — a document
+    fingerprint computable identically in any SQL engine (used for
+    grouping/versioning, not cryptography)."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + word_val(t)) % FP_MOD,
+    )

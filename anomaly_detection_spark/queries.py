@@ -1,0 +1,1094 @@
+"""Operator-coverage query registry: every SURVEY.md §2 operator class gets a
+(spark callable, DuckDB oracle SQL) pair over the driver testdata tables.
+
+Cross-engine determinism rules used throughout (so order-insensitive
+value-hash comparison is exact, not approximate):
+
+* money/quantity sums are computed on ``CAST(ROUND(x*100) AS BIGINT)`` —
+  exact integer arithmetic in both engines, then one deterministic division;
+* variances/correlations/z-scores are derived *closed-form from exact integer
+  sums* (SURVEY.md W8: covar/var via sum aggregates), never from streaming
+  float accumulators whose order differs per engine;
+* embedding math is quantized (``round(x*1000)`` per component) so dot
+  products are exact integers;
+* hashes are md5/sha256 hex (bit-identical across engines);
+* every float output is rounded (4-6 dp) AFTER the deterministic math;
+* ``dayofweek``: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 — oracles add 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anomaly_detection_spark.functions import dedup, similarity, text
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents/centi-units: the cross-engine-deterministic way to
+    sum 2-decimal doubles."""
+    return F.round(col * 100).cast("long")
+
+
+# =====================================================================
+# Group A — validation-engine semantics on driver tables
+# =====================================================================
+
+def q_profile_lineitem(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+        F.round(F.sum(_cents(F.col("l_extendedprice"))) / F.count("*") / 100.0, 6).alias("avg_price"),
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+SELECT l_returnflag,
+       COUNT(*) AS rows,
+       COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / COUNT(*) / 100.0, 6) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_null_profile_documents(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("distinct_langs"),
+    )
+
+
+SQL_NULL_PROFILE_DOCUMENTS = """
+SELECT source, COUNT(*) AS rows,
+       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS distinct_langs
+FROM documents GROUP BY source
+"""
+
+
+def q_uniqueness_orders(spark, sf):
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_orderkey").alias("dup_key"))
+        .agg(F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+SQL_UNIQUENESS_ORDERS = """
+SELECT o_orderkey AS dup_key, COUNT(*) AS dup_count
+FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+
+def q_referential_lineitem_part(spark, sf):
+    li, p = load(spark, sf, "lineitem"), load(spark, sf, "part")
+    dangling = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti")
+    return dangling.groupBy(F.col("l_partkey").alias("missing_partkey")).agg(
+        F.count("*").alias("ref_count")
+    )
+
+
+SQL_REFERENTIAL_LINEITEM_PART = """
+SELECT l_partkey AS missing_partkey, COUNT(*) AS ref_count
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL GROUP BY l_partkey
+"""
+
+
+def q_psi_event_type_drift(spark, sf):
+    """PSI of the event_type distribution: first half-month (baseline) vs
+    second (current) — the engine's drift statistic on driver data."""
+    e = load(spark, sf, "events")
+    split = "2024-01-15"
+    hist = e.groupBy(
+        (F.col("ts") >= split).alias("is_cur"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("is_cur")
+    probs = hist.select(
+        "is_cur", "event_type", (F.col("c") / F.sum("c").over(w)).alias("p")
+    )
+    cur = probs.filter("is_cur").select("event_type", F.col("p").alias("pc"))
+    base = probs.filter("NOT is_cur").select("event_type", F.col("p").alias("pb"))
+    j = cur.join(base, "event_type", "full_outer").fillna({"pc": 0.0, "pb": 0.0})
+    eps = 1e-6
+    pc = F.greatest(F.col("pc"), F.lit(eps))
+    pb = F.greatest(F.col("pb"), F.lit(eps))
+    return j.agg(F.round(F.sum((pc - pb) * F.log(pc / pb)), 6).alias("psi"))
+
+
+SQL_PSI_EVENT_TYPE_DRIFT = """
+WITH hist AS (
+  SELECT (ts >= TIMESTAMP '2024-01-15') AS is_cur, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), probs AS (
+  SELECT is_cur, event_type,
+         c * 1.0 / SUM(c) OVER (PARTITION BY is_cur) AS p
+  FROM hist
+), j AS (
+  SELECT COALESCE(cur.event_type, base.event_type) AS event_type,
+         COALESCE(cur.p, 0.0) AS pc, COALESCE(base.p, 0.0) AS pb
+  FROM (SELECT * FROM probs WHERE is_cur) cur
+  FULL OUTER JOIN (SELECT * FROM probs WHERE NOT is_cur) base
+    ON cur.event_type = base.event_type
+)
+SELECT ROUND(SUM((GREATEST(pc, 1e-6) - GREATEST(pb, 1e-6))
+             * LN(GREATEST(pc, 1e-6) / GREATEST(pb, 1e-6))), 6) AS psi
+FROM j
+"""
+
+
+def q_ks_value_drift(spark, sf):
+    """KS statistic over integer-cents event values, first vs second half."""
+    e = load(spark, sf, "events").select(
+        (F.col("ts") >= "2024-01-15").alias("is_cur"),
+        _cents(F.col("value")).alias("bin"),
+    )
+    hist = e.groupBy("is_cur", "bin").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("is_cur")
+    probs = hist.select("is_cur", "bin", (F.col("c") / F.sum("c").over(w)).alias("p"))
+    cur = probs.filter("is_cur").select("bin", F.col("p").alias("pc"))
+    base = probs.filter("NOT is_cur").select("bin", F.col("p").alias("pb"))
+    j = cur.join(base, "bin", "full_outer").fillna({"pc": 0.0, "pb": 0.0})
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = j.select(
+        F.sum("pc").over(wc).alias("ca"), F.sum("pb").over(wc).alias("cb")
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"))
+
+
+SQL_KS_VALUE_DRIFT = """
+WITH e AS (
+  SELECT (ts >= TIMESTAMP '2024-01-15') AS is_cur,
+         CAST(ROUND(value*100) AS BIGINT) AS bin
+  FROM events
+), hist AS (
+  SELECT is_cur, bin, COUNT(*) AS c FROM e GROUP BY 1, 2
+), probs AS (
+  SELECT is_cur, bin, c * 1.0 / SUM(c) OVER (PARTITION BY is_cur) AS p FROM hist
+), j AS (
+  SELECT COALESCE(cur.bin, base.bin) AS bin,
+         COALESCE(cur.p, 0.0) AS pc, COALESCE(base.p, 0.0) AS pb
+  FROM (SELECT * FROM probs WHERE is_cur) cur
+  FULL OUTER JOIN (SELECT * FROM probs WHERE NOT is_cur) base ON cur.bin = base.bin
+), cdf AS (
+  SELECT SUM(pc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(pb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+  FROM j
+)
+SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks FROM cdf
+"""
+
+
+def q_orders_percentiles(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+SQL_ORDERS_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# =====================================================================
+# Group B — relational operator coverage (joins, windows, set ops)
+# =====================================================================
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape (A1, A3-A5): one wide agg after a pushed-down filter."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    qty, price, disc = _cents(F.col("l_quantity")), _cents(F.col("l_extendedprice")), _cents(F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty) / 100.0).alias("sum_qty"),
+        (F.sum(price) / 100.0).alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(10000) - disc * 100)) / 1e6, 4).alias("sum_disc_price"),
+        F.round(F.sum(qty) / F.count("*") / 100.0, 6).alias("avg_qty"),
+        F.round(F.sum(price) / F.count("*") / 100.0, 6).alias("avg_price"),
+        F.round(F.sum(disc) / F.count("*") / 100.0, 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (10000 - CAST(ROUND(l_discount*100) AS BIGINT)*100)) / 1e6, 4) AS sum_disc_price,
+  ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / COUNT(*) / 100.0, 6) AS avg_qty,
+  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / COUNT(*) / 100.0, 6) AS avg_price,
+  ROUND(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) / COUNT(*) / 100.0, 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_building_orders(spark, sf):
+    """TPC-H Q3 shape (J1 multi-join + top-k W6): broadcast dim, exact-cents
+    revenue, deterministic top-10."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o, li = load(spark, sf, "orders"), load(spark, sf, "lineitem")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(10000) - _cents(F.col("l_discount")) * 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev) / 1e6, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_BUILDING_ORDERS = """
+SELECT o_orderkey,
+       ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (10000 - CAST(ROUND(l_discount*100) AS BIGINT)*100)) / 1e6, 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf):
+    """TPC-H Q5 shape: snowflake join through nation/region, broadcast dims."""
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    c, n, r = load(spark, sf, "customer"), load(spark, sf, "nation"), load(spark, sf, "region")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(10000) - _cents(F.col("l_discount")) * 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev) / 1e6, 4).alias("revenue"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (10000 - CAST(ROUND(l_discount*100) AS BIGINT)*100)) / 1e6, 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name
+"""
+
+
+def q_top3_customers_per_nation(spark, sf):
+    """A8/W6: row_number top-k per group with deterministic tie-break."""
+    c, n = load(spark, sf, "customer"), load(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rank")
+    )
+
+
+SQL_TOP3_CUSTOMERS_PER_NATION = """
+SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rank FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 3
+"""
+
+
+def q_segment_status_matrix(spark, sf):
+    """A11 count-by-category matrix as conditional aggs (pivot analogue)."""
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_o"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_p"),
+    )
+
+
+SQL_SEGMENT_STATUS_MATRIX = """
+SELECT c_mktsegment,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_minmax_normalized_prices(spark, sf):
+    """A14 global min-max normalization via an empty-frame window."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy()
+    return o.select(
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.min("o_totalprice").over(w))
+            / (F.max("o_totalprice").over(w) - F.min("o_totalprice").over(w)),
+            6,
+        ).alias("norm_price"),
+    )
+
+
+SQL_MINMAX_NORMALIZED_PRICES = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - MIN(o_totalprice) OVER ())
+             / (MAX(o_totalprice) OVER () - MIN(o_totalprice) OVER ()), 6) AS norm_price
+FROM orders
+"""
+
+
+def q_lineitem_part_supplier_join(spark, sf):
+    """J1 composite multi-join: per (brand, supplier nation) stats."""
+    li, p = load(spark, sf, "lineitem"), load(spark, sf, "part")
+    s, n = load(spark, sf, "supplier"), load(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("total_qty"),
+        )
+    )
+
+
+SQL_LINEITEM_PART_SUPPLIER_JOIN = """
+SELECT p_brand, n_name, COUNT(*) AS n_items,
+       SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    """J5/O4 anti-join semantics: customers with zero orders."""
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------- windows
+
+def q_sessionize_events(spark, sf):
+    """W1 gap-based sessionization (30-min gap) via lag + running sum,
+    exact integer microseconds both engines."""
+    e = load(spark, sf, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    wid = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sess = wid.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        (F.sum("n") / F.count("*")).alias("avg_session_events_x"),
+    ).select(
+        "user_id", "n_sessions", "max_session_events",
+        F.round("avg_session_events_x", 6).alias("avg_session_events"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), wid AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM wid GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+       ROUND(SUM(n) * 1.0 / COUNT(*), 6) AS avg_session_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_daily_event_rollup(spark, sf):
+    """W2 tumbling daily windows per event type."""
+    e = load(spark, sf, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+    )
+
+
+SQL_DAILY_EVENT_ROLLUP = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_change_points(spark, sf):
+    """W3 sliding change-point detection: daily totals vs trailing-7-day
+    mean/std, z from exact integer sums (closed-form variance)."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(_cents(F.col("value"))).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "day", "x",
+        F.count("x").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    ).filter(F.col("n") == 7)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return stats.select("day", F.round(z, 6).alias("z")).filter(F.abs(F.col("z")) > 1.0)
+
+
+SQL_CHANGE_POINTS = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT day, x,
+         COUNT(x) OVER w AS n, SUM(x) OVER w AS s, SUM(x*x) OVER w AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, z FROM (
+  SELECT day, ROUND((x - s*1.0/n) / sqrt((ss - s*1.0*s/n) / (n-1)), 6) AS z
+  FROM stats WHERE n = 7
+) WHERE ABS(z) > 1.0
+"""
+
+
+def q_lag_autocorr(spark, sf):
+    """W4/J6 lag-1 autocorrelation per event type, closed-form from exact
+    integer sums (SURVEY W8: corr via covar/var aggregates)."""
+    e = load(spark, sf, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), _cents(F.col("value")).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("us")
+    pairs = e.withColumn("vl", F.lag("v").over(w)).filter(F.col("vl").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sx"), F.sum("vl").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("vl") * F.col("vl")).alias("syy"),
+        F.sum(F.col("v") * F.col("vl")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select("event_type", "n", F.round(num / den, 6).alias("lag1_corr"))
+
+
+SQL_LAG_AUTOCORR = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events
+), pairs AS (
+  SELECT event_type, v,
+         LAG(v) OVER (PARTITION BY event_type ORDER BY us) AS vl
+  FROM e
+), agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS sx, SUM(vl) AS sy,
+         SUM(v*v) AS sxx, SUM(vl*vl) AS syy, SUM(v*vl) AS sxy
+  FROM pairs WHERE vl IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * 1.0 * (n*syy - sy*sy)), 6) AS lag1_corr
+FROM agg
+"""
+
+
+def q_first_event_per_user(spark, sf):
+    """W5 ordered-first per group."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+SQL_FIRST_EVENT_PER_USER = """
+SELECT user_id, event_id AS first_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_user_day_setops(spark, sf):
+    """O4 set semantics: days on which a user both clicked and purchased."""
+    e = load(spark, sf, "events")
+    per_day = e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+    )
+    return (
+        per_day.filter((F.col("has_click") == 1) & (F.col("has_purchase") == 1))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("overlap_days"))
+    )
+
+
+SQL_USER_DAY_SETOPS = """
+SELECT user_id, COUNT(*) AS overlap_days FROM (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM events GROUP BY 1, 2
+) WHERE has_click = 1 AND has_purchase = 1 GROUP BY user_id
+"""
+
+
+def q_event_type_entropy(spark, sf):
+    """A7 Shannon entropy of each user's event-type distribution."""
+    e = load(spark, sf, "events")
+    hist = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    p = hist.select("user_id", (F.col("c") / F.sum("c").over(w)).alias("p"))
+    return p.groupBy("user_id").agg(
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy")
+    )
+
+
+SQL_EVENT_TYPE_ENTROPY = """
+WITH hist AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id, c * 1.0 / SUM(c) OVER (PARTITION BY user_id) AS p FROM hist
+)
+SELECT user_id, ROUND(-SUM(p * log2(p)), 6) AS entropy FROM p GROUP BY user_id
+"""
+
+
+def q_hourly_histogram(spark, sf):
+    """A6/P2 time-feature histogram: events per (hour-of-day, is_weekend)."""
+    e = load(spark, sf, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_HOURLY_HISTOGRAM = """
+SELECT EXTRACT(hour FROM ts) AS hour,
+       (dayofweek(ts) + 1) IN (1, 7) AS is_weekend,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_afterhours_ratio(spark, sf):
+    """A5 conditional-ratio agg (≈ reference after-hours ratio,
+    feature_engineering.py:184-221): share of events outside 08-18h."""
+    e = load(spark, sf, "events")
+    off = (F.hour("ts") < 8) | (F.hour("ts") >= 18)
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(off.cast("int")), 6).alias("afterhours_ratio"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_AFTERHOURS_RATIO = """
+SELECT event_type,
+       ROUND(AVG(CASE WHEN EXTRACT(hour FROM ts) < 8
+                       OR EXTRACT(hour FROM ts) >= 18 THEN 1 ELSE 0 END), 6) AS afterhours_ratio,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# Group C — corpus text analysis / dedup / similarity (documents, embeddings)
+# =====================================================================
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_SW_SQL = "['the','a','of','and','to','in','is','it']"
+
+
+def q_doc_token_stats(spark, sf):
+    """Token counting per source: whitespace + BPE-ish regex tokenization,
+    exact integer char totals (no float averaging)."""
+    d = load(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(text.regex_token_count(F.col("text"))).alias("total_regex_tokens"),
+        F.sum(tok_chars).alias("total_token_chars"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+WITH t AS (SELECT source, {_TOKS_SQL} AS toks, text FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+  SUM(len(toks)) AS total_tokens,
+  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_regex_tokens,
+  SUM(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))))) AS total_token_chars
+FROM t GROUP BY source
+"""
+
+
+def q_lang_id_accuracy(spark, sf):
+    """Language-ID heuristic vs the labeled lang column, per source."""
+    d = load(spark, sf, "documents")
+    pred = text.lang_id(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum((pred == "en").cast("long")).alias("n_pred_en"),
+        F.round(F.avg((pred == F.col("lang")).cast("int")), 6).alias("accuracy"),
+    )
+
+
+SQL_LANG_ID_ACCURACY = f"""
+WITH t AS (
+  SELECT source, lang,
+    len(list_filter({_TOKS_SQL.replace("trim(text)", "trim(lower(text))")}, t -> list_contains({_SW_SQL}, t))) * 1.0
+      / GREATEST(len({_TOKS_SQL}), 1) AS swr
+  FROM documents
+), p AS (
+  SELECT source, lang, CASE WHEN swr >= 0.05 THEN 'en' ELSE 'unk' END AS pred FROM t
+)
+SELECT source, COUNT(*) AS n,
+       SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+       ROUND(AVG(CASE WHEN pred = lang THEN 1 ELSE 0 END), 6) AS accuracy
+FROM p GROUP BY source
+"""
+
+
+def q_doc_quality(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+    len(list_filter({_TOKS_SQL.replace("trim(text)", "trim(lower(text))")}, t -> list_contains({_SW_SQL}, t))) * 1.0
+      / GREATEST(len({_TOKS_SQL}), 1) AS swr,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+      / GREATEST(length(text), 1) AS pr
+  FROM documents
+)
+SELECT doc_id,
+  ROUND((LEAST(length(text) / 200.0, 1.0)
+       + (1.0 - ABS(swr - 0.15) / 0.85)
+       + (1.0 - LEAST(pr * 5.0, 1.0))) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Rolling polynomial document fingerprint (exact integer arithmetic)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, x -> CAST(length(x)*31 + ascii(substr(x,1,1)) AS BIGINT))),
+    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+FROM t
+"""
+
+
+def q_exact_dup_groups(spark, sf):
+    return dedup.exact_duplicate_groups(load(spark, sf, "documents"))
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+_SHINGLES_SQL = """CASE WHEN len(toks) >= 3 THEN
+  list_transform(generate_series(1, len(toks)-2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  ELSE CAST([] AS VARCHAR[]) END"""
+
+
+def q_minhash_signatures(spark, sf):
+    return dedup.minhash_signature(load(spark, sf, "documents"), k=4)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t)
+SELECT doc_id,
+  list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
+  list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
+  list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
+  list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3
+FROM sh
+"""
+
+
+def q_lsh_candidate_pairs(spark, sf):
+    return dedup.lsh_candidate_pairs(
+        load(spark, sf, "documents"), k=4, bands=2
+    )
+
+
+SQL_LSH_CANDIDATE_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig WHERE mh2 IS NOT NULL
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    d = load(spark, sf, "documents")
+    cands = dedup.lsh_candidate_pairs(d, k=4, bands=2)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2, candidates=cands)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shset FROM t),
+sig AS (
+  SELECT t.doc_id,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))) AS mh3
+  FROM t
+),
+buckets AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig WHERE mh2 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(sa.shset, sb.shset)) * 1.0
+        / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0
+      / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.2
+"""
+
+
+def q_simhash_fingerprints(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash_hex16(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_BITS_SQL = " || ".join(
+    f"(CASE WHEN 2*len(list_filter(hs, h -> instr('89abcdef', substr(h,{i},1)) > 0)) >= len(hs) "
+    f"THEN '1' ELSE '0' END)"
+    for i in range(1, 17)
+)
+SQL_SIMHASH_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t)
+SELECT doc_id,
+  CASE WHEN len(hs) > 0 THEN {_SIMHASH_BITS_SQL} ELSE NULL END AS simhash
+FROM h
+"""
+
+
+def _quantize(col):
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-5 (ANN baseline) for query vectors vec_id<50,
+    quantized components ⇒ exact integer dot products in both engines."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _quantize(F.col("embedding")).alias("cv")
+    )
+    dot_ = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_.cast("double") / F.sqrt(nrm(F.col("qv")).cast("double") * nrm(F.col("cv")).cast("double"))).alias("cos_x"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_x"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_x", 6).alias("cos"), "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]*cv[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(cv, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_ivf_topk(spark, sf):
+    """IVF-bucketed ANN: candidates restricted to the same label cluster —
+    the join is per-bucket (scale path), same quantized-cosine math."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("_b"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _quantize(F.col("embedding")).alias("cv"),
+        F.col("label").alias("_b"),
+    )
+    dot_ = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
+    scored = (
+        q.join(c, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot_.cast("double") / F.sqrt(nrm(F.col("qv")).cast("double") * nrm(F.col("cv")).cast("double"))).alias("cos_x"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_x"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_x", 6).alias("cos"), "rank")
+    )
+
+
+SQL_EMBEDDING_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, len(a.qe)), i -> a.qe[i]*b.qe[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# =====================================================================
+# Group D — multimodal binary-column plumbing
+# =====================================================================
+
+def _synth_media_from_docs(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def q_media_metadata_stats(spark, sf):
+    """Binary-column metadata pass (pure Column exprs — payload pruned when
+    unused): byte length + sha256 per media kind."""
+    from anomaly_detection_spark.functions.multimodal import media_metadata
+
+    media = _synth_media_from_docs(spark, sf)
+    meta = media_metadata(media)
+    return meta.groupBy("media_kind").agg(
+        F.count("*").alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("sha256").alias("distinct_payloads"),
+    )
+
+
+SQL_MEDIA_METADATA_STATS = """
+SELECT ['image','audio','video'][CAST((doc_id % 3) + 1 AS INTEGER)] AS media_kind,
+       COUNT(*) AS n,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS distinct_payloads
+FROM documents GROUP BY 1
+"""
+
+
+def q_media_feature_extract(spark, sf):
+    """Arrow mapInPandas feature extraction over binary payloads with the
+    deterministic fake decoder — rows-only check (decode is Python-side)."""
+    from anomaly_detection_spark.functions.multimodal import extract_media_features
+
+    media = _synth_media_from_docs(spark, sf)
+    feats = extract_media_features(media, fake_decode=True)
+    return feats.groupBy("media_kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # Group A — validation semantics
+    "profile_lineitem": (q_profile_lineitem, SQL_PROFILE_LINEITEM),
+    "null_profile_documents": (q_null_profile_documents, SQL_NULL_PROFILE_DOCUMENTS),
+    "uniqueness_orders": (q_uniqueness_orders, SQL_UNIQUENESS_ORDERS),
+    "referential_lineitem_part": (q_referential_lineitem_part, SQL_REFERENTIAL_LINEITEM_PART),
+    "psi_event_type_drift": (q_psi_event_type_drift, SQL_PSI_EVENT_TYPE_DRIFT),
+    "ks_value_drift": (q_ks_value_drift, SQL_KS_VALUE_DRIFT),
+    "orders_percentiles": (q_orders_percentiles, SQL_ORDERS_PERCENTILES),
+    # Group B — relational
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_building_orders": (q_top_building_orders, SQL_TOP_BUILDING_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "top3_customers_per_nation": (q_top3_customers_per_nation, SQL_TOP3_CUSTOMERS_PER_NATION),
+    "segment_status_matrix": (q_segment_status_matrix, SQL_SEGMENT_STATUS_MATRIX),
+    "minmax_normalized_prices": (q_minmax_normalized_prices, SQL_MINMAX_NORMALIZED_PRICES),
+    "lineitem_part_supplier_join": (q_lineitem_part_supplier_join, SQL_LINEITEM_PART_SUPPLIER_JOIN),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "daily_event_rollup": (q_daily_event_rollup, SQL_DAILY_EVENT_ROLLUP),
+    "change_points": (q_change_points, SQL_CHANGE_POINTS),
+    "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
+    "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
+    "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),
+    "event_type_entropy": (q_event_type_entropy, SQL_EVENT_TYPE_ENTROPY),
+    "hourly_histogram": (q_hourly_histogram, SQL_HOURLY_HISTOGRAM),
+    "afterhours_ratio": (q_afterhours_ratio, SQL_AFTERHOURS_RATIO),
+    # Group C — corpus ops
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "lang_id_accuracy": (q_lang_id_accuracy, SQL_LANG_ID_ACCURACY),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    # Group D — multimodal
+    "media_metadata_stats": (q_media_metadata_stats, SQL_MEDIA_METADATA_STATS),
+    "media_feature_extract": (q_media_feature_extract, None),
+}

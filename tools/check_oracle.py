@@ -1,0 +1,97 @@
+"""Dev harness mimicking the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values (floats to 9 dp).
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entry_mod  # noqa: E402
+from anomaly_detection_spark.queries import TABLES  # noqa: E402
+from anomaly_detection_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            if isinstance(v, bool):
+                v = int(v)
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main():
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = sys.argv[1:] or list(qs)
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            failed.append(name)
+            continue
+        order = sorted(scols)
+        a = canon(srows, order)
+        b = canon([dict(zip(dcols, r)) for r in drows], order)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount spark={len(a)} duck={len(b)}")
+            failed.append(name)
+        elif a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: values differ, e.g. {diffs}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", failed)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
