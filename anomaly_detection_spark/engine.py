@@ -73,6 +73,11 @@ class ValidationRun:
         p, d = self.ctx.partition_col, self.ctx.doc_id_col
         if not self.rules.row_rules:
             return self._empty_violations()
+        binds: dict = {}
+        for r in self.rules.row_rules:
+            binds.update(r.bind)
+        if binds:
+            docs = docs.select("*", *[c.alias(name) for name, c in binds.items()])
         hits = F.array(*[
             F.when(
                 r.violation,
@@ -101,7 +106,17 @@ class ValidationRun:
         )
 
     # ------------------------------------------------------------------
-    def run(self, resume: bool = True) -> ValidationResult:
+    def run(self, resume: bool = True, persist: bool = True) -> ValidationResult:
+        """Execute the suite.
+
+        ``persist=True`` caches the unioned violations frame (memory+disk)
+        before verdict counts are derived from it — otherwise every consumer
+        (verdict matrix, metrics, sink writes) re-executes the whole rule
+        topology. At cluster scale the equivalent is writing violations to
+        their sink table first and computing verdicts from the written data;
+        violations are a small fraction of the input, so caching them is
+        bounded by the defect rate, not the snapshot size.
+        """
         docs = self.documents
         p = self.ctx.partition_col
 
@@ -141,6 +156,8 @@ class ValidationRun:
                 pending_pairs, ["partition", "rule_id"], "left_semi"
             )
 
+        if persist:
+            violations = violations.persist()
         counts = violations.groupBy("partition", "rule_id").agg(
             F.count("*").alias("violation_count")
         )

@@ -78,6 +78,35 @@ def span_sequence_invalid_reason(spans: pd.Series) -> pd.Series:
     return pd.Series([check(s) for s in spans], index=spans.index, dtype="object")
 
 
+@F.pandas_udf(StringType())
+def offsets_invalid_reason(offsets: pd.Series) -> pd.Series:
+    """Offsets-only twin of ``span_sequence_invalid_reason`` — identical
+    verdicts and reason strings, but takes ``transform(spans, s -> s.offset)``
+    so only the int32 offset arrays cross the Arrow boundary (the kind/text/
+    media_ref payloads stay JVM-side; ~4× less transfer on text-heavy docs).
+
+    NULL *element* semantics match exactly: a NULL spans column arrives here
+    as NULL (callers must pass ``when(spans.isNull(), NULL)`` — ``transform``
+    of NULL is NULL, so that is automatic)."""
+
+    def check(offs):
+        if offs is None:
+            return "spans is NULL"
+        offs = list(offs)
+        if any(o is None for o in offs):
+            return "NULL offset"
+        neg = [int(o) for o in offs if o < 0]
+        if neg:
+            return f"negative offsets: {sorted(neg)}"
+        srt = sorted(int(o) for o in offs)
+        dups = sorted({a for a, b in zip(srt, srt[1:]) if a == b})
+        if dups:
+            return f"duplicate offsets: {dups}"
+        return None
+
+    return pd.Series([check(o) for o in offsets], index=offsets.index, dtype="object")
+
+
 @F.pandas_udf(LongType())
 def span_count(spans: pd.Series) -> pd.Series:
     """Arrow-UDF twin of ``F.size(spans)`` (used in UDF-parity tests)."""

@@ -866,7 +866,7 @@ WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0
 
 def q_simhash_fingerprints(spark, sf):
     d = load(spark, sf, "documents")
-    return d.select("doc_id", dedup.simhash_hex16(F.col("text")).alias("simhash"))
+    return dedup.simhash_fingerprints(d)
 
 
 _SIMHASH_BITS_SQL = " || ".join(
@@ -891,22 +891,24 @@ def q_embedding_topk(spark, sf):
     """Brute-force cosine top-5 (ANN baseline) for query vectors vec_id<50,
     quantized components ⇒ exact integer dot products in both engines."""
     emb = load(spark, sf, "embeddings")
+    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
+    # norms precomputed per vector (once), not per pair — the pair-level
+    # expression is a single dot-product pass over the bound arrays
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv")
-    )
+    ).withColumn("qn", nrm(F.col("qv")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), _quantize(F.col("embedding")).alias("cv")
-    )
+    ).withColumn("cn", nrm(F.col("cv")))
     dot_ = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot_.cast("double") / F.sqrt(nrm(F.col("qv")).cast("double") * nrm(F.col("cv")).cast("double"))).alias("cos_x"),
+            (dot_.cast("double") / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))).alias("cos_x"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_x"), F.asc("neighbor_id"))
@@ -944,24 +946,24 @@ def q_embedding_ivf_topk(spark, sf):
     """IVF-bucketed ANN: candidates restricted to the same label cluster —
     the join is per-bucket (scale path), same quantized-cosine math."""
     emb = load(spark, sf, "embeddings")
+    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
     q = emb.select(
         F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv"),
         F.col("label").alias("_b"),
-    )
+    ).withColumn("qn", nrm(F.col("qv")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), _quantize(F.col("embedding")).alias("cv"),
         F.col("label").alias("_b"),
-    )
+    ).withColumn("cn", nrm(F.col("cv")))
     dot_ = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
     scored = (
         q.join(c, "_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot_.cast("double") / F.sqrt(nrm(F.col("qv")).cast("double") * nrm(F.col("cv")).cast("double"))).alias("cos_x"),
+            (dot_.cast("double") / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))).alias("cos_x"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_x"), F.asc("neighbor_id"))

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from anomaly_detection_spark.rules.core import DatasetRule, RowRule, RuleContext
-from anomaly_detection_spark.functions.spans import span_sequence_invalid_reason
+from anomaly_detection_spark.functions.spans import offsets_invalid_reason
 
 
 # ---------------------------------------------------------------- row rules
@@ -109,6 +109,25 @@ def offsets_valid_native(spans_col: str = "spans") -> RowRule:
     )
 
 
+def span_sequence_valid_row(spans_col: str = "spans",
+                            rule_id: str = "span_sequence_valid") -> RowRule:
+    """Fused-pass form of the Arrow span-sequence check: the offsets-only
+    UDF result is bound once as a column, so the whole check rides the same
+    single scan as every other row rule (one ArrowEvalPython node, zero
+    extra passes). Semantically identical to the ``span_sequence_valid``
+    dataset rule (same rule_id, verdicts, details) — prefer this one; the
+    dataset-rule form remains for topology tests."""
+    reason = "_span_seq_reason"
+    return RowRule(
+        rule_id=rule_id,
+        violation=F.col(reason).isNotNull(),
+        detail=F.col(reason),
+        bind={reason: offsets_invalid_reason(
+            F.transform(F.col(spans_col), lambda s: s["offset"])
+        )},
+    )
+
+
 # ------------------------------------------------------------ dataset rules
 
 def unique(col: str = "doc_id", strategy: str = "hashagg", rule_id: str = "unique:doc_id") -> DatasetRule:
@@ -142,9 +161,16 @@ def unique(col: str = "doc_id", strategy: str = "hashagg", rule_id: str = "uniqu
                         .filter(F.col("_n") > 1)
             hits = counts.join(dup, "doc_id")
         else:
-            dup = keyed.groupBy("doc_id").agg(F.count("*").alias("_n")) \
-                       .filter(F.col("_n") > 1)
-            hits = keyed.join(dup, "doc_id").select("partition", "doc_id", "_n").distinct()
+            # ONE scan + ONE shuffle: partial (map-side) count + partition
+            # set per key, then explode the partitions of duplicated keys.
+            # No join-back re-scan of the table; collect_set is bounded by
+            # the number of logical partitions a key can appear in.
+            hits = (
+                keyed.groupBy("doc_id")
+                .agg(F.count("*").alias("_n"), F.collect_set("partition").alias("_ps"))
+                .filter(F.col("_n") > 1)
+                .select(F.explode("_ps").alias("partition"), "doc_id", "_n")
+            )
         return hits.select(
             F.col("partition"),
             F.lit(rule_id).alias("rule_id"),
@@ -195,10 +221,14 @@ def span_sequence_valid(rule_id: str = "span_sequence_valid") -> DatasetRule:
 
     def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
         p, d = ctx.partition_col, ctx.doc_id_col
+        # ship only the offset arrays through Arrow — verdicts and reason
+        # strings are identical to the full-struct UDF (parity-tested)
         checked = docs.select(
             F.col(p).alias("partition"),
             F.col(d).alias("doc_id"),
-            span_sequence_invalid_reason(F.col("spans")).alias("_reason"),
+            offsets_invalid_reason(
+                F.transform(F.col("spans"), lambda s: s["offset"])
+            ).alias("_reason"),
         )
         return checked.filter(F.col("_reason").isNotNull()).select(
             "partition",

@@ -28,11 +28,19 @@ VIOLATION_COLUMNS = ["partition", "rule_id", "doc_id", "detail"]
 class RowRule:
     """A per-row constraint. ``violation`` is TRUE when the row violates the
     rule; ``detail`` is a string Column describing why (shipped into the
-    violation row)."""
+    violation row).
+
+    ``bind`` maps column names to expressions the engine pre-projects before
+    evaluating the fused rule select; ``violation``/``detail`` may then refer
+    to them with ``F.col(name)``. Use it when an expression is expensive or
+    must be evaluated exactly once (e.g. an Arrow UDF — referencing a bound
+    attribute keeps it a single ArrowEvalPython node instead of one
+    evaluation in the predicate and another in the detail)."""
 
     rule_id: str
     violation: Column
     detail: Column
+    bind: dict[str, Column] = field(default_factory=dict)
 
 
 @dataclass(frozen=True)

@@ -40,6 +40,10 @@ def get_spark(
             shuffle_partitions = 32
 
     conf = {
+        # local[N] runs the whole engine in the driver JVM; the 1g default
+        # OOMs well before the bench scale. Only read at JVM launch — a
+        # no-op under spark-submit, where executor memory is cluster-managed.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         # Arrow transfer for every pandas_udf / applyInPandas / mapInPandas.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -130,6 +130,22 @@ def test_passfail_matrix(result, docs_pd):
         assert row["rows_scanned"] == sizes[part]
 
 
+def test_span_sequence_row_rule_equivalent_to_dataset_rule(spark, docs, catalog, result):
+    """The fused (bound-column) form of the Arrow span check must emit the
+    exact violation rows of the standalone dataset-rule form."""
+    rules = RuleSet(row_rules=[builtin.span_sequence_valid_row()])
+    fused = ValidationRun(spark, docs, rules, media_catalog=catalog).run(resume=False)
+    a = {
+        (r["partition"], r["doc_id"], r["detail"])
+        for r in fused.violations.collect()
+    }
+    b = {
+        (r["partition"], r["doc_id"], r["detail"])
+        for r in result.violations.filter("rule_id = 'span_sequence_valid'").collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_unique_range_strategy_equivalent(spark, docs, catalog):
     from anomaly_detection_spark.rules.core import RuleContext
 

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from anomaly_detection_spark.functions.spans import span_count, span_signature
+from anomaly_detection_spark.functions.spans import (
+    offsets_invalid_reason,
+    span_count,
+    span_sequence_invalid_reason,
+    span_signature,
+)
 
 
 def _py_signature(spans) -> str | None:
@@ -48,6 +53,22 @@ def test_signature_order_invariance(spark):
     )
     sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", span_signature("spans").alias("sig")).collect()}
     assert sigs["a"] == sigs["b"] == "image||m1;text|x|;text|hello|"
+
+
+def test_offsets_only_udf_parity_with_full_struct_udf(docs):
+    """The offsets-only fast path (what the engine rule uses) must produce
+    the exact verdicts + reason strings of the full-struct UDF."""
+    mismatch = (
+        docs.select(
+            span_sequence_invalid_reason("spans").alias("a"),
+            offsets_invalid_reason(
+                F.transform("spans", lambda s: s["offset"])
+            ).alias("b"),
+        )
+        .filter(~(F.col("a").eqNullSafe(F.col("b"))))
+        .count()
+    )
+    assert mismatch == 0
 
 
 def test_span_count_parity_with_size(docs):
