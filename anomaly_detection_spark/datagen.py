@@ -70,6 +70,7 @@ def generate_documents(
     n_media: int = 500,
     plant_defects: bool = True,
     drift_last_partition: bool = True,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """Build the interleaved documents table.
 
@@ -79,7 +80,13 @@ def generate_documents(
     stored in *scrambled* order for ~1/7 of docs so that offset-sorted
     sequence comparison is meaningful.
     """
-    base = spark.range(n_docs).withColumnRenamed("id", "_id")
+    # n_slices controls physical parallelism of generation AND the file count
+    # when written — a corpus written with too few slices caps downstream
+    # scan-stage parallelism at the file count (local default = core count).
+    base = (
+        spark.range(0, n_docs, 1, n_slices) if n_slices
+        else spark.range(n_docs)
+    ).withColumnRenamed("id", "_id")
     part_idx = F.pmod(F.col("_id"), F.lit(n_partitions))
     drifted = (part_idx == n_partitions - 1) & F.lit(drift_last_partition)
     n_spans = (F.lit(1) + _h(F.col("_id"), "nspans") % 5).cast("int")

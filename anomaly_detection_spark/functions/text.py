@@ -76,6 +76,18 @@ def lang_id(col: Column | str) -> Column:
     return F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def sensitivity_score(col: Column | str, weights: dict[str, float] | None = None) -> Column:
+    """Additive keyword sensitivity score capped at 1.0 (≈ the reference's
+    content sensitivity scoring, data_normalizer.py:398-421,434-454 — a
+    per-keyword additive score — vectorized as rlike predicates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    weights = weights or {"hash": 0.4, "scan": 0.3, "merge": 0.3}
+    acc = F.lit(0.0)
+    for kw, w in weights.items():
+        acc = acc + F.when(c.rlike(rf"\b{kw}\b"), F.lit(w)).otherwise(F.lit(0.0))
+    return F.round(F.least(acc, F.lit(1.0)), 6)
+
+
 def word_val(t: Column) -> Column:
     """Deterministic small integer per word — identical in Spark and ANSI SQL:
     ``length(w)*31 + ascii(substr(w,1,1))``."""

@@ -1048,6 +1048,233 @@ def q_media_feature_extract(spark, sf):
 
 
 # =====================================================================
+# Group E — remaining SURVEY §2 operator classes
+# =====================================================================
+
+def q_trend_slope(spark, sf):
+    """W8: per-user linear-regression slope of daily event volume, computed
+    CLOSED-FORM from exact integer sums (k·Σxy − Σx·Σy)/(k·Σx² − (Σx)²) —
+    the distributed form of the reference's scipy.linregress trend
+    (trend_detector.py:25-63) with no float accumulation-order dependence."""
+    e = load(spark, sf, "events")
+    daily = (
+        e.select("user_id", F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"))
+        .groupBy("user_id", "x").agg(F.count("*").alias("y"))
+    )
+    sums = daily.groupBy("user_id").agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = sums.k * sums.sxx - sums.sx * sums.sx
+    return sums.filter(F.col("k") > 1).select(
+        "user_id",
+        F.col("k").alias("n_days"),
+        F.round(((sums.k * sums.sxy - sums.sx * sums.sy) / denom.cast("double")), 6).alias("slope"),
+    )
+
+
+SQL_TREND_SLOPE = """
+WITH daily AS (
+  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, k AS n_days,
+       ROUND((k*sxy - sx*sy) / CAST(k*sxx - sx*sx AS DOUBLE), 6) AS slope
+FROM s WHERE k > 1
+"""
+
+
+def q_revenue_rollup(spark, sf):
+    """Grouping-sets analogue: region→nation ROLLUP of order revenue in one
+    pass (the reference computes dept and role stats as separate passes,
+    risk_factor_analyzer.py:304-333 — rollup fuses them)."""
+    o, c, n, r = (load(spark, sf, t) for t in ("orders", "customer", "nation", "region"))
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue,
+       GROUPING(r_name)*2 + GROUPING(n_name) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_nation_customer_tiers(spark, sf):
+    """A13: group-stats-over-groups — per-customer totals first, then
+    per-nation avg/max + high-value count (two-level groupBy, ≈ dept-level
+    risk stats, risk_factor_analyzer.py:304-333)."""
+    o, c, n = (load(spark, sf, t) for t in ("orders", "customer", "nation"))
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_c"))
+    )
+    return per_cust.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total_c") / F.count("*") / 100.0, 6).alias("avg_customer_revenue"),
+        (F.max("total_c") / 100.0).alias("max_customer_revenue"),
+        F.sum((F.col("total_c") > 500_000 * 100).cast("long")).alias("high_value_customers"),
+    )
+
+
+SQL_NATION_CUSTOMER_TIERS = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+)
+SELECT n_name, COUNT(*) AS n_customers,
+       ROUND(SUM(total_c) / COUNT(*) / 100.0, 6) AS avg_customer_revenue,
+       MAX(total_c) / 100.0 AS max_customer_revenue,
+       SUM(CASE WHEN total_c > 50000000 THEN 1 ELSE 0 END) AS high_value_customers
+FROM per_cust GROUP BY n_name
+"""
+
+
+def q_user_risk_ensemble(spark, sf):
+    """A12: weighted-average ensemble of per-user behavioral ratios
+    (≈ ensemble_model.py:64-77 weighted score combination) — all components
+    exact count ratios, one groupBy."""
+    e = load(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.hour("ts") >= 20).cast("long")).alias("late"),
+        F.sum((F.col("event_type") == "delete").cast("long")).alias("deletes"),
+        F.sum((F.col("value") > 90).cast("long")).alias("high_val"),
+    )
+    score = (
+        0.5 * F.col("late") / F.col("n")
+        + 0.3 * F.col("deletes") / F.col("n")
+        + 0.2 * F.col("high_val") / F.col("n")
+    )
+    return per_user.select(
+        "user_id", "n", F.round(score, 6).alias("risk_score")
+    )
+
+
+SQL_USER_RISK_ENSEMBLE = """
+SELECT user_id, COUNT(*) AS n,
+  ROUND(0.5 * SUM(CASE WHEN EXTRACT(hour FROM ts) >= 20 THEN 1 ELSE 0 END) / COUNT(*)
+      + 0.3 * SUM(CASE WHEN event_type = 'delete' THEN 1 ELSE 0 END) / COUNT(*)
+      + 0.2 * SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) / COUNT(*), 6) AS risk_score
+FROM events GROUP BY user_id
+"""
+
+
+def q_weekly_event_windows(spark, sf):
+    """W2: tumbling 7-day windows via native window() (epoch-aligned) —
+    ≈ org_analyzer.py:146-176 fixed 7-day windowing."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "7 days").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+SQL_WEEKLY_EVENT_WINDOWS = """
+SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_doc_sensitivity(spark, sf):
+    """P9: additive keyword sensitivity scoring per document + per-source
+    rollup of flagged docs."""
+    d = load(spark, sf, "documents")
+    scored = d.select("source", text.sensitivity_score(F.col("text")).alias("s"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("s"), 6).alias("total_sensitivity"),
+        F.sum((F.col("s") >= 0.5).cast("long")).alias("flagged"),
+    )
+
+
+SQL_DOC_SENSITIVITY = """
+WITH scored AS (
+  SELECT source,
+    ROUND(LEAST(
+      (CASE WHEN regexp_matches(text, '\\b{k1}\\b') THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN regexp_matches(text, '\\b{k2}\\b') THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN regexp_matches(text, '\\b{k3}\\b') THEN 0.3 ELSE 0.0 END), 1.0), 6) AS s
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(SUM(s), 6) AS total_sensitivity,
+       SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS flagged
+FROM scored GROUP BY source
+""".replace("{k1}", "hash").replace("{k2}", "scan").replace("{k3}", "merge")
+
+
+def q_user_pair_interactions(spark, sf):
+    """J4: self-join pairwise interaction counts — users co-active on the
+    same (event_type, day) (≈ high-risk user-pair correlation,
+    multidimensional_detector.py:662-676), top-20 pairs."""
+    e = load(spark, sf, "events")
+    ud = (
+        e.select(
+            "user_id", "event_type",
+            F.col("ts").cast("date").alias("d"),
+        ).distinct()
+    )
+    a = ud.select(F.col("user_id").alias("user_a"), "event_type", "d")
+    b = ud.select(F.col("user_id").alias("user_b"), "event_type", "d")
+    return (
+        a.join(b, ["event_type", "d"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("shared"))
+        .orderBy(F.desc("shared"), F.asc("user_a"), F.asc("user_b"))
+        .limit(20)
+    )
+
+
+SQL_USER_PAIR_INTERACTIONS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS shared
+FROM ud a JOIN ud b ON a.event_type = b.event_type AND a.d = b.d
+WHERE a.user_id < b.user_id
+GROUP BY 1, 2
+ORDER BY shared DESC, user_a ASC, user_b ASC
+LIMIT 20
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1093,4 +1320,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # Group D — multimodal
     "media_metadata_stats": (q_media_metadata_stats, SQL_MEDIA_METADATA_STATS),
     "media_feature_extract": (q_media_feature_extract, None),
+    # Group E — remaining SURVEY §2 operator classes
+    "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "nation_customer_tiers": (q_nation_customer_tiers, SQL_NATION_CUSTOMER_TIERS),
+    "user_risk_ensemble": (q_user_risk_ensemble, SQL_USER_RISK_ENSEMBLE),
+    "weekly_event_windows": (q_weekly_event_windows, SQL_WEEKLY_EVENT_WINDOWS),
+    "doc_sensitivity": (q_doc_sensitivity, SQL_DOC_SENSITIVITY),
+    "user_pair_interactions": (q_user_pair_interactions, SQL_USER_PAIR_INTERACTIONS),
 }

@@ -26,11 +26,15 @@ def get_spark(
     spark-submit the cluster manager's master wins (we never override an
     externally provided master).
     """
+    from pyspark import SparkConf
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+    elif SparkConf().get("spark.master", None) is None and "SPARK_MASTER" not in os.environ:
+        # no externally provided master (spark-submit --master sets
+        # spark.master in the JVM conf) → default to local[$SPARK_GRAFT_CPUS]
         builder = builder.master(f"local[{cpus}]")
 
     if shuffle_partitions is None:

@@ -1,0 +1,165 @@
+"""Structured Streaming surface of the validation engine.
+
+The engine's primary execution model is incremental batch over table
+snapshots (SURVEY.md §2.8: each snapshot is a closed window, resumability
+comes from the (partition, rule_id) manifest). This module covers the cases
+where documents *arrive* as a stream (files landing, Kafka, etc.):
+
+* ``streaming_row_violations`` — ALL row rules (including bound-column Arrow
+  UDF rules) are stateless projections, so the exact same fused select the
+  batch engine compiles runs unchanged on a ``readStream`` DataFrame —
+  one micro-batch scan, whole-stage codegen, no state.
+* ``streaming_referential_violations`` — the dangling-``media_ref`` check is
+  a stream–static broadcast left-anti join (supported by Structured
+  Streaming for static dimension sides), so referential integrity holds
+  globally without any state store.
+* ``streaming_duplicate_doc_ids`` — doc_id uniqueness is the one rule that
+  is genuinely stateful across micro-batches; implemented with
+  ``applyInPandasWithState`` keyed by doc_id: state = rows seen so far; a
+  violation row is emitted for every arrival after the first (and
+  retroactively for the first row the moment a second appears, so the
+  violation SET matches the batch engine's on the union of all batches).
+
+Scale note: the state store shards by doc_id across executors (same key
+distribution as the batch hash-agg); RocksDB state backend + watermark-based
+TTL are the knobs at 10^12-doc scale, both plain Spark configs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from anomaly_detection_spark.rules.core import RuleContext, RuleSet
+
+DOCS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "partition string"
+)
+
+_DUP_OUT_SCHEMA = StructType([
+    StructField("partition", StringType()),
+    StructField("rule_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("detail", StringType()),
+])
+_DUP_STATE_SCHEMA = StructType([
+    StructField("n_seen", LongType()),
+    StructField("partitions", StringType()),  # '|'-joined, first-seen order
+])
+
+
+def read_document_stream(spark, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of document parquet files (the landing-zone shape)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def streaming_row_violations(docs_stream: DataFrame, rules: RuleSet,
+                             ctx: RuleContext | None = None) -> DataFrame:
+    """The batch engine's fused row-rule pass applied to a streaming frame —
+    identical plan shape (stateless project + filter + explode), so verdict
+    semantics are the batch semantics per micro-batch."""
+    from anomaly_detection_spark.engine import ValidationRun
+
+    ctx = ctx or RuleContext()
+    run = ValidationRun.__new__(ValidationRun)  # reuse the fused compiler only
+    run.spark = docs_stream.sparkSession
+    run.rules = rules
+    run.ctx = ctx
+    return run.fused_row_violations(docs_stream)
+
+
+def streaming_referential_violations(docs_stream: DataFrame, media_catalog: DataFrame,
+                                     ctx: RuleContext | None = None,
+                                     rule_id: str = "referential:media_ref") -> DataFrame:
+    """Stream–static broadcast anti-join: dangling refs per arriving doc."""
+    ctx = ctx or RuleContext()
+    p, d = ctx.partition_col, ctx.doc_id_col
+    refs = (
+        docs_stream.select(
+            F.col(p).alias("partition"), F.col(d).alias("doc_id"),
+            F.explode("spans").alias("s"),
+        )
+        .select("partition", "doc_id", F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+    )
+    dangling = refs.join(
+        F.broadcast(media_catalog.select("media_ref").distinct()),
+        "media_ref", "left_anti",
+    )
+    return dangling.select(
+        "partition", F.lit(rule_id).alias("rule_id"), "doc_id",
+        F.concat(F.lit("dangling media_ref: "), F.col("media_ref")).alias("detail"),
+    )
+
+
+def streaming_duplicate_doc_ids(docs_stream: DataFrame,
+                                ctx: RuleContext | None = None,
+                                rule_id: str = "unique:doc_id") -> DataFrame:
+    """Cross-micro-batch doc_id uniqueness via ``applyInPandasWithState``.
+
+    State per doc_id: (rows seen, partitions seen). Emission contract: when
+    the running count first exceeds 1, violations are emitted for ALL
+    occurrences seen so far (including the retroactive first row); later
+    arrivals emit one violation each — so after any prefix of batches the
+    emitted (partition, rule_id, doc_id) set equals the batch engine's
+    violation set on the data seen so far (detail strings carry the running
+    count at emission time, which for early-emitted rows is the count at
+    that point, not the final count).
+    """
+    ctx = ctx or RuleContext()
+    p, d = ctx.partition_col, ctx.doc_id_col
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        doc_id = key[0]
+        n_new = 0
+        new_parts: list[str] = []
+        for pdf in pdfs:
+            n_new += len(pdf)
+            new_parts.extend(pdf["partition"].tolist())
+        if state.exists:
+            n_seen, parts_str = state.get
+            parts = parts_str.split("|") if parts_str else []
+        else:
+            n_seen, parts = 0, []
+        total = n_seen + n_new
+        out_parts: list[str] = []
+        if total > 1:
+            if n_seen <= 1:
+                # first time we cross the threshold: retroactive emission
+                out_parts = parts + new_parts
+            else:
+                out_parts = new_parts
+        state.update((total, "|".join(parts + new_parts)))
+        if out_parts:
+            yield pd.DataFrame({
+                "partition": out_parts,
+                "rule_id": rule_id,
+                "doc_id": doc_id,
+                "detail": f"duplicate doc_id x{total}",
+            })
+
+    keyed = docs_stream.filter(F.col(d).isNotNull()).select(
+        F.col(d).alias("doc_id"), F.col(p).alias("partition")
+    )
+    return keyed.groupBy("doc_id").applyInPandasWithState(
+        track,
+        outputStructType=_DUP_OUT_SCHEMA,
+        stateStructType=_DUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -46,6 +46,9 @@ HEADLINE = [
 
 # documents synthesized for the validation-suite throughput measurement
 N_VALIDATION_DOCS = 2_000_000
+# --scaling uses a larger corpus so compute dominates per-task overhead —
+# at 2M docs the whole job is ~10s and scheduling noise swamps the signal
+N_SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 16_000_000))
 
 
 def _force(df) -> int:
@@ -83,8 +86,11 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
 
     path = f"/tmp/spark_graft_valdocs_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # 256 slices ⇒ 256 parquet files ⇒ scan stages can use every core at
+        # any tested parallelism (a corpus written with <cores files caps
+        # stage parallelism at the file count and fakes anti-scaling)
         generate_documents(
-            spark, n_docs=n_docs, n_partitions=32, n_media=2000
+            spark, n_docs=n_docs, n_partitions=32, n_media=2000, n_slices=256
         ).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
     catalog = generate_media_catalog(spark, n_media=2000)
@@ -124,7 +130,7 @@ def main() -> None:
     if "--worker" in sys.argv:
         cores = sys.argv[sys.argv.index("--worker") + 1]
         spark = _get_spark(cores)
-        stats = run_validation_suite(spark)
+        stats = run_validation_suite(spark, n_docs=N_SCALING_DOCS)
         print(json.dumps({"cores": int(cores), **stats}))
         spark.stop()
         return

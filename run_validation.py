@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the validation engine.
+
+Cluster deployment (north-rule shape):
+
+    zip -r engine.zip anomaly_detection_spark
+    spark-submit --master <cluster> --py-files engine.zip run_validation.py \
+        --input  <path-or-iceberg-table of documents> \
+        --catalog <path of media_catalog> \
+        --output /path/to/run_output \
+        --manifest /path/to/manifest \
+        --snapshot-id s42 [--resume]
+
+Reads the snapshot, runs the full fused rule suite (+ uniqueness +
+referential + Arrow span-sequence check), writes three parquet outputs
+(verdicts/, violations/, metrics/) and commits the (partition, rule_id)
+progress manifest last — so an interrupted run re-evaluates, never skips.
+The same script runs unchanged at any parallelism; local smoke:
+
+    spark-submit --master 'local[4]' --py-files engine.zip run_validation.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="documents parquet path (or iceberg table with --format iceberg)")
+    ap.add_argument("--catalog", required=True, help="media_catalog parquet path")
+    ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics)")
+    ap.add_argument("--manifest", default=None, help="progress-manifest dir (enables resume)")
+    ap.add_argument("--snapshot-id", default="s0")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip (partition, rule_id) pairs already committed for this snapshot")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.manifest import RuleProgressManifest
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+    from anomaly_detection_spark.session import get_spark
+
+    spark = get_spark(app_name=f"validate:{args.snapshot_id}")
+    if args.format == "iceberg":
+        docs = spark.read.table(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+    catalog = spark.read.parquet(args.catalog)
+
+    rules = RuleSet(
+        row_rules=builtin.default_document_rules() + [builtin.span_sequence_valid_row()],
+        dataset_rules=[builtin.unique("doc_id"), builtin.referential()],
+    )
+    manifest = RuleProgressManifest(spark, args.manifest) if args.manifest else None
+    run = ValidationRun(
+        spark, docs, rules, media_catalog=catalog,
+        snapshot_id=args.snapshot_id, manifest=manifest,
+    )
+    result = run.run(resume=args.resume)
+
+    # write order is part of the resume contract: data first, manifest last
+    result.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    result.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+
+    n_fail = result.verdicts.filter("NOT pass").count()
+    print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs={n_fail}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Deployment-shape test: the engine runs under ``spark-submit --py-files``
+(the north-rule cluster deployment), producing verdict/violation/metric
+parquet and an idempotent resume."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spark_submit = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
+    base = tempfile.mkdtemp(prefix="submit_")
+    try:
+        docs.write.parquet(f"{base}/docs")
+        catalog.write.parquet(f"{base}/catalog")
+
+        zip_path = f"{base}/engine.zip"
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(REPO, "anomaly_detection_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, REPO))
+
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+        args = [
+            spark_submit, "--master", "local[2]", "--py-files", zip_path,
+            os.path.join(REPO, "run_validation.py"),
+            "--input", f"{base}/docs", "--catalog", f"{base}/catalog",
+            "--output", f"{base}/out", "--manifest", f"{base}/manifest",
+            "--snapshot-id", "s_test",
+        ]
+        first = subprocess.run(
+            args, capture_output=True, text=True, timeout=600, env=env,
+            cwd=base,  # NOT the repo root: only the zip provides the package
+        )
+        assert first.returncode == 0, first.stderr[-2000:]
+        assert "VALIDATION_DONE snapshot=s_test" in first.stdout
+        for sub in ("verdicts", "violations", "metrics"):
+            assert os.path.exists(f"{base}/out/{sub}/_SUCCESS")
+
+        # verdicts carry failing pairs (the fixture plants defects)
+        line = [ln for ln in first.stdout.splitlines() if "VALIDATION_DONE" in ln][0]
+        assert int(line.rsplit("=", 1)[1]) > 0
+
+        # resume against the committed manifest: everything done ⇒ 0 pairs
+        second = subprocess.run(
+            args + ["--resume"], capture_output=True, text=True, timeout=600,
+            env=env, cwd=base,
+        )
+        assert second.returncode == 0, second.stderr[-2000:]
+        assert "failing_pairs=0" in second.stdout
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
