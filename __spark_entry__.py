@@ -57,10 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref")
     )
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.span_sequence_valid_row()],
+        row_rules=builtin.default_document_rules(),
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),
+            builtin.span_sequence_valid(prescreen=True),
         ],
     )
     run = ValidationRun(spark, docs, rules, media_catalog=catalog)

@@ -214,21 +214,47 @@ def referential(catalog_col: str = "media_ref", rule_id: str = "referential:medi
     return DatasetRule(rule_id=rule_id, build=build)
 
 
-def span_sequence_valid(rule_id: str = "span_sequence_valid") -> DatasetRule:
+def span_sequence_prescreen(spans_col: str = "spans") -> Column:
+    """JVM predicate that is TRUE exactly when the Arrow offsets UDF would
+    return a non-NULL reason: spans NULL, any NULL offset, any negative
+    offset, or duplicate offsets. Mirrors ``offsets_invalid_reason`` check
+    for check (parity-tested) — pure codegen, no Python.
+
+    Offsets are extracted with ``spans.offset`` (GetArrayStructFields), NOT
+    ``transform(spans, s -> s.offset)``: expressions inside higher-order-
+    function lambdas block parquet nested-schema pruning, which would make
+    this scan read the full text/media payloads (plan-pinned by tests)."""
+    offs = F.col(f"{spans_col}.offset")
+    return (
+        F.col(spans_col).isNull()
+        | F.exists(offs, lambda o: o.isNull())
+        | F.exists(offs, lambda o: o < 0)
+        | (F.size(F.array_distinct(offs)) < F.size(offs))
+    )
+
+
+def span_sequence_valid(rule_id: str = "span_sequence_valid",
+                        prescreen: bool = True) -> DatasetRule:
     """Arrow-UDF path for the input_hint invariant: sort spans by offset
     inside a vectorized pandas UDF; invalid docs (negative / duplicate
-    offsets) become violations."""
+    offsets) become violations.
+
+    ``prescreen=True`` (the 10^12-row path) first applies the equivalent
+    JVM predicate so only suspect rows — a defect-rate-sized fraction —
+    cross the Arrow boundary for the authoritative sort-by-offset check;
+    Python cost becomes O(violations), not O(rows). Verdicts and reasons
+    are identical either way (the prescreen mirrors the UDF exactly and
+    the equivalence is pinned by tests)."""
 
     def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
         p, d = ctx.partition_col, ctx.doc_id_col
+        src = docs.filter(span_sequence_prescreen()) if prescreen else docs
         # ship only the offset arrays through Arrow — verdicts and reason
         # strings are identical to the full-struct UDF (parity-tested)
-        checked = docs.select(
+        checked = src.select(
             F.col(p).alias("partition"),
             F.col(d).alias("doc_id"),
-            offsets_invalid_reason(
-                F.transform(F.col("spans"), lambda s: s["offset"])
-            ).alias("_reason"),
+            offsets_invalid_reason(F.col("spans.offset")).alias("_reason"),
         )
         return checked.filter(F.col("_reason").isNotNull()).select(
             "partition",
@@ -240,15 +266,133 @@ def span_sequence_valid(rule_id: str = "span_sequence_valid") -> DatasetRule:
     return DatasetRule(rule_id=rule_id, build=build)
 
 
-def default_document_rules() -> list:
+def psi_drift(base_docs: DataFrame, threshold: float = 0.25,
+              rule_id: str = "drift_psi:span_kind") -> DatasetRule:
+    """Span-kind distribution drift vs a baseline snapshot as a suite rule:
+    PSI over per-partition histograms (closed-form DataFrame math, two tiny
+    shuffle aggs regardless of snapshot size). Violations are partition-level
+    (doc_id NULL)."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from anomaly_detection_spark import drift as _drift
+
+        cur = _drift.span_kind_histogram(docs, ctx.partition_col)
+        base = _drift.span_kind_histogram(base_docs, ctx.partition_col)
+        return _drift.psi(cur, base).filter(F.col("psi") > threshold).select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.concat(F.lit("PSI="), F.round("psi", 4).cast("string")).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+def ks_drift(base_docs: DataFrame, threshold: float = 0.2,
+             rule_id: str = "drift_ks:spans_per_doc") -> DatasetRule:
+    """Spans-per-document distribution drift vs a baseline snapshot (KS
+    statistic over binned per-partition histograms) as a suite rule."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from anomaly_detection_spark import drift as _drift
+
+        cur = _drift.numeric_histogram(docs, F.size("spans"), ctx.partition_col)
+        base = _drift.numeric_histogram(base_docs, F.size("spans"), ctx.partition_col)
+        return _drift.ks_statistic(cur, base).filter(F.col("ks") > threshold).select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.concat(F.lit("KS="), F.round("ks", 4).cast("string")).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+DEFAULT_KINDS = ["text", "image", "audio", "table"]
+
+
+def _span_stats_expr(spans_col: str, kinds: list[str]) -> Column:
+    """ONE traversal of the spans array computing every per-span violation
+    counter the default rules need. Higher-order-function lambdas are
+    interpreted per element, so five separate exists/filter traversals cost
+    ~5× this single aggregate — the dominant JVM cost of the fused pass at
+    10^8+ rows."""
+    zero = F.struct(
+        F.lit(0).alias("text_missing"),
+        F.lit(0).alias("media_missing"),
+        F.lit(0).alias("bad_kind"),
+        F.lit(0).alias("neg_off"),
+        F.lit(0).alias("null_off"),
+    )
+
+    def step(acc, s):
+        b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+        return F.struct(
+            (acc["text_missing"] + b((s["kind"] == "text") & s["text"].isNull())).alias("text_missing"),
+            (acc["media_missing"] + b((s["kind"] != "text") & s["media_ref"].isNull())).alias("media_missing"),
+            (acc["bad_kind"] + b(s["kind"].isNull() | ~s["kind"].isin(kinds))).alias("bad_kind"),
+            (acc["neg_off"] + b(s["offset"] < 0)).alias("neg_off"),
+            (acc["null_off"] + b(s["offset"].isNull())).alias("null_off"),
+        )
+
+    return F.aggregate(F.col(spans_col), zero, step)
+
+
+def default_document_rules(spans_col: str = "spans",
+                           kinds: list[str] | None = None) -> list:
     """The engine's standard document rule suite (≈ the reference's fixed
     seven-pass detector fan-out, multidimensional_detector.py:134-155,
-    recast as declarative constraints)."""
+    recast as declarative constraints).
+
+    All span-level predicates read a SHARED bound stats column computed in
+    one array traversal (see ``_span_stats_expr``); detail expressions keep
+    their per-rule array walks but are lazily evaluated for violating rows
+    only (Catalyst's CaseWhen branches are lazy in codegen)."""
+    kinds = kinds or DEFAULT_KINDS
+    st = "_span_stats"
+    offs_bound = "_span_offs"
+    bind = {
+        st: _span_stats_expr(spans_col, kinds),
+        offs_bound: F.col(f"{spans_col}.offset"),
+    }
+    bad_kinds = F.filter(
+        F.col(spans_col), lambda s: ~s["kind"].isin(kinds) | s["kind"].isNull()
+    )
+    sorted_offs = F.array_sort(F.col(offs_bound))
+    dup = F.size(F.array_distinct(F.col(offs_bound))) < F.size(F.col(offs_bound))
     return [
         not_null("doc_id"),
-        non_empty_array("spans"),
-        text_present_on_text_spans(),
-        media_ref_present_on_media_spans(),
-        span_kinds_accepted(["text", "image", "audio", "table"]),
-        offsets_valid_native(),
+        non_empty_array(spans_col, rule_id=f"non_empty:{spans_col}"),
+        RowRule(
+            rule_id="text_present_on_text_spans",
+            violation=F.col(st)["text_missing"] > 0,
+            detail=F.concat(F.lit("text-kind spans with NULL text: "),
+                            F.col(st)["text_missing"].cast("string")),
+            bind=bind,
+        ),
+        RowRule(
+            rule_id="media_ref_present_on_media_spans",
+            violation=F.col(st)["media_missing"] > 0,
+            detail=F.concat(F.lit("media spans missing media_ref: "),
+                            F.col(st)["media_missing"].cast("string")),
+            bind=bind,
+        ),
+        RowRule(
+            rule_id="span_kinds_accepted",
+            violation=F.col(st)["bad_kind"] > 0,
+            detail=F.concat(
+                F.lit("bad kinds: "),
+                F.concat_ws(",", F.transform(bad_kinds, lambda s: F.coalesce(s["kind"], F.lit("NULL")))),
+            ),
+            bind=bind,
+        ),
+        RowRule(
+            rule_id="offsets_valid_native",
+            violation=(F.col(st)["neg_off"] > 0) | dup,
+            detail=F.concat(
+                F.lit("offsets="),
+                F.concat_ws(",", F.transform(sorted_offs, lambda o: o.cast("string"))),
+            ),
+            bind=bind,
+        ),
     ]

@@ -57,8 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     catalog = spark.read.parquet(args.catalog)
 
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.span_sequence_valid_row()],
-        dataset_rules=[builtin.unique("doc_id"), builtin.referential()],
+        row_rules=builtin.default_document_rules(),
+        dataset_rules=[
+            builtin.unique("doc_id"),
+            builtin.referential(),
+            builtin.span_sequence_valid(prescreen=True),
+        ],
     )
     manifest = RuleProgressManifest(spark, args.manifest) if args.manifest else None
     run = ValidationRun(

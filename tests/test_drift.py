@@ -84,3 +84,26 @@ def test_ks_matches_numpy_oracle(snapshots):
     # non-drifted partitions ⇒ KS == 0 there is NOT guaranteed (span counts
     # are identical by construction, so it actually is 0)
     assert got["p0"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_rules_in_validation_suite(spark, snapshots):
+    """psi_drift/ks_drift integrate as suite rules: verdict matrix covers
+    every (partition, drift-rule) pair and only the drifted partition fails
+    the PSI rule."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    cur, base = snapshots
+    rules = RuleSet(dataset_rules=[builtin.psi_drift(base), builtin.ks_drift(base)])
+    res = ValidationRun(spark, cur, rules).run(resume=False)
+    verd = {(r["partition"], r["rule_id"]): r["pass"] for r in res.verdicts.collect()}
+    assert len(verd) == N_PARTS * 2
+    drifted = f"p{N_PARTS - 1}"
+    assert verd[(drifted, "drift_psi:span_kind")] is False
+    for p in range(N_PARTS - 1):
+        assert verd[(f"p{p}", "drift_psi:span_kind")] is True
+    # violation rows are partition-level (doc_id NULL)
+    v = res.violations.filter("rule_id = 'drift_psi:span_kind'").collect()
+    assert [r["doc_id"] for r in v] == [None]
+    assert v[0]["partition"] == drifted

@@ -10,10 +10,11 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from anomaly_detection_spark.engine import ValidationRun
 from anomaly_detection_spark.rules import builtin
-from anomaly_detection_spark.rules.core import RuleSet
+from anomaly_detection_spark.rules.core import RuleContext, RuleSet
 
 
 def _oracle_row_violations(docs_pd: pd.DataFrame) -> set[tuple]:
@@ -143,6 +144,35 @@ def test_span_sequence_row_rule_equivalent_to_dataset_rule(spark, docs, catalog,
         (r["partition"], r["doc_id"], r["detail"])
         for r in result.violations.filter("rule_id = 'span_sequence_valid'").collect()
     }
+    assert a == b and len(a) > 0
+
+
+def test_span_prescreen_equivalent_to_udf(docs):
+    """The JVM prescreen predicate must flag exactly the rows the Arrow UDF
+    flags — this is what makes the prescreened production path sound."""
+    from anomaly_detection_spark.functions.spans import offsets_invalid_reason
+
+    mismatch = (
+        docs.select(
+            builtin.span_sequence_prescreen().alias("pre"),
+            offsets_invalid_reason(
+                F.transform("spans", lambda s: s["offset"])
+            ).isNotNull().alias("udf"),
+        )
+        .filter(F.col("pre") != F.col("udf"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_span_sequence_prescreened_rule_equivalent(spark, docs, catalog):
+    """prescreen=True and prescreen=False emit identical violation rows
+    (partition, doc_id, detail)."""
+    ctx = RuleContext(media_catalog=catalog)
+    fast = builtin.span_sequence_valid(prescreen=True).build(docs, ctx)
+    full = builtin.span_sequence_valid(prescreen=False).build(docs, ctx)
+    a = {(r["partition"], r["doc_id"], r["detail"]) for r in fast.collect()}
+    b = {(r["partition"], r["doc_id"], r["detail"]) for r in full.collect()}
     assert a == b and len(a) > 0
 
 

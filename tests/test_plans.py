@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the plans that make the engine scale are pinned
+here so a regression (lost broadcast, lost pushdown, lost column pruning)
+fails CI, not a 100 TB run.
+
+Each test asserts on ``explain('formatted')`` output markers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.rules import builtin
+from anomaly_detection_spark.rules.core import RuleContext
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_on_disk(spark, docs, tmp_path_factory):
+    """The rules' scan-side assertions need a real file source (in-memory
+    fixtures have no pushdown/pruning to assert on)."""
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    docs.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_referential_uses_broadcast_join(docs_on_disk, catalog):
+    plan = plan_of(
+        builtin.referential().build(docs_on_disk, RuleContext(media_catalog=catalog))
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_uniqueness_has_partial_aggregation(docs_on_disk):
+    """hashagg strategy must plan a map-side partial aggregate before the
+    shuffle (each distinct key ships ≤1 row per map task)."""
+    plan = plan_of(builtin.unique("doc_id").build(docs_on_disk, RuleContext()))
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_prescreen_scan_prunes_nested_schema(docs_on_disk):
+    """The span-sequence prescreen reads ONLY spans.offset (plus ids) from
+    parquet — nested-schema pruning must hold or the 100 TB scan reads the
+    full text/media payloads for nothing."""
+    pruned = docs_on_disk.filter(builtin.span_sequence_prescreen()).select(
+        "partition", "doc_id"
+    )
+    plan = plan_of(pruned)
+    assert "offset" in plan
+    # text/media_ref must NOT be in the parquet ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0]
+    assert "media_ref" not in read_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(docs_on_disk):
+    plan = plan_of(docs_on_disk.filter(F.col("partition") == "p3").select("doc_id"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "partition" in pushed[0]
+
+
+def test_fused_pass_is_single_scan_wholestage(spark, docs_on_disk):
+    """All row rules compile into one scan under whole-stage codegen; no
+    shuffle appears in the fused row-violation plan."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    rules = RuleSet(row_rules=builtin.default_document_rules())
+    run = ValidationRun(spark, docs_on_disk, rules)
+    plan = plan_of(run.fused_row_violations(docs_on_disk))
+    assert "codegen id" in plan  # scan + final project run under codegen
+    assert "Exchange" not in plan  # row rules never shuffle
+    # one scan node in the plan tree (formatted output repeats each node
+    # once in the tree and once in the details section)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # the shared span-stats aggregate is evaluated once, not per rule
+    assert plan.count("aggregate(spans") == 1
