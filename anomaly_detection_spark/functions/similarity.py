@@ -43,16 +43,21 @@ def brute_force_topk(
     vectors, self excluded). Returns (query_id, neighbor_id, cos, rank).
 
     Ties broken by neighbor_id so results are deterministic."""
+    # norms are per-vector, so compute them once per side — never per pair
     q = (queries or emb).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", norm(F.col("qv")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -70,15 +75,17 @@ def ivf_topk(
     (cluster label / LSH bucket). The join is an equi-join on the bucket —
     shuffle-partitioned by bucket, Σ|bucket|² work instead of n²."""
     q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                   F.col(bucket_col).alias("_b"))
+                   F.col(bucket_col).alias("_b")).withColumn("qn", norm(F.col("qv")))
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                   F.col(bucket_col).alias("_b"))
+                   F.col(bucket_col).alias("_b")).withColumn("cn", norm(F.col("cv")))
     scored = (
         q.join(c, "_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -1274,6 +1274,93 @@ LIMIT 20
 """
 
 
+def q_profile_documents_long(spark, sf):
+    """The engine's own column profiler, oracle-checked: long-format
+    (partition, column, metric, value, value_str) stats over documents —
+    exact distinct (HLL is the default at scale but not cross-engine
+    reproducible), no percentiles for the same reason."""
+    from anomaly_detection_spark.profiler import profile_columns
+
+    d = load(spark, sf, "documents").withColumnRenamed("source", "partition")
+    return profile_columns(
+        d, columns=["n_chars", "lang"], partition_col="partition",
+        percentiles=(), exact_distinct=True,
+    )
+
+
+SQL_PROFILE_DOCUMENTS_LONG = """
+WITH base AS (SELECT source AS part, n_chars, lang FROM documents)
+SELECT part AS partition, '_table_' AS "column", 'rows' AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS value_str
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'n_chars', 'null_count',
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE), NULL
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'n_chars', 'min', CAST(MIN(n_chars) AS DOUBLE), NULL FROM base GROUP BY part
+UNION ALL
+SELECT part, 'n_chars', 'max', CAST(MAX(n_chars) AS DOUBLE), NULL FROM base GROUP BY part
+UNION ALL
+SELECT part, 'n_chars', 'approx_distinct', CAST(COUNT(DISTINCT n_chars) AS DOUBLE), NULL
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'n_chars', 'null_rate',
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), NULL
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'lang', 'null_count',
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE), NULL
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'lang', 'min', CAST(NULL AS DOUBLE), MIN(lang) FROM base GROUP BY part
+UNION ALL
+SELECT part, 'lang', 'max', CAST(NULL AS DOUBLE), MAX(lang) FROM base GROUP BY part
+UNION ALL
+SELECT part, 'lang', 'approx_distinct', CAST(COUNT(DISTINCT lang) AS DOUBLE), NULL
+FROM base GROUP BY part
+UNION ALL
+SELECT part, 'lang', 'null_rate',
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), NULL
+FROM base GROUP BY part
+"""
+
+
+def q_hierarchy_levels(spark, sf):
+    """W7: iterative BFS level propagation over a synthetic reporting
+    hierarchy (parent(k) = floor(sqrt(k)), root 1) derived from customer
+    keys — driver-looped DataFrame joins vs the oracle's recursive CTE."""
+    from anomaly_detection_spark.functions.graph import bfs_levels
+
+    c = load(spark, sf, "customer")
+    edges = (
+        c.filter(F.col("c_custkey") > 1)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.floor(F.sqrt(F.col("c_custkey"))).cast("long").alias("parent"),
+        )
+    )
+    lv = bfs_levels(edges, root_id=1)
+    return lv.groupBy("level").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+SQL_HIERARCHY_LEVELS = """
+WITH RECURSIVE lv AS (
+  SELECT CAST(1 AS BIGINT) AS id, 0 AS level
+  UNION ALL
+  SELECT c.c_custkey, lv.level + 1
+  FROM customer c JOIN lv ON CAST(floor(sqrt(c.c_custkey)) AS BIGINT) = lv.id
+  WHERE c.c_custkey > 1
+)
+SELECT level, COUNT(*) AS n_nodes, MIN(id) AS min_id, MAX(id) AS max_id
+FROM lv GROUP BY level
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1328,4 +1415,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weekly_event_windows": (q_weekly_event_windows, SQL_WEEKLY_EVENT_WINDOWS),
     "doc_sensitivity": (q_doc_sensitivity, SQL_DOC_SENSITIVITY),
     "user_pair_interactions": (q_user_pair_interactions, SQL_USER_PAIR_INTERACTIONS),
+    "profile_documents_long": (q_profile_documents_long, SQL_PROFILE_DOCUMENTS_LONG),
+    "hierarchy_levels": (q_hierarchy_levels, SQL_HIERARCHY_LEVELS),
 }
