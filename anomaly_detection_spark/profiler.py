@@ -128,10 +128,13 @@ def span_kind_counts(
     kind); provably equivalent (tested) and robust if the first phase ever
     uses non-combinable aggregates.
     """
+    # explode the kind field array, not the full span structs: field access
+    # (GetArrayStructFields) keeps parquet nested-schema pruning, so this
+    # scan reads ONLY spans.kind — no text/media payload decode (plan-pinned)
     ex = docs.select(
         F.col(partition_col).alias("partition"),
-        F.explode(spans_col).alias("s"),
-    ).select("partition", F.col("s.kind").alias("kind"))
+        F.explode(F.col(f"{spans_col}.kind")).alias("kind"),
+    )
     if not salt_buckets:
         return ex.groupBy("partition", "kind").agg(F.count("*").alias("span_count"))
     salted = ex.withColumn(

@@ -1165,12 +1165,12 @@ def q_user_risk_ensemble(spark, sf):
     per_user = e.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum((F.hour("ts") >= 20).cast("long")).alias("late"),
-        F.sum((F.col("event_type") == "delete").cast("long")).alias("deletes"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
         F.sum((F.col("value") > 90).cast("long")).alias("high_val"),
     )
     score = (
         0.5 * F.col("late") / F.col("n")
-        + 0.3 * F.col("deletes") / F.col("n")
+        + 0.3 * F.col("errors") / F.col("n")
         + 0.2 * F.col("high_val") / F.col("n")
     )
     return per_user.select(
@@ -1181,9 +1181,34 @@ def q_user_risk_ensemble(spark, sf):
 SQL_USER_RISK_ENSEMBLE = """
 SELECT user_id, COUNT(*) AS n,
   ROUND(0.5 * SUM(CASE WHEN EXTRACT(hour FROM ts) >= 20 THEN 1 ELSE 0 END) / COUNT(*)
-      + 0.3 * SUM(CASE WHEN event_type = 'delete' THEN 1 ELSE 0 END) / COUNT(*)
+      + 0.3 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / COUNT(*)
       + 0.2 * SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) / COUNT(*), 6) AS risk_score
 FROM events GROUP BY user_id
+"""
+
+
+def q_props_json_stats(spark, sf):
+    """Semi-structured projection: extract props.k from the JSON column per
+    event_type (≈ the reference's per-field derivations on loosely-typed
+    inputs, data_normalizer.py:356-504 — as native JSON path extraction)."""
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k.isNull().cast("long")).alias("null_k"),
+    )
+
+
+SQL_PROPS_JSON_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
+FROM events GROUP BY event_type
 """
 
 
@@ -1417,4 +1442,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_pair_interactions": (q_user_pair_interactions, SQL_USER_PAIR_INTERACTIONS),
     "profile_documents_long": (q_profile_documents_long, SQL_PROFILE_DOCUMENTS_LONG),
     "hierarchy_levels": (q_hierarchy_levels, SQL_HIERARCHY_LEVELS),
+    "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
 }

@@ -190,10 +190,11 @@ def referential(catalog_col: str = "media_ref", rule_id: str = "referential:medi
         if ctx.media_catalog is None:
             raise ValueError("referential rule needs ctx.media_catalog")
         p, d = ctx.partition_col, ctx.doc_id_col
+        # explode spans.media_ref (field access), not the full structs —
+        # keeps nested-schema pruning so the scan never decodes span text
         refs = (
             docs.select(F.col(p).alias("partition"), F.col(d).alias("doc_id"),
-                        F.explode("spans").alias("s"))
-            .select("partition", "doc_id", F.col("s.media_ref").alias(catalog_col))
+                        F.explode(F.col(f"spans.{catalog_col}")).alias(catalog_col))
             .filter(F.col(catalog_col).isNotNull())
         )
         dangling = refs.join(

@@ -151,7 +151,7 @@ def main() -> None:
         for cores in cores_needed:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", cores],
-                capture_output=True, text=True, timeout=2400,
+                capture_output=True, text=True, timeout=7200,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             by_cores[cores] = json.loads(line)

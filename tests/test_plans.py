@@ -60,6 +60,28 @@ def test_prescreen_scan_prunes_nested_schema(docs_on_disk):
     assert "media_ref" not in read_schema[0]
 
 
+def test_referential_scan_prunes_to_media_ref(docs_on_disk, catalog):
+    """The referential check extracts spans.media_ref via field access (not
+    a lambda), so its parquet scan must not read span text payloads."""
+    plan = plan_of(
+        builtin.referential().build(docs_on_disk, RuleContext(media_catalog=catalog))
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "media_ref" in read_schema[0]
+    assert "text" not in read_schema[0]
+
+
+def test_span_kind_counts_scan_prunes_to_kind(docs_on_disk):
+    """The salted span-kind aggregation reads only spans.kind from parquet."""
+    from anomaly_detection_spark.profiler import span_kind_counts
+
+    plan = plan_of(span_kind_counts(docs_on_disk, salt_buckets=4))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "kind" in read_schema[0]
+    assert "text" not in read_schema[0]
+    assert "media_ref" not in read_schema[0]
+
+
 def test_filter_pushdown_reaches_scan(docs_on_disk):
     plan = plan_of(docs_on_disk.filter(F.col("partition") == "p3").select("doc_id"))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
