@@ -33,6 +33,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--catalog", required=True, help="media_catalog parquet path")
     ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics)")
     ap.add_argument("--manifest", default=None, help="progress-manifest dir (enables resume)")
+    ap.add_argument("--baseline", default=None,
+                    help="previous-snapshot documents path; enables PSI/KS drift rules")
     ap.add_argument("--snapshot-id", default="s0")
     ap.add_argument("--resume", action="store_true",
                     help="skip (partition, rule_id) pairs already committed for this snapshot")
@@ -64,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
             builtin.span_sequence_valid(prescreen=True),
         ],
     )
+    if args.baseline:
+        base_docs = (
+            spark.read.table(args.baseline) if args.format == "iceberg"
+            else spark.read.parquet(args.baseline)
+        )
+        rules.add(builtin.psi_drift(base_docs)).add(builtin.ks_drift(base_docs))
     manifest = RuleProgressManifest(spark, args.manifest) if args.manifest else None
     run = ValidationRun(
         spark, docs, rules, media_catalog=catalog,

@@ -61,5 +61,22 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
         )
         assert second.returncode == 0, second.stderr[-2000:]
         assert "failing_pairs=0" in second.stdout
+
+        # drift mode: same snapshot as its own baseline ⇒ drift rules appear
+        # in the verdict grid and all pass (PSI/KS of identical data = 0)
+        third = subprocess.run(
+            args[:-1] + ["s_drift", "--baseline", f"{base}/docs",
+                         "--output", f"{base}/out_drift"],
+            capture_output=True, text=True, timeout=600, env=env, cwd=base,
+        )
+        assert third.returncode == 0, third.stderr[-2000:]
+        import duckdb
+
+        verd = duckdb.sql(
+            f"SELECT rule_id, bool_and(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
+            "WHERE rule_id LIKE 'drift%' GROUP BY rule_id"
+        ).fetchall()
+        assert {r[0] for r in verd} == {"drift_psi:span_kind", "drift_ks:spans_per_doc"}
+        assert all(r[1] for r in verd)
     finally:
         shutil.rmtree(base, ignore_errors=True)
