@@ -1168,21 +1168,22 @@ def q_user_risk_ensemble(spark, sf):
         F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
         F.sum((F.col("value") > 90).cast("long")).alias("high_val"),
     )
-    score = (
-        0.5 * F.col("late") / F.col("n")
-        + 0.3 * F.col("errors") / F.col("n")
-        + 0.2 * F.col("high_val") / F.col("n")
-    )
+    # integer micro-units with floor(x+0.5): ROUND() tie-break RULES differ
+    # across engines (Spark HALF_UP vs DuckDB half-even) and weighted count
+    # ratios land exactly on representable .5 boundaries (e.g. 0.1390625)
+    num = 5 * F.col("late") + 3 * F.col("errors") + 2 * F.col("high_val")
+    score_micros = F.floor(num * 100000.0 / F.col("n") + 0.5).cast("long")
     return per_user.select(
-        "user_id", "n", F.round(score, 6).alias("risk_score")
+        "user_id", "n", score_micros.alias("risk_score_micros")
     )
 
 
 SQL_USER_RISK_ENSEMBLE = """
 SELECT user_id, COUNT(*) AS n,
-  ROUND(0.5 * SUM(CASE WHEN EXTRACT(hour FROM ts) >= 20 THEN 1 ELSE 0 END) / COUNT(*)
-      + 0.3 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / COUNT(*)
-      + 0.2 * SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) / COUNT(*), 6) AS risk_score
+  CAST(FLOOR((5 * SUM(CASE WHEN EXTRACT(hour FROM ts) >= 20 THEN 1 ELSE 0 END)
+            + 3 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            + 2 * SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END)) * 100000.0
+            / COUNT(*) + 0.5) AS BIGINT) AS risk_score_micros
 FROM events GROUP BY user_id
 """
 
