@@ -65,14 +65,16 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [
-                _fake_decode(p, k) if fake_decode else decode_image(p)
+                (None, None, None) if p is None
+                else (_fake_decode(p, k) if fake_decode else decode_image(p))
                 for p, k in zip(pdf["payload"], pdf["media_kind"])
             ]
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],
                 "media_kind": pdf["media_kind"],
-                "byte_len": [len(p) for p in pdf["payload"]],
-                "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                "byte_len": [None if p is None else len(p) for p in pdf["payload"]],
+                "sha256": [None if p is None else hashlib.sha256(p).hexdigest()
+                           for p in pdf["payload"]],
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
                 "n_frames": [d[2] for d in dims],

@@ -82,10 +82,14 @@ def q_null_profile_documents(spark, sf):
     )
 
 
+# NOTE (applies to every oracle below): DuckDB SUM(integer) returns HUGEINT,
+# which pandas materializes as float64/object and the driver's value-hash
+# then differs from Spark's BIGINT even when values are equal. Every bare
+# integer SUM output column is therefore CAST(... AS BIGINT).
 SQL_NULL_PROFILE_DOCUMENTS = """
 SELECT source, COUNT(*) AS rows,
-       SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
        COUNT(DISTINCT lang) AS distinct_langs
 FROM documents GROUP BY source
@@ -346,9 +350,9 @@ def q_segment_status_matrix(spark, sf):
 
 SQL_SEGMENT_STATUS_MATRIX = """
 SELECT c_mktsegment,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -697,9 +701,9 @@ def q_doc_token_stats(spark, sf):
 SQL_DOC_TOKEN_STATS = f"""
 WITH t AS (SELECT source, {_TOKS_SQL} AS toks, text FROM documents)
 SELECT source, COUNT(*) AS n_docs,
-  SUM(len(toks)) AS total_tokens,
-  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_regex_tokens,
-  SUM(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))))) AS total_token_chars
+  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_regex_tokens,
+  CAST(SUM(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))))) AS BIGINT) AS total_token_chars
 FROM t GROUP BY source
 """
 
@@ -725,7 +729,7 @@ WITH t AS (
   SELECT source, lang, CASE WHEN swr >= 0.05 THEN 'en' ELSE 'unk' END AS pred FROM t
 )
 SELECT source, COUNT(*) AS n,
-       SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+       CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
        ROUND(AVG(CASE WHEN pred = lang THEN 1 ELSE 0 END), 6) AS accuracy
 FROM p GROUP BY source
 """
@@ -1026,7 +1030,7 @@ def q_media_metadata_stats(spark, sf):
 SQL_MEDIA_METADATA_STATS = """
 SELECT ['image','audio','video'][CAST((doc_id % 3) + 1 AS INTEGER)] AS media_kind,
        COUNT(*) AS n,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT sha256(text)) AS distinct_payloads
 FROM documents GROUP BY 1
 """
@@ -1034,17 +1038,50 @@ FROM documents GROUP BY 1
 
 def q_media_feature_extract(spark, sf):
     """Arrow mapInPandas feature extraction over binary payloads with the
-    deterministic fake decoder — rows-only check (decode is Python-side)."""
+    deterministic fake decoder — oracle-paired: the fake decoder derives
+    dimensions from sha256 digest bytes, which DuckDB reproduces from its
+    sha256() hex output. Averages as exact integer micro-units (floor(x*1e4
+    + 0.5) on integer-sum ratios) to dodge cross-engine ROUND tie-breaks."""
     from anomaly_detection_spark.functions.multimodal import extract_media_features
 
     media = _synth_media_from_docs(spark, sf)
     feats = extract_media_features(media, fake_decode=True)
     return feats.groupBy("media_kind").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.floor(F.sum("width") * 10000.0 / F.count("*") + 0.5).cast("long").alias("avg_width_x10k"),
+        F.floor(F.sum("height") * 10000.0 / F.count("*") + 0.5).cast("long").alias("avg_height_x10k"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+def _hexbyte_sql(h: str, pos: int) -> str:
+    """DuckDB expression for byte ``pos`` (0-based) of a hex digest string."""
+    i = 2 * pos + 1
+    return (
+        f"((strpos('0123456789abcdef', substr({h},{i},1))-1)*16"
+        f" + strpos('0123456789abcdef', substr({h},{i+1},1))-1)"
+    )
+
+
+SQL_MEDIA_FEATURE_EXTRACT = f"""
+WITH m AS (
+  SELECT ['image','audio','video'][CAST((doc_id % 3) + 1 AS INTEGER)] AS media_kind,
+         sha256(text) AS h
+  FROM documents
+), d AS (
+  SELECT media_kind,
+    16 + {_hexbyte_sql('h', 0)} % 240 AS width,
+    16 + {_hexbyte_sql('h', 1)} % 240 AS height,
+    CASE WHEN media_kind = 'image' THEN 1
+         ELSE 1 + {_hexbyte_sql('h', 2)} % 64 END AS n_frames
+  FROM m
+)
+SELECT media_kind, COUNT(*) AS n,
+  CAST(FLOOR(SUM(width)*10000.0/COUNT(*) + 0.5) AS BIGINT) AS avg_width_x10k,
+  CAST(FLOOR(SUM(height)*10000.0/COUNT(*) + 0.5) AS BIGINT) AS avg_height_x10k,
+  MAX(n_frames) AS max_frames
+FROM d GROUP BY media_kind
+"""
 
 
 # =====================================================================
@@ -1144,7 +1181,7 @@ def q_nation_customer_tiers(spark, sf):
 
 SQL_NATION_CUSTOMER_TIERS = """
 WITH per_cust AS (
-  SELECT n_name, c_custkey, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_c
+  SELECT n_name, c_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
   FROM orders JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name, c_custkey
@@ -1152,7 +1189,7 @@ WITH per_cust AS (
 SELECT n_name, COUNT(*) AS n_customers,
        ROUND(SUM(total_c) / COUNT(*) / 100.0, 6) AS avg_customer_revenue,
        MAX(total_c) / 100.0 AS max_customer_revenue,
-       SUM(CASE WHEN total_c > 50000000 THEN 1 ELSE 0 END) AS high_value_customers
+       CAST(SUM(CASE WHEN total_c > 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_customers
 FROM per_cust GROUP BY n_name
 """
 
@@ -1205,10 +1242,10 @@ def q_props_json_stats(spark, sf):
 
 SQL_PROPS_JSON_STATS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
 FROM events GROUP BY event_type
 """
 
@@ -1259,7 +1296,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs, ROUND(SUM(s), 6) AS total_sensitivity,
-       SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS flagged
+       CAST(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS flagged
 FROM scored GROUP BY source
 """.replace("{k1}", "hash").replace("{k2}", "scan").replace("{k3}", "merge")
 
@@ -1432,7 +1469,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
     # Group D — multimodal
     "media_metadata_stats": (q_media_metadata_stats, SQL_MEDIA_METADATA_STATS),
-    "media_feature_extract": (q_media_feature_extract, None),
+    "media_feature_extract": (q_media_feature_extract, SQL_MEDIA_FEATURE_EXTRACT),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),

@@ -21,22 +21,23 @@ from anomaly_detection_spark.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def canon(rows, cols):
-    out = []
-    for row in rows:
+def canon_pdf(pdf, cols):
+    """Canonicalize a pandas frame the way the driver's hasher sees it:
+    per-column pandas dtypes matter (DuckDB HUGEINT -> float64 makes 5 render
+    as 5.0 and hash-mismatch Spark's int64 5 — r1's 8 red rows), so values
+    are stringified AFTER the pandas materialization, column-sorted,
+    row-order-insensitive."""
+    colvals = []
+    for c in cols:
         vals = []
-        for c in cols:
-            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+        for v in pdf[c].tolist():  # tolist() unwraps numpy scalars
             if isinstance(v, bool):
                 v = int(v)
+            elif isinstance(v, float):
+                v = "NaN" if math.isnan(v) else repr(round(v, 9))
             vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
+        colvals.append(vals)
+    return sorted("|".join(vs) for vs in zip(*colvals))
 
 
 def main():
@@ -54,18 +55,17 @@ def main():
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
-            srows = [r.asDict() for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"OK?  {name}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.sql(oracles[name]).fetchdf()
+            dcols = list(dpdf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failed.append(name)
@@ -75,8 +75,8 @@ def main():
             failed.append(name)
             continue
         order = sorted(scols)
-        a = canon(srows, order)
-        b = canon([dict(zip(dcols, r)) for r in drows], order)
+        a = canon_pdf(spdf, order)
+        b = canon_pdf(dpdf, order)
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount spark={len(a)} duck={len(b)}")
             failed.append(name)
