@@ -5,9 +5,10 @@ Generates the engine-primary tables from FIXTURES.md §1:
 * ``documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>,
   partition string)`` — interleaved text+media documents with *planted,
   exactly-computable defects* (null/duplicate doc_id, dangling media_ref,
-  null text on text spans, negative/duplicate offsets, empty spans, a span
-  kind skewed to ~50% of all spans, and one partition with a drifted kind
-  distribution).
+  null text on text spans, negative/duplicate/NULL offsets, empty spans, a
+  span kind skewed to ~50% of all spans, and one partition with a drifted
+  kind distribution). NULL offsets specifically exercise the Arrow
+  int-with-nulls→float64-NaN path in the offsets UDF.
 * ``media_catalog(media_ref string, media_kind string, size_bytes bigint)``.
 
 Everything is built from ``spark.range`` + column expressions — no driver-side
@@ -35,6 +36,7 @@ NULL_TEXT = 37
 NEG_OFFSET = 41
 DUP_OFFSET = 43
 EMPTY_SPANS = 47
+NULL_OFFSET = 53
 
 SPAN_KINDS = ["text", "image", "audio", "table"]
 
@@ -143,6 +145,7 @@ def _span_for_index(did: Column, i: Column, drifted: Column, n_media: int,
         offset = (
             F.when((mod == NEG_OFFSET) & (i == 0), F.lit(-1))
             .when((mod == DUP_OFFSET) & (i == 1), F.lit(0))
+            .when((mod == NULL_OFFSET) & (i == 0), F.lit(None))
             .otherwise(i)
             .cast("int")
         )

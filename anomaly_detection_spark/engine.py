@@ -40,6 +40,10 @@ class ValidationResult:
     verdicts: DataFrame
     violations: DataFrame
     metrics: DataFrame
+    #: True when a resume found every planned (partition, rule_id) pair
+    #: already committed — the frames are empty and sinks must NOT be
+    #: overwritten with them.
+    nothing_pending: bool = False
 
 
 class ValidationRun:
@@ -75,7 +79,21 @@ class ValidationRun:
             return self._empty_violations()
         binds: dict = {}
         for r in self.rules.row_rules:
-            binds.update(r.bind)
+            for name, col in r.bind.items():
+                # a later rule silently clobbering an earlier rule's bind of
+                # the same name (or shadowing a real input column) would
+                # yield wrong verdicts with no error — fail loudly instead
+                if name in binds and str(binds[name]) != str(col):
+                    raise ValueError(
+                        f"conflicting bind {name!r}: two rules bind different "
+                        f"expressions to the same name"
+                    )
+                binds[name] = col
+        clash = set(binds) & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"bind names collide with input columns: {sorted(clash)}"
+            )
         if binds:
             docs = docs.select("*", *[c.alias(name) for name, c in binds.items()])
         hits = F.array(*[
@@ -106,7 +124,8 @@ class ValidationRun:
         )
 
     # ------------------------------------------------------------------
-    def run(self, resume: bool = True, persist: bool = True) -> ValidationResult:
+    def run(self, resume: bool = True, persist: bool = True,
+            commit_manifest: bool = True) -> ValidationResult:
         """Execute the suite.
 
         ``persist=True`` caches the unioned violations frame (memory+disk)
@@ -116,6 +135,12 @@ class ValidationRun:
         their sink table first and computing verdicts from the written data;
         violations are a small fraction of the input, so caching them is
         bounded by the defect rate, not the snapshot size.
+
+        ``commit_manifest=False`` skips the internal manifest commit so the
+        caller can write its sinks FIRST and commit afterwards (the resume
+        contract: data first, manifest last — a crash in between re-evaluates,
+        never skips). ``run_validation.py`` uses this; library callers that
+        don't write sinks can keep the default.
         """
         docs = self.documents
         p = self.ctx.partition_col
@@ -130,7 +155,7 @@ class ValidationRun:
             if not pending_parts:
                 return ValidationResult(
                     self._empty_verdicts(), self._empty_violations(),
-                    self._empty_metrics(),
+                    self._empty_metrics(), nothing_pending=True,
                 )
             # Partition pruning for resume: only rescan partitions with work.
             docs = docs.filter(F.col(p).isin(pending_parts))
@@ -184,10 +209,7 @@ class ValidationRun:
             F.lit(duration_ms).alias("duration_ms"),
             F.current_timestamp().alias("committed_at"),
         )
-        if self.manifest is not None:
-            # verdict-derived metrics are committed last (write-ahead order:
-            # violations/verdicts first, manifest commit second) so a crash
-            # mid-run re-evaluates, never skips — re-runs overwrite by key.
+        if self.manifest is not None and commit_manifest:
             self.manifest.commit(metrics)
         return ValidationResult(verdicts, violations, metrics)
 

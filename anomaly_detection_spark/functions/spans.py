@@ -25,12 +25,13 @@ def _canonical(items) -> str:
     yield a deterministic signature.
     """
     def key(s):
-        return (
-            s["offset"] if s["offset"] is not None else -(2**31),
-            s["kind"] or "",
-            s["text"] or "",
-            s["media_ref"] or "",
-        )
+        # offsets may arrive as float64/NaN when the Arrow batch contains
+        # any NULL offset (the int32 child array is batch-wide) — normalize
+        # to int / sentinel so ordering is deterministic per row, not per
+        # batch composition
+        o = s["offset"]
+        o = -(2**31) if pd.isna(o) else int(o)
+        return (o, s["kind"] or "", s["text"] or "", s["media_ref"] or "")
 
     return ";".join(
         f"{s['kind'] or ''}|{s['text'] or ''}|{s['media_ref'] or ''}"
@@ -64,12 +65,16 @@ def span_sequence_invalid_reason(spans: pd.Series) -> pd.Series:
         if items is None:
             return "spans is NULL"
         offs = [s["offset"] for s in items]
-        if any(o is None for o in offs):
+        # pd.isna, not `is None`: a batch containing ANY null offset makes
+        # Arrow hand the offsets of EVERY row in the batch over as float64
+        # (NaN for nulls) — and then int() formatting below keeps reason
+        # strings identical to batches that carried int32
+        if any(pd.isna(o) for o in offs):
             return "NULL offset"
-        neg = [o for o in offs if o < 0]
+        neg = [int(o) for o in offs if o < 0]
         if neg:
             return f"negative offsets: {sorted(neg)}"
-        srt = sorted(offs)
+        srt = sorted(int(o) for o in offs)
         dups = sorted({a for a, b in zip(srt, srt[1:]) if a == b})
         if dups:
             return f"duplicate offsets: {dups}"
@@ -93,7 +98,11 @@ def offsets_invalid_reason(offsets: pd.Series) -> pd.Series:
         if offs is None:
             return "spans is NULL"
         offs = list(offs)
-        if any(o is None for o in offs):
+        # Arrow hands an int32 array containing nulls to pandas as float64
+        # with NaN — `o is None` never fires and int(NaN) raises — so the
+        # NULL-element test must be pd.isna (covers None AND NaN; the
+        # full-struct UDF sees None and is covered by the same predicate).
+        if any(pd.isna(o) for o in offs):
             return "NULL offset"
         neg = [int(o) for o in offs if o < 0]
         if neg:

@@ -87,12 +87,14 @@ def media_ref_present_on_media_spans(spans_col: str = "spans") -> RowRule:
 
 
 def offsets_valid_native(spans_col: str = "spans") -> RowRule:
-    """Offsets non-negative and strictly increasing once sorted (i.e. unique).
+    """Offsets non-null, non-negative and strictly increasing once sorted
+    (i.e. unique) — the same invariant the Arrow rule enforces.
 
     Pure-expression twin of the Arrow-UDF dataset rule: sort offsets with
     ``array_sort`` and compare neighbours with ``zip_with`` — no Python.
     """
     offs = F.array_sort(F.transform(F.col(spans_col), lambda s: s["offset"]))
+    has_null = F.exists(offs, lambda o: o.isNull())
     neg = F.size(F.filter(offs, lambda o: o < 0)) > 0
     pairs_bad = F.size(
         F.filter(
@@ -104,7 +106,7 @@ def offsets_valid_native(spans_col: str = "spans") -> RowRule:
     has_pairs = F.size(offs) > 1
     return RowRule(
         rule_id="offsets_valid_native",
-        violation=neg | (has_pairs & pairs_bad),
+        violation=has_null | neg | (has_pairs & pairs_bad),
         detail=F.concat(F.lit("offsets="), F.concat_ws(",", F.transform(offs, lambda o: o.cast("string")))),
     )
 
@@ -389,7 +391,7 @@ def default_document_rules(spans_col: str = "spans",
         ),
         RowRule(
             rule_id="offsets_valid_native",
-            violation=(F.col(st)["neg_off"] > 0) | dup,
+            violation=(F.col(st)["null_off"] > 0) | (F.col(st)["neg_off"] > 0) | dup,
             detail=F.concat(
                 F.lit("offsets="),
                 F.concat_ws(",", F.transform(sorted_offs, lambda o: o.cast("string"))),

@@ -26,15 +26,22 @@ def get_spark(
     spark-submit the cluster manager's master wins (we never override an
     externally provided master).
     """
-    from pyspark import SparkConf
-
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
-    elif SparkConf().get("spark.master", None) is None and "SPARK_MASTER" not in os.environ:
-        # no externally provided master (spark-submit --master sets
-        # spark.master in the JVM conf) → default to local[$SPARK_GRAFT_CPUS]
+    elif (
+        "PYSPARK_GATEWAY_PORT" not in os.environ
+        and "SPARK_MASTER" not in os.environ
+    ):
+        # Only default the master when NOT launched by spark-submit. Before
+        # the JVM exists SparkConf() is a plain dict and cannot see the
+        # spark.master system property spark-submit sets — but spark-submit's
+        # PythonRunner always exports PYSPARK_GATEWAY_PORT for the driver
+        # process, so its absence means we own the JVM and may pick
+        # local[$SPARK_GRAFT_CPUS]. Builder options override spark-submit
+        # conf, so guessing wrong here would silently discard the cluster
+        # master (pinned by tests/test_spark_submit.py).
         builder = builder.master(f"local[{cpus}]")
 
     if shuffle_partitions is None:

@@ -77,12 +77,31 @@ def main(argv: list[str] | None = None) -> int:
         spark, docs, rules, media_catalog=catalog,
         snapshot_id=args.snapshot_id, manifest=manifest,
     )
-    result = run.run(resume=args.resume)
+    result = run.run(resume=args.resume, commit_manifest=False)
 
-    # write order is part of the resume contract: data first, manifest last
-    result.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
-    result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
-    result.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+    if result.nothing_pending:
+        # every planned pair is already committed: leave the existing sink
+        # outputs untouched (overwriting them with the empty frames would
+        # clobber the previous run's real results)
+        print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
+              "(resume: nothing pending, outputs unchanged)")
+        spark.stop()
+        return 0
+
+    # Write order is the resume contract: data first, manifest last — a crash
+    # between the sink writes and the commit re-evaluates, never skips.
+    # Mode: a resumed run with prior commits only computes NEW pairs, so it
+    # appends to the previous outputs; a fresh (or fully re-evaluated) run
+    # overwrites. With Iceberg/Delta sinks both become one atomic commit.
+    mode = "overwrite"
+    if args.resume and manifest is not None:
+        if manifest.completed_pairs(args.snapshot_id).limit(1).count() > 0:
+            mode = "append"
+    result.violations.write.mode(mode).parquet(f"{args.output}/violations")
+    result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
+    result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
+    if manifest is not None:
+        manifest.commit(result.metrics)
 
     n_fail = result.verdicts.filter("NOT pass").count()
     print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs={n_fail}")

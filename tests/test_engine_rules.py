@@ -33,8 +33,13 @@ def _oracle_row_violations(docs_pd: pd.DataFrame) -> set[tuple]:
             out.add((part, "media_ref_present_on_media_spans", did))
         if any(s["kind"] not in ("text", "image", "audio", "table") for s in spans):
             out.add((part, "span_kinds_accepted", did))
-        offs = sorted(s["offset"] for s in spans)
-        if any(o < 0 for o in offs) or any(a == b for a, b in zip(offs, offs[1:])):
+        offs = [s["offset"] for s in spans]
+        nn = sorted(o for o in offs if o is not None)
+        if (
+            any(o is None for o in offs)
+            or any(o < 0 for o in nn)
+            or any(a == b for a, b in zip(nn, nn[1:]))
+        ):
             out.add((part, "offsets_valid_native", did))
     return out
 

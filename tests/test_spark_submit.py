@@ -17,6 +17,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 spark_submit = shutil.which("spark-submit")
 
 
+def _build_engine_zip(base: str) -> str:
+    zip_path = f"{base}/engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(REPO, "anomaly_detection_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_master_is_respected():
+    """get_spark() must NOT override the master provided by spark-submit:
+    builder .master() wins over spark-submit conf, and SparkConf() is a plain
+    dict before the JVM exists, so the factory detects spark-submit via
+    PYSPARK_GATEWAY_PORT instead. Regression: cluster masters were silently
+    replaced with local[32]."""
+    base = tempfile.mkdtemp(prefix="submitm_")
+    try:
+        zip_path = _build_engine_zip(base)
+        script = f"{base}/probe.py"
+        with open(script, "w") as fh:
+            fh.write(
+                "from anomaly_detection_spark.session import get_spark\n"
+                "s = get_spark(app_name='master-probe')\n"
+                "print('EFFECTIVE_MASTER=' + s.sparkContext.master)\n"
+                "s.stop()\n"
+            )
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="1g")
+        out = subprocess.run(
+            [spark_submit, "--master", "local[3]", "--py-files", zip_path, script],
+            capture_output=True, text=True, timeout=300, env=env, cwd=base,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "EFFECTIVE_MASTER=local[3]" in out.stdout
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
 def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
     base = tempfile.mkdtemp(prefix="submit_")
@@ -24,14 +65,7 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
         docs.write.parquet(f"{base}/docs")
         catalog.write.parquet(f"{base}/catalog")
 
-        zip_path = f"{base}/engine.zip"
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            pkg = os.path.join(REPO, "anomaly_detection_spark")
-            for root, _, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, REPO))
+        zip_path = _build_engine_zip(base)
 
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
         args = [
@@ -54,13 +88,25 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
         line = [ln for ln in first.stdout.splitlines() if "VALIDATION_DONE" in ln][0]
         assert int(line.rsplit("=", 1)[1]) > 0
 
-        # resume against the committed manifest: everything done ⇒ 0 pairs
+        # resume against the committed manifest: everything done ⇒ 0 pairs,
+        # and the previous run's real outputs must NOT be clobbered with
+        # empty frames (regression: --resume after success emptied the sinks)
+        import duckdb
+
+        n_verd_before = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{base}/out/verdicts/*.parquet'"
+        ).fetchone()[0]
+        assert n_verd_before > 0
         second = subprocess.run(
             args + ["--resume"], capture_output=True, text=True, timeout=600,
             env=env, cwd=base,
         )
         assert second.returncode == 0, second.stderr[-2000:]
         assert "failing_pairs=0" in second.stdout
+        n_verd_after = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{base}/out/verdicts/*.parquet'"
+        ).fetchone()[0]
+        assert n_verd_after == n_verd_before
 
         # drift mode: same snapshot as its own baseline ⇒ drift rules appear
         # in the verdict grid and all pass (PSI/KS of identical data = 0)
@@ -70,8 +116,6 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
             capture_output=True, text=True, timeout=600, env=env, cwd=base,
         )
         assert third.returncode == 0, third.stderr[-2000:]
-        import duckdb
-
         verd = duckdb.sql(
             f"SELECT rule_id, bool_and(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
             "WHERE rule_id LIKE 'drift%' GROUP BY rule_id"
