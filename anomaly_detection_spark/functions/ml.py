@@ -1,0 +1,114 @@
+"""Closed-form ML-style outlier scoring — the engine's replacement for the
+reference's sklearn ensemble (IsolationForest/LOF/DBSCAN +
+``/root/reference/anomaly_detection/analyzers/ml_analyzer.py:70-97``,
+``ml_models/ensemble_model.py:28-77``).
+
+Design stance: at 10^12 rows an iterative sklearn fit per run is the wrong
+tool — the ensemble's *job* (rank entities by how far their feature vector
+sits from the population) is served by robust statistics that are pure
+DataFrame aggregations:
+
+* **robust z-scores** — (x − median) / (1.4826·MAD) per feature; medians and
+  MADs are two tiny global aggregation passes (exact ``percentile``), then a
+  broadcast join back. Robust to the outliers being scored (unlike μ/σ).
+* **Mahalanobis-lite score** — √(Σ z_i²) over the feature set (diagonal
+  covariance; the PCA+distance shape of the reference without the iterative
+  fit).
+* **IQR excess score** — Σ max(0, distance outside [Q1−1.5·IQR, Q3+1.5·IQR])
+  / IQR per feature (the classic boxplot outlier rule, ≈ IsolationForest's
+  role of flagging boundary-breakers).
+* **weighted ensemble** — w_z·score_z + w_iqr·score_iqr
+  (≈ ensemble_model.py:64-77 weighted score combination).
+
+Everything is deterministic closed-form math on exact integer feature sums,
+so every score is DuckDB-oracle-checkable bit-for-bit — which a fitted
+sklearn model never is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAD_CONSISTENCY = 1.4826  # scales MAD to σ under normality (standard constant)
+
+
+def entity_activity_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity behavioral feature vector as EXACT integers (counts and
+    cents) — ≈ the reference's per-user feature matrix
+    (feature_engineering.py:178-232) without per-row Python. One groupBy."""
+    off = (F.hour(ts_col) < 8) | (F.hour(ts_col) >= 18)
+    return events.groupBy(user_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum(off.cast("long")).alias("n_offhours"),
+        F.sum((F.col(type_col) == "error").cast("long")).alias("n_errors"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("value_cents"),
+        F.countDistinct(type_col).alias("n_types"),
+    )
+
+
+def outlier_scores(
+    features: DataFrame,
+    cols: list[str],
+    id_col: str = "user_id",
+    w_z: float = 0.6,
+    w_iqr: float = 0.4,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust-z + IQR ensemble outlier score per entity.
+
+    Physical shape (scale-safe at any entity count):
+      1. one global agg computing [Q1, median, Q3] per feature
+         (``percentile(c, array(...))`` — exact, cross-engine reproducible);
+      2. one global agg for MAD per feature (needs the medians: broadcast
+         crossJoin of the 1-row stats frame, then ``percentile(abs(x-med))``);
+      3. one broadcast join back + pure column math for the scores.
+    No window over all rows, no iterative fit, no Python.
+    """
+    q_aggs = [
+        F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"_q_{c}")
+        for c in cols
+    ]
+    quarts = features.agg(*q_aggs)
+    with_q = features.crossJoin(F.broadcast(quarts))
+    mad_aggs = [
+        F.expr(f"percentile(abs({c} - _q_{c}[1]), 0.5)").alias(f"_mad_{c}")
+        for c in cols
+    ] + [F.first(f"_q_{c}").alias(f"_q_{c}") for c in cols]
+    stats = with_q.agg(*mad_aggs)
+
+    scored = features.crossJoin(F.broadcast(stats))
+    z_sq_terms = []
+    iqr_terms = []
+    for c in cols:
+        med = F.col(f"_q_{c}")[1]
+        q1, q3 = F.col(f"_q_{c}")[0], F.col(f"_q_{c}")[2]
+        mad = F.greatest(F.col(f"_mad_{c}"), F.lit(1.0))
+        z = (F.col(c) - med) / (F.lit(MAD_CONSISTENCY) * mad)
+        z_sq_terms.append(z * z)
+        iqr = F.greatest(q3 - q1, F.lit(1.0))
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        iqr_terms.append(
+            F.greatest(F.lit(0.0), F.col(c) - hi, lo - F.col(c)) / iqr
+        )
+    sum_z2 = z_sq_terms[0]
+    for t in z_sq_terms[1:]:
+        sum_z2 = sum_z2 + t
+    score_z = F.sqrt(sum_z2)
+    score_iqr = iqr_terms[0]
+    for t in iqr_terms[1:]:
+        score_iqr = score_iqr + t
+    ensemble = F.lit(w_z) * score_z + F.lit(w_iqr) * score_iqr
+    return scored.select(
+        F.col(id_col),
+        F.round(score_z, 6).alias("score_z"),
+        F.round(score_iqr, 6).alias("score_iqr"),
+        F.round(ensemble, 6).alias("ensemble_score"),
+        (ensemble > threshold).alias("is_outlier"),
+    )

@@ -1,0 +1,90 @@
+"""Seasonality detection at configurable lags — the distributed form of the
+reference's lag-autocorrelation scan
+(``/root/reference/anomaly_detection/utils/trend_detector.py:115-156``,
+periods {7, 14, 30} from ``config.py:91``).
+
+Correlation at each lag is computed closed-form from exact integer sums
+(n·Σxy − Σx·Σy over √(…)·√(…)) — order-independent, oracle-checkable —
+via a per-lag self-equi-join of the (already tiny) daily aggregate on
+``day = day + lag``. The join input is the daily rollup, not the raw events,
+so the cost is O(series length · lags) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def autocorr_at_lags(
+    daily: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """(key, lag, n_pairs, acf) for each requested lag.
+
+    ``daily`` is a per-(key, integer day ``x_col``) frame with integer
+    ``y_col``; pairs are formed by joining the series to itself shifted by
+    ``lag`` days (exactly the reference's series[p:] vs series[:-p], but
+    join-aligned so missing days pair correctly instead of silently
+    shifting)."""
+    a = daily.select(
+        F.col(key_col).alias("_k"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    per_lag = []
+    for lag in lags:
+        b = daily.select(
+            F.col(key_col).alias("_k"),
+            (F.col(x_col) + F.lit(lag)).alias("_x"),
+            F.col(y_col).alias("_yl"),
+        )
+        pairs = a.join(b, ["_k", "_x"])
+        agg = pairs.groupBy("_k").agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_y").alias("_sx"), F.sum("_yl").alias("_sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_sxx"),
+            F.sum(F.col("_yl") * F.col("_yl")).alias("_syy"),
+            F.sum(F.col("_y") * F.col("_yl")).alias("_sxy"),
+        )
+        n, sx, sy = F.col("n_pairs"), F.col("_sx"), F.col("_sy")
+        num = (n * F.col("_sxy") - sx * sy).cast("double")
+        vx = (n * F.col("_sxx") - sx * sx).cast("double")
+        vy = (n * F.col("_syy") - sy * sy).cast("double")
+        per_lag.append(
+            agg.filter((vx > 0) & (vy > 0)).select(
+                F.col("_k").alias(key_col),
+                F.lit(lag).alias("lag"),
+                "n_pairs",
+                F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), per_lag)
+
+
+def dominant_period(
+    daily: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    lags: list[int] = [7, 14, 30],
+    min_pairs: int = 8,
+) -> DataFrame:
+    """Pick each key's strongest seasonal period: the lag with the highest
+    autocorrelation among lags with ≥ ``min_pairs`` aligned pairs
+    (deterministic tie-break: smaller lag wins). ≈ detect_seasonality's
+    best-period selection (trend_detector.py:144-156)."""
+    acfs = autocorr_at_lags(daily, key_col, x_col, y_col, lags).filter(
+        F.col("n_pairs") >= min_pairs
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("acf"), F.asc("lag"))
+    return (
+        acfs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(key_col, F.col("lag").alias("best_lag"), "n_pairs",
+                F.col("acf").alias("best_acf"))
+    )

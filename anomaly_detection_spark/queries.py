@@ -1425,6 +1425,313 @@ FROM lv GROUP BY level
 
 
 # =====================================================================
+# Group F — ML-ensemble analogue, risk scoring/forecast, graph, seasonality
+# =====================================================================
+
+_FEATURE_COLS = ["n_events", "n_offhours", "n_errors", "value_cents", "n_types"]
+
+_FEATS_SQL = """
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                        OR EXTRACT(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS n_offhours,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ml_outlier_ensemble(spark, sf):
+    """§2.9c ML-ensemble analogue: robust-z (Mahalanobis-lite) + IQR excess
+    outlier scores over per-user behavioral features, weighted-combined —
+    the closed-form replacement for the reference's sklearn trio
+    (ml_analyzer.py:70-97, ensemble_model.py:64-77)."""
+    from anomaly_detection_spark.functions import ml
+
+    feats = ml.entity_activity_features(load(spark, sf, "events"))
+    return ml.outlier_scores(feats, _FEATURE_COLS)
+
+
+def _ml_oracle_sql() -> str:
+    cols = _FEATURE_COLS
+    q_sel = ",\n".join(
+        f"    quantile_cont({c}, 0.25) AS q1_{c}, quantile_cont({c}, 0.5) AS med_{c}, "
+        f"quantile_cont({c}, 0.75) AS q3_{c}" for c in cols
+    )
+    mad_sel = ",\n".join(
+        f"    quantile_cont(abs(f.{c} - q.med_{c}), 0.5) AS mad_{c}" for c in cols
+    )
+    z_terms, iqr_terms = [], []
+    for c in cols:
+        z = f"((f.{c} - med_{c}) / (1.4826 * GREATEST(mad_{c}, 1.0)))"
+        z_terms.append(f"{z} * {z}")
+        iqr = f"GREATEST(q3_{c} - q1_{c}, 1.0)"
+        iqr_terms.append(
+            f"GREATEST(0.0, f.{c} - (q3_{c} + 1.5 * {iqr}), "
+            f"(q1_{c} - 1.5 * {iqr}) - f.{c}) / {iqr}"
+        )
+    return f"""
+WITH f AS ({_FEATS_SQL}),
+q AS (SELECT
+{q_sel}
+FROM f),
+m AS (SELECT
+{mad_sel}
+FROM f, q),
+scored AS (
+  SELECT f.user_id,
+         sqrt({' + '.join(z_terms)}) AS score_z,
+         {' + '.join(iqr_terms)} AS score_iqr
+  FROM f, q, m
+)
+SELECT user_id, ROUND(score_z, 6) AS score_z, ROUND(score_iqr, 6) AS score_iqr,
+       ROUND(0.6 * score_z + 0.4 * score_iqr, 6) AS ensemble_score,
+       (0.6 * score_z + 0.4 * score_iqr) > 3.5 AS is_outlier
+FROM scored
+"""
+
+
+SQL_ML_OUTLIER_ENSEMBLE = _ml_oracle_sql()
+
+
+def q_entity_risk_scores(spark, sf):
+    """Risk aggregation + tiers (risk_calculator.py:47-50,132; config.py:19-21):
+    anomalies := error events with value as 0-100 severity; score in exact
+    integer micro-units for the oracle gate."""
+    from anomaly_detection_spark.functions import risk
+
+    e = load(spark, sf, "events")
+    anomalies = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("value").alias("severity")
+    )
+    return risk.entity_risk_scores(anomalies, micros=True)
+
+
+SQL_ENTITY_RISK_SCORES = """
+WITH a AS (
+  SELECT user_id, COUNT(*) AS n_anomalies,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sev_cents
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+), s AS (
+  SELECT user_id, n_anomalies,
+         LEAST(100.0, 30.0 + 10.0 * n_anomalies
+               + (sev_cents / (100.0 * n_anomalies)) / 3.0) AS score
+  FROM a
+)
+SELECT user_id, n_anomalies,
+       CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS risk_score_micros,
+       CASE WHEN score >= 70.0 THEN 'high'
+            WHEN score >= 40.0 THEN 'medium' ELSE 'low' END AS risk_tier
+FROM s
+"""
+
+
+def q_risk_forecast(spark, sf):
+    """Risk forecast (trend_detector.py:224-279): per-user daily risk points
+    (10·errors + off-hours count, exact ints) → least-squares extrapolation
+    7 days past the series end, clamped to [0, 100]."""
+    from anomaly_detection_spark.functions import risk
+
+    e = load(spark, sf, "events")
+    off = (F.hour("ts") < 8) | (F.hour("ts") >= 18)
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(
+        (
+            F.lit(10) * F.sum((F.col("event_type") == "error").cast("long"))
+            + F.sum(off.cast("long"))
+        ).alias("y")
+    )
+    return risk.linear_forecast(daily, "user_id", "x", "y", horizon=7)
+
+
+SQL_RISK_FORECAST = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         10 * CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           + CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                            OR EXTRACT(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, COUNT(*) AS n_days, MAX(x) AS xmax,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM daily GROUP BY user_id
+), fit AS (
+  SELECT user_id, n_days, xmax, sx, sy,
+         (n_days * sxy - sx * sy) / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s WHERE n_days >= 2 AND n_days * sxx - sx * sx <> 0
+)
+SELECT user_id, n_days, ROUND(slope, 6) AS slope,
+       ROUND(LEAST(100.0, GREATEST(0.0,
+             (sy - slope * sx) / n_days + slope * (xmax + 7))), 6) AS forecast
+FROM fit
+"""
+
+
+def q_degree_centrality(spark, sf):
+    """§2.9d graph centrality: weighted customer↔supplier interaction edges
+    (one row per lineitem joins them), degree centrality per node — the
+    one-aggregation member of the reference's centrality family
+    (graph_builder.py:32-81 edge build, graph_metrics.py:46-52 degree)."""
+    from anomaly_detection_spark.functions import graph
+
+    li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = graph.weighted_edges(inter, "src", "dst")
+    return graph.degree_centrality(edges)
+
+
+SQL_DEGREE_CENTRALITY = """
+WITH inter AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM inter GROUP BY 1, 2
+), sym AS (
+  SELECT src AS node, dst AS other, w FROM edges
+  UNION ALL
+  SELECT dst AS node, src AS other, w FROM edges
+), deg AS (
+  SELECT node, COUNT(DISTINCT other) AS n_neighbors,
+         CAST(SUM(w) AS BIGINT) AS weighted_degree
+  FROM sym GROUP BY node
+), n AS (SELECT COUNT(*) AS n_nodes FROM deg)
+SELECT node, n_neighbors, weighted_degree,
+       CAST(FLOOR(n_neighbors * 1e6 / (n_nodes - 1.0) + 0.5) AS BIGINT) AS centrality_micros
+FROM deg, n
+"""
+
+
+def q_seasonality_periods(spark, sf):
+    """W4 generalized (trend_detector.py:115-156): autocorrelation of each
+    event type's daily-count series at lags {7,14,30}; dominant period =
+    highest acf among lags with ≥8 aligned pairs (30 days of data ⇒ lag 30
+    is correctly excluded by the min-pairs gate)."""
+    from anomaly_detection_spark.functions import timeseries
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    return timeseries.dominant_period(
+        daily, "event_type", "x", "y", lags=[7, 14, 30], min_pairs=8
+    )
+
+
+def _seasonality_oracle_sql() -> str:
+    lag_ctes = []
+    for lag in (7, 14, 30):
+        lag_ctes.append(f"""
+  SELECT a.event_type, {lag} AS lag, COUNT(*) AS n_pairs,
+         CAST(SUM(a.y) AS BIGINT) AS sx, CAST(SUM(b.y) AS BIGINT) AS sy,
+         CAST(SUM(a.y*a.y) AS BIGINT) AS sxx, CAST(SUM(b.y*b.y) AS BIGINT) AS syy,
+         CAST(SUM(a.y*b.y) AS BIGINT) AS sxy
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x = b.x + {lag}
+  GROUP BY 1""")
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), lags AS ({' UNION ALL '.join(lag_ctes)}
+), acf AS (
+  SELECT event_type, lag, n_pairs,
+         ROUND(CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))), 6) AS acf
+  FROM lags
+  WHERE n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0 AND n_pairs >= 8
+)
+SELECT event_type, lag AS best_lag, n_pairs, acf AS best_acf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY acf DESC, lag ASC) AS rk
+  FROM acf
+) WHERE rk = 1
+"""
+
+
+SQL_SEASONALITY_PERIODS = _seasonality_oracle_sql()
+
+_SPLIT_DAY_SQL = "date_diff('day', DATE '1970-01-01', DATE '2024-01-15')"
+
+
+def q_user_profile_deviation(spark, sf):
+    """J3 profile-lookup join (time_analyzer.py:84-94): per-user daily-volume
+    profile (mean/std from exact integer sums) built on the first half-month,
+    LEFT-joined by each second-half day; missing profile ⇒ 'no_profile'
+    verdict (the reference's no-profile branch), else z>2 days are counted."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    split = F.datediff(F.lit("2024-01-15"), F.lit("1970-01-01"))
+    prof = daily.filter(F.col("x") < split).groupBy("user_id").agg(
+        F.count("*").alias("k"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    cur = daily.filter(F.col("x") >= split)
+    j = cur.join(prof, "user_id", "left")
+    var = (F.col("k") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("k") * (F.col("k") - 1)
+    ).cast("double")
+    z = (F.col("y") - F.col("s") / F.col("k")) / F.sqrt(var)
+    anomalous = (
+        (F.col("k") >= 2) & (var > 0) & (F.abs(z) > 2.0)
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_days_checked"),
+        F.sum(anomalous.cast("long")).alias("n_anomalous"),
+        F.when(F.max("k").isNull(), F.lit("no_profile"))
+        .when(F.sum(anomalous.cast("long")) > 0, F.lit("anomalous"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict"),
+    )
+
+
+SQL_USER_PROFILE_DEVIATION = f"""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), prof AS (
+  SELECT user_id, COUNT(*) AS k, CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y*y) AS BIGINT) AS ss
+  FROM daily WHERE x < {_SPLIT_DAY_SQL} GROUP BY user_id
+), j AS (
+  SELECT c.user_id, c.y, p.k, p.s, p.ss,
+         (p.k * p.ss - p.s * p.s) / CAST(p.k * (p.k - 1) AS DOUBLE) AS var,
+         (c.y - p.s / p.k) / sqrt((p.k * p.ss - p.s * p.s)
+                                  / CAST(p.k * (p.k - 1) AS DOUBLE)) AS z
+  FROM (SELECT * FROM daily WHERE x >= {_SPLIT_DAY_SQL}) c
+  LEFT JOIN prof p ON c.user_id = p.user_id
+), flagged AS (
+  SELECT user_id, k,
+         CASE WHEN k >= 2 AND var > 0 AND ABS(z) > 2.0 THEN 1 ELSE 0 END AS anom
+  FROM j
+)
+SELECT user_id, COUNT(*) AS n_days_checked,
+       CAST(SUM(anom) AS BIGINT) AS n_anomalous,
+       CASE WHEN MAX(k) IS NULL THEN 'no_profile'
+            WHEN SUM(anom) > 0 THEN 'anomalous' ELSE 'normal' END AS verdict
+FROM flagged GROUP BY user_id
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1481,4 +1788,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "profile_documents_long": (q_profile_documents_long, SQL_PROFILE_DOCUMENTS_LONG),
     "hierarchy_levels": (q_hierarchy_levels, SQL_HIERARCHY_LEVELS),
     "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
+    # Group F — ML ensemble analogue, risk, graph, seasonality, profile join
+    "ml_outlier_ensemble": (q_ml_outlier_ensemble, SQL_ML_OUTLIER_ENSEMBLE),
+    "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
+    "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
+    "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
+    "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
+    "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
 }

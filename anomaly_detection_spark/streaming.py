@@ -107,24 +107,28 @@ def streaming_referential_violations(docs_stream: DataFrame, media_catalog: Data
     )
 
 
-def streaming_duplicate_doc_ids(docs_stream: DataFrame,
-                                ctx: RuleContext | None = None,
-                                rule_id: str = "unique:doc_id") -> DataFrame:
-    """Cross-micro-batch doc_id uniqueness via ``applyInPandasWithState``.
+def make_duplicate_tracker(rule_id: str = "unique:doc_id",
+                           max_tracked_partitions: int = 32,
+                           state_ttl_ms: int | None = None):
+    """Build the ``applyInPandasWithState`` function for cross-batch doc_id
+    uniqueness. Exposed separately so the state-hygiene contract is unit-
+    testable without a running stream.
 
-    State per doc_id: (rows seen, partitions seen). Emission contract: when
-    the running count first exceeds 1, violations are emitted for ALL
-    occurrences seen so far (including the retroactive first row); later
-    arrivals emit one violation each — so after any prefix of batches the
-    emitted (partition, rule_id, doc_id) set equals the batch engine's
-    violation set on the data seen so far (detail strings carry the running
-    count at emission time, which for early-emitted rows is the count at
-    that point, not the final count).
-    """
-    ctx = ctx or RuleContext()
-    p, d = ctx.partition_col, ctx.doc_id_col
+    State per doc_id is BOUNDED: (rows seen: long, partitions: '|'-joined
+    string capped at ``max_tracked_partitions`` entries). The stored
+    partition list is only ever read back for the retroactive first-row
+    emission (which needs at most one entry), so capping it changes no
+    emitted violation — it only stops a hot duplicate key from growing state
+    linearly forever. With ``state_ttl_ms`` set, idle keys expire via
+    processing-time timeout (the RocksDB-backend analogue of TTL compaction);
+    an expiry forgets that a doc_id was seen, so a duplicate arriving later
+    than the TTL is missed — the documented trade-off for bounded state at
+    10^12 keys."""
 
     def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         doc_id = key[0]
         n_new = 0
         new_parts: list[str] = []
@@ -144,7 +148,10 @@ def streaming_duplicate_doc_ids(docs_stream: DataFrame,
                 out_parts = parts + new_parts
             else:
                 out_parts = new_parts
-        state.update((total, "|".join(parts + new_parts)))
+        kept = (parts + new_parts)[:max_tracked_partitions]
+        state.update((total, "|".join(kept)))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_parts:
             yield pd.DataFrame({
                 "partition": out_parts,
@@ -153,6 +160,28 @@ def streaming_duplicate_doc_ids(docs_stream: DataFrame,
                 "detail": f"duplicate doc_id x{total}",
             })
 
+    return track
+
+
+def streaming_duplicate_doc_ids(docs_stream: DataFrame,
+                                ctx: RuleContext | None = None,
+                                rule_id: str = "unique:doc_id",
+                                max_tracked_partitions: int = 32,
+                                state_ttl_ms: int | None = None) -> DataFrame:
+    """Cross-micro-batch doc_id uniqueness via ``applyInPandasWithState``.
+
+    Emission contract: when the running count first exceeds 1, violations are
+    emitted for ALL occurrences seen so far (including the retroactive first
+    row); later arrivals emit one violation each — so after any prefix of
+    batches the emitted (partition, rule_id, doc_id) set equals the batch
+    engine's violation set on the data seen so far. State is bounded (see
+    ``make_duplicate_tracker``)."""
+    ctx = ctx or RuleContext()
+    p, d = ctx.partition_col, ctx.doc_id_col
+    track = make_duplicate_tracker(
+        rule_id, max_tracked_partitions=max_tracked_partitions,
+        state_ttl_ms=state_ttl_ms,
+    )
     keyed = docs_stream.filter(F.col(d).isNotNull()).select(
         F.col(d).alias("doc_id"), F.col(p).alias("partition")
     )
@@ -161,5 +190,8 @@ def streaming_duplicate_doc_ids(docs_stream: DataFrame,
         outputStructType=_DUP_OUT_SCHEMA,
         stateStructType=_DUP_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1,0 +1,126 @@
+"""ML-ensemble analogue, risk scoring/forecast, seasonality, and degree
+centrality — unit tests on hand-built frames with planted truths (the
+reference-parity strategy of SURVEY.md §5: tiny obviously-correct oracles)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions import graph, ml, risk, timeseries
+
+
+# ------------------------------------------------------------------ ml
+
+def test_outlier_ensemble_flags_planted_outlier(spark):
+    """49 near-identical entities + 1 extreme one: only the plant is flagged,
+    and its robust z-score is huge (median/MAD are immune to the outlier)."""
+    rows = [(f"u{i}", 100 + (i % 3), 10, 2, 5000, 3) for i in range(49)]
+    rows.append(("u_out", 5000, 400, 90, 900000, 5))
+    feats = spark.createDataFrame(
+        rows, "user_id string, n_events long, n_offhours long, n_errors long, "
+              "value_cents long, n_types long"
+    )
+    scored = ml.outlier_scores(
+        feats, ["n_events", "n_offhours", "n_errors", "value_cents", "n_types"]
+    )
+    flagged = {r["user_id"] for r in scored.filter("is_outlier").collect()}
+    assert flagged == {"u_out"}
+    out = scored.filter("user_id = 'u_out'").first()
+    assert out["score_z"] > 100  # far beyond any inlier
+    inlier_max = scored.filter("user_id <> 'u_out'").agg(
+        F.max("ensemble_score")
+    ).first()[0]
+    assert inlier_max < 3.5
+
+
+def test_outlier_scores_match_python_oracle(spark):
+    """Closed-form check on a 5-point series where quartiles/MAD are
+    hand-computable: x = [1, 2, 3, 4, 100] single feature."""
+    feats = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 100)],
+        "user_id string, x long",
+    )
+    got = {r["user_id"]: r for r in ml.outlier_scores(feats, ["x"]).collect()}
+    # exact percentile: q1=2, med=3, q3=4, MAD=median(|x-3|)=[2,1,0,1,97]→1
+    for uid, x in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 100)]:
+        z = (x - 3) / (1.4826 * 1.0)
+        iqr = max(4 - 2, 1.0)
+        lo, hi = 2 - 1.5 * iqr, 4 + 1.5 * iqr
+        s_iqr = max(0.0, x - hi, lo - x) / iqr
+        want = 0.6 * math.sqrt(z * z) + 0.4 * s_iqr
+        assert got[uid]["ensemble_score"] == pytest.approx(want, abs=1e-6)
+
+
+# ------------------------------------------------------------------ risk
+
+def test_entity_risk_scores_formula_and_tiers(spark):
+    anomalies = spark.createDataFrame(
+        # u1: 1 anomaly sev 30 → 30+10+10 = 50 (medium)
+        # u2: 4 anomalies sev avg 90 → 30+40+30 = 100 → capped (high)
+        # u3: 1 anomaly sev 0 → 40 (medium, boundary)
+        [("u1", 30.0)] + [("u2", 90.0)] * 4 + [("u3", 0.0)],
+        "user_id string, severity double",
+    )
+    got = {r["user_id"]: r for r in risk.entity_risk_scores(anomalies).collect()}
+    assert got["u1"]["risk_score"] == 50.0 and got["u1"]["risk_tier"] == "medium"
+    assert got["u2"]["risk_score"] == 100.0 and got["u2"]["risk_tier"] == "high"
+    assert got["u3"]["risk_score"] == 40.0 and got["u3"]["risk_tier"] == "medium"
+
+
+def test_linear_forecast_exact_line(spark):
+    """A perfectly linear series forecasts exactly on the line; a clamped
+    series saturates at the bounds."""
+    rows = [("u", x, 10 + 5 * x) for x in range(10)]  # slope 5, y(16)=90
+    rows += [("v", x, 200 - 50 * x) for x in range(4)]  # plunges below 0
+    daily = spark.createDataFrame(rows, "user_id string, x long, y long")
+    got = {r["user_id"]: r for r in
+           risk.linear_forecast(daily, "user_id", "x", "y", horizon=7).collect()}
+    assert got["u"]["slope"] == pytest.approx(5.0)
+    assert got["u"]["forecast"] == pytest.approx(90.0)  # 10 + 5*(9+7) = 90
+    assert got["v"]["slope"] == pytest.approx(-50.0)
+    assert got["v"]["forecast"] == 0.0  # clamped at the floor
+
+
+# ------------------------------------------------------------ seasonality
+
+def test_dominant_period_detects_planted_cycle(spark):
+    """y = weekly square wave over 56 days ⇒ acf(7)=acf(14)=1 exactly;
+    tie-break picks the smaller lag. A noise-free linear series has acf 1 at
+    every lag too, so the wave uses distinct values per weekday."""
+    rows = [("s", x, [5, 9, 2, 7, 3, 8, 1][x % 7]) for x in range(56)]
+    daily = spark.createDataFrame(rows, "k string, x long, y long")
+    got = timeseries.dominant_period(
+        daily, "k", "x", "y", lags=[7, 14, 30], min_pairs=8
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["best_lag"] == 7
+    assert got[0]["best_acf"] == pytest.approx(1.0)
+
+
+def test_autocorr_missing_days_align_by_join(spark):
+    """Gaps must pair by actual day arithmetic, not positional shift: with
+    day 3 missing, lag-1 pairs are (1,0),(2,1),(5,4) only."""
+    rows = [("s", 0, 1), ("s", 1, 2), ("s", 2, 4), ("s", 4, 8), ("s", 5, 16)]
+    daily = spark.createDataFrame(rows, "k string, x long, y long")
+    acf = timeseries.autocorr_at_lags(daily, "k", "x", "y", [1]).collect()
+    assert acf[0]["n_pairs"] == 3
+
+
+# ------------------------------------------------------------------ graph
+
+def test_degree_centrality_small_graph(spark):
+    """Star graph a-{b,c,d} plus edge b-c; N=4 ⇒ centrality(a)=3/3=1."""
+    inter = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c")],
+        "src string, dst string",
+    )
+    edges = graph.weighted_edges(inter, "src", "dst")
+    got = {r["node"]: r for r in graph.degree_centrality(edges).collect()}
+    assert got["a"]["n_neighbors"] == 3
+    assert got["a"]["weighted_degree"] == 4  # a-b weight 2 + a-c + a-d
+    assert got["a"]["centrality_micros"] == 1_000_000
+    assert got["b"]["n_neighbors"] == 2
+    assert got["d"]["centrality_micros"] == 333_333  # floor(1e6/3 + .5)

@@ -85,6 +85,60 @@ def test_streaming_referential_matches_batch(spark, docs, catalog, stream_dirs):
     assert got == want and len(want) > 0
 
 
+class _StubState:
+    """Duck-typed GroupState for unit-testing the tracker's state hygiene."""
+
+    def __init__(self):
+        self.value = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self.value is not None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_duplicate_tracker_state_stays_bounded():
+    """A hot duplicate key must not grow state linearly: the stored partition
+    list is capped while counts and emissions stay exact."""
+    import pandas as pd
+
+    from anomaly_detection_spark.streaming import make_duplicate_tracker
+
+    track = make_duplicate_tracker(max_tracked_partitions=4, state_ttl_ms=60_000)
+    state = _StubState()
+    emitted = 0
+    for batch in range(50):
+        out = list(track(("dup",), iter([pd.DataFrame({
+            "partition": [f"p{batch}", f"p{batch}"]
+        })]), state))
+        emitted += sum(len(o) for o in out)
+    n_seen, parts_str = state.value
+    assert n_seen == 100
+    assert len(parts_str.split("|")) <= 4  # bounded, not 100 entries
+    assert state.timeout_ms == 60_000  # TTL registered on every update
+    assert emitted == 100  # every duplicate occurrence emitted exactly once
+
+    # timed-out invocation clears the state
+    state.hasTimedOut = True
+    assert list(track(("dup",), iter([]), state)) == []
+    assert state.removed and not state.exists
+
+
 def test_streaming_stateful_uniqueness_matches_batch(spark, docs, stream_dirs):
     src, ckpt = stream_dirs
     # one file per trigger ⇒ at least two micro-batches ⇒ duplicates that
