@@ -119,18 +119,9 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 8, bands: int = 2, n: int = 3,
-                        max_bucket: int | None = None) -> DataFrame:
-    """MinHash-LSH: band the k-hash signature into ``bands`` buckets; docs
-    sharing any band bucket become candidate pairs (id_a < id_b, distinct).
-
-    ONE scan of the corpus: all band buckets are emitted as an array and
-    exploded (no per-band union re-scan), then a single groupBy(bucket)
-    shuffle collects ids and pairs are expanded within the row — complexity
-    Σ|bucket|², never n². ``max_bucket`` drops degenerate buckets (e.g. the
-    empty-text bucket) that would otherwise quadratically explode at scale;
-    leave None for exact parity with a plain self-join formulation."""
+def _band_buckets(df: DataFrame, text_col: str, id_col: str,
+                  k: int, bands: int, n: int) -> DataFrame:
+    """(id, bucket) — every band bucket of every doc, from ONE signature pass."""
     rows_per_band = k // bands
     sig = minhash_signature(df, text_col, id_col, k=k, n=n)
     band_bkts = []
@@ -142,17 +133,62 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                 F.md5(F.concat_ws("|", F.lit(str(b)), *cols)),
             )
         )
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(F.filter(F.array(*band_bkts), lambda x: x.isNotNull())).alias("bucket"),
     )
+
+
+def lsh_bucket_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 8, bands: int = 2, n: int = 3,
+                     max_bucket: int = 1000) -> DataFrame:
+    """One-row observability frame for an LSH run: bucket count/size extremes
+    and — critically — how many buckets the ``max_bucket`` cap would DROP and
+    how many candidate pairs they held. Run (and log) this alongside
+    ``lsh_candidate_pairs`` at scale: a silent cap reads as full coverage."""
+    sizes = _band_buckets(df, text_col, id_col, k, bands, n) \
+        .groupBy("bucket").agg(F.count("*").alias("sz")).filter(F.col("sz") > 1)
+    over = F.col("sz") > max_bucket
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(over.cast("long")).alias("n_buckets_dropped"),
+        F.sum(F.when(over, F.col("sz") * (F.col("sz") - 1) / 2)
+              .otherwise(F.lit(0)).cast("long")).alias("pairs_dropped"),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, bands: int = 2, n: int = 3,
+                        max_bucket: int | None = 1000) -> DataFrame:
+    """MinHash-LSH: band the k-hash signature into ``bands`` buckets; docs
+    sharing any band bucket become candidate pairs (id_a < id_b, distinct).
+
+    ONE scan of the corpus: all band buckets are emitted as an array and
+    exploded (no per-band union re-scan), then a single groupBy(bucket)
+    shuffle collects ids and pairs are expanded within the row — complexity
+    Σ|bucket|², never n². ``max_bucket`` (DEFAULT 1000 — a single degenerate
+    bucket of empty/boilerplate text is quadratic at 100 TB, so unbounded is
+    opt-in via None) drops oversized buckets; pair it with
+    ``lsh_bucket_stats`` to log what was dropped.
+
+    The cap is applied as a size PREFILTER (map-side-combinable count, then a
+    broadcast anti-join against the tiny oversize-bucket set) so a degenerate
+    bucket never materializes its full id list in one ``collect_list`` row —
+    capping after collection would still OOM on the row it exists to kill."""
+    bkts = _band_buckets(df, text_col, id_col, k, bands, n)
+    if max_bucket is not None:
+        oversize = (
+            bkts.groupBy("bucket").agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_bucket)
+            .select("bucket")
+        )
+        bkts = bkts.join(F.broadcast(oversize), "bucket", "left_anti")
     grouped = (
-        buckets.groupBy("bucket")
+        bkts.groupBy("bucket")
         .agg(F.collect_list(id_col).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("_ids"),

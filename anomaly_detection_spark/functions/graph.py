@@ -62,6 +62,36 @@ def weighted_edges(df: DataFrame, src_col: str, dst_col: str,
     )
 
 
+def co_activity_pairs(df: DataFrame, entity_col: str, key_cols: list[str],
+                      max_entities_per_key: int = 10_000) -> DataFrame:
+    """(entity_a, entity_b, shared) — pairwise counts of entities sharing the
+    same activity key (≈ high-risk user-pair interaction counts,
+    ``multidimensional_detector.py:662-676``), with the self-join bounded.
+
+    The pair space is Σ_key |entities(key)|² — one degenerate key (a day
+    every user is active on) is quadratic at scale, so keys with more than
+    ``max_entities_per_key`` distinct entities are DROPPED via a map-side-
+    combinable count + broadcast anti-join before the self-join (same
+    discipline as ``dedup.lsh_candidate_pairs``). Pass a cap above the true
+    max co-activity for exact results; the default bounds worst-case pair
+    expansion at cap²·n_keys."""
+    keyed = df.select(F.col(entity_col).alias("_e"), *key_cols).distinct()
+    oversize = (
+        keyed.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_entities_per_key)
+        .select(*key_cols)
+    )
+    kept = keyed.join(F.broadcast(oversize), key_cols, "left_anti")
+    a = kept.select(F.col("_e").alias("entity_a"), *key_cols)
+    b = kept.select(F.col("_e").alias("entity_b"), *key_cols)
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
 def degree_centrality(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
     """Per-node degree centrality over an undirected view of weighted edges
     (≈ ``graph_metrics.py:46-52`` nx.degree_centrality + weighted degree).

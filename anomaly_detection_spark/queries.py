@@ -1304,21 +1304,21 @@ FROM scored GROUP BY source
 def q_user_pair_interactions(spark, sf):
     """J4: self-join pairwise interaction counts — users co-active on the
     same (event_type, day) (≈ high-risk user-pair correlation,
-    multidimensional_detector.py:662-676), top-20 pairs."""
+    multidimensional_detector.py:662-676), top-20 pairs. The self-join is
+    key-capped (graph.co_activity_pairs) so one degenerate day can't go
+    quadratic at scale; the default cap is far above real co-activity here
+    (max 587 at sf0.1), so results are exact."""
+    from anomaly_detection_spark.functions import graph
+
     e = load(spark, sf, "events")
-    ud = (
-        e.select(
-            "user_id", "event_type",
-            F.col("ts").cast("date").alias("d"),
-        ).distinct()
-    )
-    a = ud.select(F.col("user_id").alias("user_a"), "event_type", "d")
-    b = ud.select(F.col("user_id").alias("user_b"), "event_type", "d")
+    keyed = e.select("user_id", "event_type", F.col("ts").cast("date").alias("d"))
     return (
-        a.join(b, ["event_type", "d"])
-        .filter(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(F.count("*").alias("shared"))
+        graph.co_activity_pairs(keyed, "user_id", ["event_type", "d"])
+        .select(
+            F.col("entity_a").alias("user_a"),
+            F.col("entity_b").alias("user_b"),
+            "shared",
+        )
         .orderBy(F.desc("shared"), F.asc("user_a"), F.asc("user_b"))
         .limit(20)
     )

@@ -39,6 +39,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--resume", action="store_true",
                     help="skip (partition, rule_id) pairs already committed for this snapshot")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--report-json", default=None,
+                    help="also write a driver-side JSON summary report "
+                         "(per-rule totals; ≈ the reference's summary report)")
+    ap.add_argument("--export-csv", default=None,
+                    help="also export the violation rows as headered CSV "
+                         "(≈ the reference's export_all_anomalies_csv)")
     return ap.parse_args(argv)
 
 
@@ -100,10 +106,34 @@ def main(argv: list[str] | None = None) -> int:
     result.violations.write.mode(mode).parquet(f"{args.output}/violations")
     result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
     result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
+    if args.export_csv:
+        # S5: distributed CSV sink of the violation rows
+        result.violations.write.mode(mode).option("header", True).csv(args.export_csv)
     if manifest is not None:
         manifest.commit(result.metrics)
 
     n_fail = result.verdicts.filter("NOT pass").count()
+    if args.report_json:
+        # S4: small driver-side JSON summary over the (already tiny) verdict
+        # grid — per-rule rollup, not per-row data (safe to collect)
+        import json
+
+        from pyspark.sql import functions as F
+
+        per_rule = [
+            r.asDict()
+            for r in result.verdicts.groupBy("rule_id").agg(
+                F.count("*").alias("partitions"),
+                F.sum((~F.col("pass")).cast("long")).alias("failing_partitions"),
+                F.sum("violation_count").alias("violations"),
+            ).orderBy("rule_id").collect()
+        ]
+        with open(args.report_json, "w") as fh:
+            json.dump(
+                {"snapshot_id": args.snapshot_id, "failing_pairs": n_fail,
+                 "rules": per_rule},
+                fh, indent=2,
+            )
     print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs={n_fail}")
     spark.stop()
     return 0

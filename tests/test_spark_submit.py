@@ -76,13 +76,30 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
             "--snapshot-id", "s_test",
         ]
         first = subprocess.run(
-            args, capture_output=True, text=True, timeout=600, env=env,
+            args + ["--report-json", f"{base}/report.json",
+                    "--export-csv", f"{base}/out_csv"],
+            capture_output=True, text=True, timeout=600, env=env,
             cwd=base,  # NOT the repo root: only the zip provides the package
         )
         assert first.returncode == 0, first.stderr[-2000:]
         assert "VALIDATION_DONE snapshot=s_test" in first.stdout
         for sub in ("verdicts", "violations", "metrics"):
             assert os.path.exists(f"{base}/out/{sub}/_SUCCESS")
+
+        # S4/S5 sinks: JSON summary parses and carries per-rule rollups;
+        # CSV export has a header and the violation rows
+        import json as _json
+
+        with open(f"{base}/report.json") as fh:
+            report = _json.load(fh)
+        assert report["snapshot_id"] == "s_test" and report["failing_pairs"] > 0
+        assert {r["rule_id"] for r in report["rules"]} >= {"not_null:doc_id",
+                                                           "unique:doc_id"}
+        csv_files = [f for f in os.listdir(f"{base}/out_csv")
+                     if f.endswith(".csv")]
+        assert csv_files
+        with open(f"{base}/out_csv/{csv_files[0]}") as fh:
+            assert fh.readline().strip() == "partition,rule_id,doc_id,detail"
 
         # verdicts carry failing pairs (the fixture plants defects)
         line = [ln for ln in first.stdout.splitlines() if "VALIDATION_DONE" in ln][0]
