@@ -92,18 +92,78 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_multiprobe_topk(
+    emb: DataFrame, k: int = 3, n_planes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN: each query probes its own sign bucket
+    PLUS the ``n_planes`` buckets at Hamming distance 1 (one flipped bit) —
+    the standard multi-probe recall fix for the single-bucket LSH ceiling
+    (a true neighbour that lands one sign-bit away is found, not lost).
+
+    Physical shape: candidates carry ONE bucket; queries explode to
+    ``n_planes + 1`` probe buckets; the join stays a bucket equi-join
+    (Σ|bucket|²·(p+1) work, never n²). Probe buckets are distinct strings,
+    so each (query, neighbour) pair joins at most once — no dedup pass."""
+    bucket = lsh_sign_bucket(F.col(vec_col), n_planes, dim)
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        bucket.alias("_b0"),
+    )
+
+    def flip(j: int) -> Column:
+        bit = F.when(F.substring("_b0", j, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring("_b0", 1, j - 1), bit,
+            F.substring("_b0", j + 1, n_planes - j),
+        )
+
+    probes = F.array(F.col("_b0"), *[flip(j) for j in range(1, n_planes + 1)])
+    q = base.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.explode(probes).alias("_b"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = base.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_b0").alias("_b"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        q.join(c, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_sign_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket as a bit string. Hyperplane components
-    are deterministic pseudo-randoms derived from (plane, dim-index) hashes —
-    reproducible across engines and runs without storing planes."""
+    are deterministic pseudo-randoms derived from md5 of (plane, dim-index) —
+    md5 (unlike xxhash64) is bit-identical in every SQL engine, so buckets
+    are reproducible across engines and runs without storing planes.
+    Component = (first-4-hex-digits − 32767.5) / 32768 ∈ (−1, 1)."""
+
+    def plane_comps(p: int) -> Column:
+        # closure factory, NOT a default-arg lambda: F.transform passes the
+        # element index as a second lambda arg, clobbering default args
+        def comp(i: Column) -> Column:
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 4),
+                16, 10,
+            ).cast("long")
+            return (h - 32767.5) / 32768.0
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
     bits = []
     for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.pmod(F.xxhash64(F.concat(F.lit(f"{p}:"), i.cast("string"))), F.lit(1000)) - 499.5) / 500.0,
-        )
         s = F.aggregate(
-            F.zip_with(vec_col, comps, lambda v, c: v.cast("double") * c),
+            F.zip_with(vec_col, plane_comps(p), lambda v, c: v.cast("double") * c),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))

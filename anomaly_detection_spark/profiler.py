@@ -137,8 +137,11 @@ def span_kind_counts(
     )
     if not salt_buckets:
         return ex.groupBy("partition", "kind").agg(F.count("*").alias("span_count"))
+    # monotonically_increasing_id is sequential within each task, so pmod
+    # alone spreads rows across salts evenly — hashing it first is wasted
+    # work (a salt only needs spread, not layout-independence)
     salted = ex.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     partial = salted.groupBy("partition", "kind", "_salt").agg(
         F.count("*").alias("_c")

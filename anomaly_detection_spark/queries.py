@@ -997,6 +997,88 @@ SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
 """
 
 
+def q_embedding_lsh_buckets(spark, sf):
+    """Hyperplane-LSH bucketing of embeddings (the alternative coarse
+    quantizer for ivf_topk when no cluster labels exist): 8 sign bits from
+    md5-derived deterministic hyperplanes — engine-reproducible, so the
+    bucket assignment itself is oracle-checked bit-for-bit."""
+    emb = load(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        similarity.lsh_sign_bucket(F.col("embedding"), n_planes=8, dim=64).alias("bucket"),
+    )
+
+
+def _lsh_bucket_bits_sql(vec: str = "embedding", n_planes: int = 8) -> str:
+    """DuckDB expression mirroring similarity.lsh_sign_bucket bit-for-bit:
+    md5-derived plane components, left-fold float sums (list_reduce ==
+    F.aggregate fold order)."""
+    planes = []
+    for p in range(n_planes):
+        comp = (
+            f"((CAST(('0x' || substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS INT)"
+            f" - 32767.5) / 32768.0)"
+        )
+        s = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, 64), i -> CAST({vec}[i] AS DOUBLE) * {comp})), "
+            "(acc, v) -> acc + v)"
+        )
+        planes.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(planes)
+
+
+SQL_EMBEDDING_LSH_BUCKETS = (
+    f"SELECT vec_id, {_lsh_bucket_bits_sql()} AS bucket FROM embeddings"
+)
+
+
+def q_embedding_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH ANN: own bucket + every Hamming-distance-1 bucket —
+    the recall fix over single-bucket IVF/LSH; join stays per-bucket."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.lsh_multiprobe_topk(emb, k=3, n_planes=8, dim=64)
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+
+SQL_EMBEDDING_LSH_MULTIPROBE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_lsh_bucket_bits_sql()} AS b0 FROM embeddings
+), probes AS (
+  SELECT vec_id, embedding,
+         list_concat([b0], list_transform(generate_series(1, 8),
+           j -> substr(b0, 1, j - 1)
+                || (CASE WHEN substr(b0, j, 1) = '1' THEN '0' ELSE '1' END)
+                || substr(b0, j + 1, 8 - j))) AS pl
+  FROM base
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, UNNEST(pl) AS b FROM probes
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, b0 AS b FROM base
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_DOT_SQL.format(a='qv', b='cv')}
+               / ({_NORM_SQL.format(a='qv')} * {_NORM_SQL.format(a='cv')}), 6) AS cos
+  FROM q JOIN c USING (b) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # =====================================================================
 # Group D — multimodal binary-column plumbing
 # =====================================================================
@@ -1774,6 +1856,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
+    "embedding_lsh_multiprobe": (q_embedding_lsh_multiprobe, SQL_EMBEDDING_LSH_MULTIPROBE),
     # Group D — multimodal
     "media_metadata_stats": (q_media_metadata_stats, SQL_MEDIA_METADATA_STATS),
     "media_feature_extract": (q_media_feature_extract, SQL_MEDIA_FEATURE_EXTRACT),

@@ -105,12 +105,23 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
     )
 
     def one_pass() -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         result = ValidationRun(spark, docs, rules, media_catalog=catalog).run(
             resume=False
         )
+        # Submit the two independent jobs CONCURRENTLY (Spark schedules
+        # actions from separate threads into the same task pool): the salted
+        # span-kind agg fills the core-idle tails of the verdict job's
+        # stage barriers instead of running serially after them. Forcing
+        # verdicts also materializes the violations cache, so the explicit
+        # violations force afterwards is a near-free cache read.
+        with ThreadPoolExecutor(2) as ex:
+            f_verd = ex.submit(_force, result.verdicts)
+            f_kind = ex.submit(_force, span_kind_counts(docs, salt_buckets=16))
+            f_verd.result()
+            f_kind.result()
         _force(result.violations)
-        _force(result.verdicts)
-        _force(span_kind_counts(docs, salt_buckets=16))
         # drop the cache so the timed pass re-executes the full topology
         # (Spark's CacheManager matches by logical plan — a leftover cache
         # would silently turn the next pass into a cache read)
@@ -144,7 +155,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         pairs = [
             tuple(p.split(":"))
-            for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32").split(",")
+            for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1:4,2:8,8:32").split(",")
         ]
         cores_needed = sorted({c for p in pairs for c in p}, key=int)
         by_cores = {}
@@ -164,9 +175,11 @@ def main() -> None:
             rows.append((n, n4, rn, r4, eff))
         docs = by_cores[cores_needed[0]]["docs"]
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
+        # raw per-run output; BENCH/BASELINE.md is the curated multi-run
+        # analysis (variance, barrier account) and is maintained by hand
+        with open("BENCH/SCALING_RUN.md", "w") as f:
             f.write(
-                "# BENCH/BASELINE — multi-parallelism scaling evidence\n\n"
+                "# BENCH scaling run (raw, single execution)\n\n"
                 "Same validation job (full rule suite: fused row rules, uniqueness,\n"
                 "broadcast referential, prescreened Arrow span-sequence check, salted\n"
                 f"span-kind agg) over one {docs:,}-doc interleaved-documents parquet\n"
