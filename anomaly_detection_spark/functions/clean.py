@@ -1,0 +1,75 @@
+"""Missing-value repair — the distributed form of the reference's
+imputation pass (``/root/reference/anomaly_detection/preprocessors/
+data_normalizer.py:506-537``: numeric → median, categorical → mode,
+else "unknown").
+
+Both statistics are computed in tiny aggregation passes and joined back as
+a broadcast (1-row stats frame), so the fill itself is a pure projection —
+no window over all rows, no per-row Python. Median uses exact
+``percentile`` (cross-engine reproducible); mode tie-breaks
+deterministically (highest count, then smallest value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row frame with the modal value of each column (nulls excluded;
+    ties broken by smallest value so the mode is deterministic).
+
+    Per column: one hash agg for value counts, then a ``min_by`` over the
+    struct key (−count, value) — max count, then min value — so there is no
+    single-partition window even when a column has millions of distinct
+    values."""
+    out = None
+    for c in cols:
+        mode_df = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c).agg(F.count("*").alias("_cnt"))
+            .agg(F.expr(f"min_by(`{c}`, struct(-_cnt, `{c}`))").alias(f"_mode_{c}"))
+        )
+        out = mode_df if out is None else out.crossJoin(mode_df)
+    return out
+
+
+def fill_missing(
+    df: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    fallback: str = "unknown",
+) -> DataFrame:
+    """Fill nulls: numeric columns with their exact median, categorical
+    columns with their mode (falling back to ``fallback`` when a column is
+    entirely null). Returns the frame with the same schema, values filled."""
+    numeric_cols = numeric_cols or []
+    categorical_cols = categorical_cols or []
+    stats = None
+    if numeric_cols:
+        med_aggs = [
+            F.expr(f"percentile({c}, 0.5)").alias(f"_med_{c}") for c in numeric_cols
+        ]
+        stats = df.agg(*med_aggs)
+    if categorical_cols:
+        modes = column_modes(df, categorical_cols)
+        stats = modes if stats is None else stats.crossJoin(modes)
+    if stats is None:
+        return df
+
+    filled = df.crossJoin(F.broadcast(stats))
+    exprs = []
+    for c in df.columns:
+        if c in numeric_cols:
+            dt = dict(df.dtypes)[c]
+            exprs.append(
+                F.coalesce(F.col(c), F.col(f"_med_{c}").cast(dt)).alias(c)
+            )
+        elif c in categorical_cols:
+            exprs.append(
+                F.coalesce(F.col(c), F.col(f"_mode_{c}"), F.lit(fallback)).alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    return filled.select(*exprs)

@@ -103,15 +103,17 @@ def degree_centrality(edges: DataFrame, weight_col: str = "weight") -> DataFrame
     1-row node count; no iteration, no driver collect — the cheap win of the
     centrality family at 10^12 edges (betweenness/closeness need sampled
     shortest paths and stay out of the default suite)."""
+    # undirected view via per-row explode, NOT a union of two selects: a
+    # union re-executes the whole upstream edge-build plan twice; exploding
+    # both directions from each edge row keeps it to one execution
     sym = edges.select(
-        F.col("src").alias("node"), F.col("dst").alias("other"),
-        F.col(weight_col).alias("w"),
-    ).unionByName(
-        edges.select(
-            F.col("dst").alias("node"), F.col("src").alias("other"),
-            F.col(weight_col).alias("w"),
-        )
-    )
+        F.explode(F.array(
+            F.struct(F.col("src").alias("node"), F.col("dst").alias("other"),
+                     F.col(weight_col).alias("w")),
+            F.struct(F.col("dst").alias("node"), F.col("src").alias("other"),
+                     F.col(weight_col).alias("w")),
+        )).alias("_e")
+    ).select("_e.node", "_e.other", "_e.w")
     deg = sym.groupBy("node").agg(
         F.countDistinct("other").alias("n_neighbors"),
         F.sum("w").alias("weighted_degree"),

@@ -12,8 +12,6 @@ so the cost is O(series length · lags) regardless of corpus size.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,34 +34,37 @@ def autocorr_at_lags(
     a = daily.select(
         F.col(key_col).alias("_k"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
     )
-    per_lag = []
-    for lag in lags:
-        b = daily.select(
-            F.col(key_col).alias("_k"),
-            (F.col(x_col) + F.lit(lag)).alias("_x"),
-            F.col(y_col).alias("_yl"),
-        )
-        pairs = a.join(b, ["_k", "_x"])
-        agg = pairs.groupBy("_k").agg(
-            F.count("*").alias("n_pairs"),
-            F.sum("_y").alias("_sx"), F.sum("_yl").alias("_sy"),
-            F.sum(F.col("_y") * F.col("_y")).alias("_sxx"),
-            F.sum(F.col("_yl") * F.col("_yl")).alias("_syy"),
-            F.sum(F.col("_y") * F.col("_yl")).alias("_sxy"),
-        )
-        n, sx, sy = F.col("n_pairs"), F.col("_sx"), F.col("_sy")
-        num = (n * F.col("_sxy") - sx * sy).cast("double")
-        vx = (n * F.col("_sxx") - sx * sx).cast("double")
-        vy = (n * F.col("_syy") - sy * sy).cast("double")
-        per_lag.append(
-            agg.filter((vx > 0) & (vy > 0)).select(
-                F.col("_k").alias(key_col),
-                F.lit(lag).alias("lag"),
-                "n_pairs",
-                F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
-            )
-        )
-    return reduce(lambda x, y: x.unionByName(y), per_lag)
+    # ONE lag-exploded self-join, not one join per lag: a per-lag loop of
+    # joins re-executes the upstream daily aggregation (and its full input
+    # scan) len(lags)·2 times — Catalyst's exchange reuse only partially
+    # collapses it. Exploding the shifted (lag, x) probes on the build side
+    # keeps the whole computation at two aggregate executions and one join
+    # regardless of how many lags are requested.
+    probes = F.explode(F.array(*[
+        F.struct(F.lit(lag).alias("lag"), (F.col(x_col) + F.lit(lag)).alias("_x"))
+        for lag in lags
+    ]))
+    b = daily.select(
+        F.col(key_col).alias("_k"), F.col(y_col).alias("_yl"), probes.alias("_p")
+    ).select("_k", "_yl", F.col("_p.lag").alias("lag"), F.col("_p._x").alias("_x"))
+    pairs = a.join(b, ["_k", "_x"])
+    agg = pairs.groupBy("_k", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("_y").alias("_sx"), F.sum("_yl").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sxx"),
+        F.sum(F.col("_yl") * F.col("_yl")).alias("_syy"),
+        F.sum(F.col("_y") * F.col("_yl")).alias("_sxy"),
+    )
+    n, sx, sy = F.col("n_pairs"), F.col("_sx"), F.col("_sy")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    vx = (n * F.col("_sxx") - sx * sx).cast("double")
+    vy = (n * F.col("_syy") - sy * sy).cast("double")
+    return agg.filter((vx > 0) & (vy > 0)).select(
+        F.col("_k").alias(key_col),
+        "lag",
+        "n_pairs",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+    )
 
 
 def dominant_period(

@@ -1783,6 +1783,51 @@ def q_user_profile_deviation(spark, sf):
     )
 
 
+def q_missing_value_fill(spark, sf):
+    """P12 missing-value imputation (data_normalizer.py:506-537): nulls are
+    planted deterministically (lang when doc_id%7==0, n_chars when
+    doc_id%11==0 — the raw driver tables ship null-free), then repaired —
+    numeric → exact median (truncated into the column's integer type),
+    categorical → deterministic mode — and the filled frame is rolled up."""
+    from anomaly_detection_spark.functions import clean
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(7)) != 0, F.col("lang")).alias("lang"),
+        F.when(F.pmod("doc_id", F.lit(11)) != 0, F.col("n_chars")).alias("n_chars"),
+    )
+    filled = clean.fill_missing(d, numeric_cols=["n_chars"], categorical_cols=["lang"])
+    return filled.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_MISSING_VALUE_FILL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang,
+         CASE WHEN doc_id % 11 <> 0 THEN n_chars END AS n_chars
+  FROM documents
+), med AS (
+  SELECT CAST(TRUNC(quantile_cont(n_chars, 0.5)) AS BIGINT) AS m FROM d
+), mode AS (
+  SELECT lang AS mv FROM (
+    SELECT lang, COUNT(*) AS cnt FROM d WHERE lang IS NOT NULL GROUP BY lang
+  ) ORDER BY cnt DESC, lang ASC LIMIT 1
+), filled AS (
+  SELECT COALESCE(d.lang, mode.mv, 'unknown') AS lang,
+         COALESCE(d.n_chars, med.m) AS n_chars
+  FROM d, med, mode
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM filled GROUP BY lang
+"""
+
+
 SQL_USER_PROFILE_DEVIATION = f"""
 WITH daily AS (
   SELECT user_id,
@@ -1879,4 +1924,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
+    "missing_value_fill": (q_missing_value_fill, SQL_MISSING_VALUE_FILL),
 }

@@ -68,6 +68,31 @@ def read_document_stream(spark, path: str, max_files_per_trigger: int | None = N
     return reader.parquet(path)
 
 
+def streaming_windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time windows WITH a late-data watermark (SURVEY §2.8:
+    the streaming form of W2): counts per (window, key), where a window is
+    finalized — and its state evicted — once the watermark (max event time −
+    ``watermark``) passes its end. Late rows inside the allowance are
+    aggregated correctly; rows later than the allowance are dropped, which
+    is what bounds the state store at 10^12-event scale."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col, "n",
+        )
+    )
+
+
 def streaming_row_violations(docs_stream: DataFrame, rules: RuleSet,
                              ctx: RuleContext | None = None) -> DataFrame:
     """The batch engine's fused row-rule pass applied to a streaming frame —

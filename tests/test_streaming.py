@@ -85,6 +85,58 @@ def test_streaming_referential_matches_batch(spark, docs, catalog, stream_dirs):
     assert got == want and len(want) > 0
 
 
+def test_streaming_windowed_counts_watermark_semantics(spark):
+    """Watermark + tumbling window on a file stream: with two time-ordered
+    micro-batches, append mode must emit exactly the windows whose end the
+    first batch's watermark (max event time − 1h) passed — matching the
+    batch aggregation on those windows — and withhold everything later."""
+    import datetime
+
+    from anomaly_detection_spark.streaming import streaming_windowed_counts
+
+    base = tempfile.mkdtemp(prefix="stream_events_")
+    try:
+        # watermarks require TIMESTAMP (testdata ships TIMESTAMP_NTZ);
+        # session TZ is UTC so the cast is value-preserving
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        split = "2024-01-15"
+        events.filter(F.col("ts") < split).coalesce(1).write.parquet(f"{base}/in/b0")
+        events.filter(F.col("ts") >= split).coalesce(1).write.parquet(f"{base}/in/b1")
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in/*")
+        )
+        got_df = _run_to_memory(
+            streaming_windowed_counts(stream), spark, "win_counts", f"{base}/ckpt"
+        )
+        got = {
+            (r["window_start"], r["event_type"], r["n"]) for r in got_df.collect()
+        }
+
+        # expected: batch daily counts for every window the FINAL watermark
+        # (max event time − 1h) closed — availableNow runs a trailing
+        # no-data micro-batch that flushes state up to that watermark, so
+        # only the still-open last window(s) are withheld
+        wm = events.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+        want = {
+            (r["window_start"], r["event_type"], r["n"])
+            for r in events.groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            ).agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type", "n")
+            .filter(F.col("window_end") <= wm).collect()
+        }
+        assert got == want and len(want) > 0
+
+
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 class _StubState:
     """Duck-typed GroupState for unit-testing the tracker's state hygiene."""
 
