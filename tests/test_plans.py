@@ -105,3 +105,60 @@ def test_fused_pass_is_single_scan_wholestage(spark, docs_on_disk):
     assert tree.count("Scan parquet") == 1
     # the shared span-stats aggregate is evaluated once, not per rule
     assert plan.count("aggregate(spans") == 1
+
+
+# ------------------------------------------------------------ round-2 ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ml_outlier_stats_join_is_broadcast(spark):
+    """The global quartile/MAD stats frames join back via broadcast — a
+    regression to SortMergeJoin would shuffle all entities against a
+    1-row frame."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["ml_outlier_ensemble"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_seasonality_is_single_join_two_aggregate_executions(spark):
+    """All requested lags ride ONE exploded self-join: the plan must contain
+    exactly two executions of the daily aggregation's input scan, not
+    2·len(lags)."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["seasonality_periods"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_centrality_single_edge_build(spark):
+    """The undirected view explodes both directions per edge row — the
+    edge-build join subtree must appear once in the main branch, not be
+    unioned into two executions."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["degree_centrality"][0](spark, SF))
+    assert "Union" not in plan  # explode, not union-of-selects
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_join_is_bucket_equi_join(spark):
+    """Multi-probe LSH must stay a bucket equi-join (broadcast or shuffled
+    hash) — never a cross join over all vector pairs."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["embedding_lsh_multiprobe"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fill_missing_stats_are_broadcast(spark):
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["missing_value_fill"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
