@@ -92,6 +92,205 @@ def co_activity_pairs(df: DataFrame, entity_col: str, key_cols: list[str],
     )
 
 
+def _sym(edges: DataFrame, weight_col: str | None = None) -> DataFrame:
+    """Undirected (node, other[, w]) view — both directions exploded from
+    each edge row so the upstream edge-build plan executes once (a union of
+    two selects would execute it twice)."""
+    w = [F.col(weight_col).alias("w")] if weight_col else []
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col("src").alias("node"), F.col("dst").alias("other"), *w),
+            F.struct(F.col("dst").alias("node"), F.col("src").alias("other"), *w),
+        )).alias("_e")
+    ).select("_e.*")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient
+    (≈ ``graph_metrics.py:70-74`` nx.triangles / nx.clustering).
+
+    Degree-oriented wedge enumeration — each undirected edge is directed
+    from its lower-(degree, id) endpoint to its higher one, wedges are
+    enumerated at the low-rank apex, and a semi-join against the directed
+    edge set closes them. Each triangle is found exactly once and the wedge
+    count is Σ outdeg² with outdeg ≤ O(√|E|) under degree orientation — the
+    standard bound that keeps one celebrity node from going quadratic at
+    10^12 edges (id-orientation has no such bound). Output per node:
+    ``degree``, ``triangles``, and ``clustering_micros`` =
+    floor(1e6 · 2·tri / (deg·(deg−1)) + 0.5) (0 when deg < 2)."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = _sym(e.select(F.col("a").alias("src"), F.col("b").alias("dst"))) \
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    ranked = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = fwd.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = fwd.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = w1.join(w2, "u").filter(x_first)
+    closing = fwd.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node", "deg", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+    clus = F.col("triangles") * 2e6 / (F.col("deg") * (F.col("deg") - 1.0))
+    return out.select(
+        "node", F.col("deg").alias("degree"), "triangles",
+        F.when(F.col("deg") < 2, F.lit(0)).otherwise(
+            F.floor(clus + 0.5).cast("long")
+        ).alias("clustering_micros"),
+    )
+
+
+def eigenvector_scores(edges: DataFrame, weight_col: str = "weight",
+                       iters: int = 4) -> DataFrame:
+    """Eigenvector centrality by power iteration
+    (≈ ``graph_metrics.py:63-67`` nx.eigenvector_centrality).
+
+    ``iters`` un-normalized integer iterations s_{k+1}(u) = Σ_v w(u,v)·s_k(v)
+    from s_0 ≡ 1, then one normalization by the max — exact int64 arithmetic
+    end to end, so the result is bit-identical across engines (a float power
+    iteration is summation-order-dependent). Caller must keep
+    (max weighted degree)^iters < 2^63 — at larger scale switch to doubles
+    with per-iteration normalization and drop exact-oracle comparability.
+    Each iteration is one shuffle join + aggregation; no driver loop state.
+
+    The final max-score normalization branch re-executes the iteration chain
+    (column pruning makes the two subtrees non-identical, so exchange reuse
+    cannot collapse them); at 10^12 edges, localCheckpoint the edge frame —
+    or the returned frame before the final select — to pay the chain once."""
+    adj = _sym(edges, weight_col)
+    s = adj.select("node").distinct().select(
+        "node", F.lit(1).cast("long").alias("score")
+    )
+    for _ in range(iters):
+        s = (
+            adj.join(s.withColumnRenamed("node", "other"), "other")
+            .groupBy("node")
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+        )
+    mx = s.agg(F.max("score").alias("_mx"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        "node", "score",
+        F.floor(F.col("score") * 1e6 / F.col("_mx") + 0.5)
+        .cast("long").alias("eigen_micros"),
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(node, component) with component = min node id reachable — min-label
+    propagation to fixpoint, the scalable stand-in for the reference's
+    community detection (``graph_metrics.py:76-81``; greedy modularity is
+    inherently sequential, label propagation is the standard distributed
+    substitute). Each round is a neighbor-min join + a pointer-jump join
+    (component ← component's component, i.e. path compression), so
+    convergence is O(log diameter) rounds, not O(diameter) — on a 10^12-edge
+    graph with a long chain that is the difference between ~40 and ~10^6
+    shuffles. The adjacency is materialized once (localCheckpoint — at real
+    scale a disk-persisted checkpoint) so the upstream edge build does not
+    re-execute every round; lineage truncated per round. Node ids must
+    be numeric (the Σlabel convergence witness needs a sum); hash string ids
+    to int64 (xxhash64) before calling."""
+    adj = _sym(edges).localCheckpoint()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(
+                labels.select(F.col("node").alias("other"),
+                              F.col("component").alias("_nc")),
+                "other",
+            )
+            .groupBy("node").agg(F.min("_nc").alias("_m"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("_m", "component")).alias("component"),
+        )
+        # pointer jump: every component id is itself a node, so one join
+        # rewrites each label to its label's label, halving chain lengths
+        new = (
+            stepped.join(
+                stepped.select(F.col("node").alias("component"),
+                               F.col("component").alias("_cc")),
+                "component",
+            )
+            .select("node", F.least("component", "_cc").alias("component"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so Σcomponent is a monotone convergence
+        # witness: one cheap aggregation over the checkpointed frame instead
+        # of an old⋈new join-and-count per round
+        label_sum = new.agg(F.sum("component")).collect()[0][0]
+        labels = new
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels
+
+
+def landmark_closeness(edges: DataFrame, n_landmarks: int = 8,
+                       max_depth: int = 4) -> DataFrame:
+    """Closeness centrality against a deterministic landmark set — the
+    sampled-BFS stand-in for ``graph_metrics.py:49-50`` nx.closeness
+    (exact all-pairs BFS is O(V·E); landmark BFS is the standard scale
+    substitute, state O(V·|landmarks|)). Landmarks are the ``n_landmarks``
+    smallest node ids. Per node (landmarks at distance ≥ 1 within
+    ``max_depth``): ``n_reached``, ``total_dist``, ``closeness_micros`` =
+    floor(1e6 · n_reached / total_dist + 0.5). The adjacency is materialized
+    once so the edge build does not re-execute per BFS level."""
+    adj = _sym(edges).localCheckpoint()
+    landmarks = (
+        adj.select("node").distinct().orderBy("node").limit(n_landmarks)
+        .select(F.col("node").alias("root"))
+    )
+    visited = landmarks.select(
+        "root", F.col("root").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select("root", F.col("other").alias("node"), F.lit(depth).alias("d"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    reached = visited.filter(F.col("d") > 0)
+    return reached.groupBy("node").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("d").alias("total_dist"),
+        F.floor(F.count("*") * 1e6 / F.sum("d") + 0.5)
+        .cast("long").alias("closeness_micros"),
+    )
+
+
 def degree_centrality(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
     """Per-node degree centrality over an undirected view of weighted edges
     (≈ ``graph_metrics.py:46-52`` nx.degree_centrality + weighted degree).

@@ -88,6 +88,51 @@ def sensitivity_score(col: Column | str, weights: dict[str, float] | None = None
     return F.round(F.least(acc, F.lit(1.0)), 6)
 
 
+FILE_TYPE_BUCKETS = {
+    "document": ["doc", "docx", "txt", "pdf", "rtf"],
+    "spreadsheet": ["xls", "xlsx", "csv"],
+    "presentation": ["ppt", "pptx"],
+    "image": ["jpg", "jpeg", "png", "gif", "bmp"],
+    "audio": ["mp3", "wav", "ogg"],
+    "video": ["mp4", "avi", "mov", "wmv"],
+    "archive": ["zip", "tar", "gz", "rar"],
+    "executable": ["exe", "dll", "bat"],
+}
+
+
+def normalize_path(col: Column | str) -> Column:
+    """Path with separators normalized to ``/`` (the reference accepts
+    Windows-style paths, ``data_normalizer.py:231-234``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(c, F.lit("\\"), F.lit("/"))
+
+
+def path_filename(col: Column | str) -> Column:
+    """Last path segment of a normalized path (the whole string when there
+    is no separator)."""
+    return F.element_at(F.split(normalize_path(col), "/"), -1)
+
+
+def path_extension(col: Column | str) -> Column:
+    """Lower-cased extension of the filename; '' when the filename has no
+    dot (``data_normalizer.py:241-243`` semantics)."""
+    fn = path_filename(col)
+    return F.when(
+        fn.contains("."), F.lower(F.element_at(F.split(fn, r"\."), -1))
+    ).otherwise(F.lit(""))
+
+
+def file_type(ext_col: Column | str) -> Column:
+    """Extension → coarse file-type bucket (P8; the reference's
+    ``get_file_type`` table, ``data_normalizer.py:245-268``): one CASE chain,
+    whole-stage codegen, no UDF. '' ⇒ 'unknown', unmatched ⇒ 'other'."""
+    e = F.col(ext_col) if isinstance(ext_col, str) else ext_col
+    out = F.when(e == "", F.lit("unknown"))
+    for bucket, exts in FILE_TYPE_BUCKETS.items():
+        out = out.when(e.isin(exts), F.lit(bucket))
+    return out.otherwise(F.lit("other"))
+
+
 def word_val(t: Column) -> Column:
     """Deterministic small integer per word — identical in Spark and ANSI SQL:
     ``length(w)*31 + ascii(substr(w,1,1))``."""

@@ -1858,6 +1858,238 @@ FROM flagged GROUP BY user_id
 """
 
 
+def q_path_type_classify(spark, sf):
+    """P8 path/kind classify, complete semantics: separator normalization,
+    filename + extension extraction, extension→file-type buckets — the
+    reference's ``normalize_file_paths``/``get_file_type`` table
+    (data_normalizer.py:204-270) as one CASE chain, no UDF. Paths are
+    derived deterministically from document columns (this corpus carries no
+    path column): Windows-style separators for every third doc, a 12-way
+    extension cycle plus a no-extension case, so every normalization branch
+    is exercised. All whole-stage codegen."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 13
+    exts = ["pdf", "docx", "csv", "xlsx", "pptx", "jpg", "png", "mp3",
+            "mp4", "zip", "exe", "xyz"]
+    ext_pick = F.element_at(
+        F.array(*[F.lit(x) for x in exts]), ((m % 12) + 1).cast("int")
+    )
+    sep = F.when(F.col("doc_id") % 3 == 0, F.lit("\\")).otherwise(F.lit("/"))
+    fname = F.when(
+        m == 12, F.concat(F.lit("readme_"), F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
+                 F.lit("."), ext_pick)
+    )
+    raw = F.concat(F.lit("data"), sep, F.col("source"), sep, fname)
+    classified = d.select(
+        text.path_extension(raw).alias("extension"),
+        text.file_type(text.path_extension(raw)).alias("file_type"),
+    )
+    return (
+        classified.groupBy("file_type", "extension")
+        .agg(F.count("*").alias("n_files"))
+        .orderBy("file_type", "extension")
+    )
+
+
+_SQL_FILE_TYPE_CASE = """
+    CASE WHEN extension = '' THEN 'unknown'
+         WHEN extension IN ('doc','docx','txt','pdf','rtf') THEN 'document'
+         WHEN extension IN ('xls','xlsx','csv') THEN 'spreadsheet'
+         WHEN extension IN ('ppt','pptx') THEN 'presentation'
+         WHEN extension IN ('jpg','jpeg','png','gif','bmp') THEN 'image'
+         WHEN extension IN ('mp3','wav','ogg') THEN 'audio'
+         WHEN extension IN ('mp4','avi','mov','wmv') THEN 'video'
+         WHEN extension IN ('zip','tar','gz','rar') THEN 'archive'
+         WHEN extension IN ('exe','dll','bat') THEN 'executable'
+         ELSE 'other' END
+"""
+
+SQL_PATH_TYPE_CLASSIFY = f"""
+WITH p AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN '\\' ELSE '/' END AS sep,
+         doc_id % 13 AS m
+  FROM documents
+), paths AS (
+  SELECT 'data' || sep || source || sep ||
+         CASE WHEN m = 12 THEN 'readme_' || CAST(doc_id AS VARCHAR)
+              ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+                   (['pdf','docx','csv','xlsx','pptx','jpg','png','mp3',
+                     'mp4','zip','exe','xyz'])[CAST(m % 12 AS INT) + 1]
+         END AS raw_path
+  FROM p
+), parts AS (
+  SELECT string_split(replace(raw_path, '\\', '/'), '/')[-1] AS filename
+  FROM paths
+), exts AS (
+  SELECT CASE WHEN filename LIKE '%.%'
+              THEN lower(string_split(filename, '.')[-1]) ELSE '' END
+         AS extension
+  FROM parts
+)
+SELECT {_SQL_FILE_TYPE_CASE} AS file_type, extension, COUNT(*) AS n_files
+FROM exts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _supplier_edges(spark, sf):
+    """Shared graph fixture for the centrality family: suppliers weighted by
+    the number of distinct orders they co-fulfil, strong ties only (≥ 8
+    shared orders). The self-join is keyed on l_orderkey, whose group size
+    is bounded by lineitems-per-order (~7), so pair expansion is linear in
+    lineitems — never quadratic in suppliers."""
+    from anomaly_detection_spark.functions import graph
+
+    li = load(spark, sf, "lineitem")
+    lo = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    inter = (
+        lo.join(lo.select(F.col("o"), F.col("s").alias("s2")), "o")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+    )
+    return graph.weighted_edges(inter, "src", "dst").filter(F.col("weight") >= 8)
+
+
+_SQL_SUPPLIER_EDGES = """
+lo AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT a.s AS src, b.s AS dst, COUNT(*) AS w
+  FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 8
+),
+sym AS (
+  SELECT src AS node, dst AS other, w FROM e
+  UNION ALL
+  SELECT dst AS node, src AS other, w FROM e
+)"""
+
+
+def q_graph_triangles(spark, sf):
+    """§2.9d: per-node triangle count + clustering coefficient over the
+    supplier co-fulfilment graph (graph_metrics.py:70-74 nx.triangles /
+    nx.clustering) — degree-oriented wedge join, each triangle found once."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.triangle_counts(_supplier_edges(spark, sf)).orderBy("node")
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree < 2 THEN 0
+            ELSE CAST(FLOOR(COALESCE(pn.triangles, 0) * 2e6
+                            / (d.degree * (d.degree - 1.0)) + 0.5) AS BIGINT)
+       END AS clustering_micros
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+ORDER BY d.node
+"""
+
+
+def q_eigenvector_centrality(spark, sf):
+    """§2.9d: eigenvector centrality by 4 exact-integer power iterations
+    over the weighted supplier graph (graph_metrics.py:63-67) — weights ≤ ~200
+    and degree ≤ nodes keep (max weighted degree)^4 far inside int64."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.eigenvector_scores(_supplier_edges(spark, sf), "weight") \
+        .orderBy("node")
+
+
+SQL_EIGENVECTOR_CENTRALITY = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+s0 AS (SELECT DISTINCT node, CAST(1 AS BIGINT) AS score FROM sym),
+s1 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s0 s ON s.node = sym.other GROUP BY sym.node),
+s2 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s1 s ON s.node = sym.other GROUP BY sym.node),
+s3 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s2 s ON s.node = sym.other GROUP BY sym.node),
+s4 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s3 s ON s.node = sym.other GROUP BY sym.node)
+SELECT node, score,
+       CAST(FLOOR(score * 1e6 / (SELECT MAX(score) FROM s4) + 0.5) AS BIGINT)
+       AS eigen_micros
+FROM s4 ORDER BY node
+"""
+
+
+def q_graph_components(spark, sf):
+    """§2.9d community analogue: connected components via min-label
+    propagation to fixpoint (the distributed substitute for
+    graph_metrics.py:76-81 greedy modularity) — oracle is the recursive-CTE
+    transitive closure."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.connected_components(_supplier_edges(spark, sf)) \
+        .orderBy("node")
+
+
+SQL_GRAPH_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_SUPPLIER_EDGES},
+reach(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+  UNION
+  SELECT sym.other, reach.label FROM reach JOIN sym ON sym.node = reach.node
+)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_landmark_closeness(spark, sf):
+    """§2.9d: closeness centrality against the 8 smallest-id landmark nodes,
+    BFS depth ≤ 4 (sampled stand-in for graph_metrics.py:49-50 closeness;
+    exact all-pairs is O(V·E) and stays out of the suite at scale)."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.landmark_closeness(_supplier_edges(spark, sf)).orderBy("node")
+
+
+SQL_LANDMARK_CLOSENESS = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+lm AS (SELECT node AS root FROM (SELECT DISTINCT node FROM sym)
+       ORDER BY node LIMIT 8),
+f0 AS (SELECT root, root AS node FROM lm),
+f1 AS (SELECT DISTINCT f0.root, sym.other AS node
+       FROM f0 JOIN sym ON sym.node = f0.node),
+f2 AS (SELECT DISTINCT f1.root, sym.other AS node
+       FROM f1 JOIN sym ON sym.node = f1.node),
+f3 AS (SELECT DISTINCT f2.root, sym.other AS node
+       FROM f2 JOIN sym ON sym.node = f2.node),
+f4 AS (SELECT DISTINCT f3.root, sym.other AS node
+       FROM f3 JOIN sym ON sym.node = f3.node),
+lev AS (
+  SELECT root, node, 0 AS d FROM f0
+  UNION ALL SELECT root, node, 1 FROM f1
+  UNION ALL SELECT root, node, 2 FROM f2
+  UNION ALL SELECT root, node, 3 FROM f3
+  UNION ALL SELECT root, node, 4 FROM f4
+),
+dist AS (SELECT root, node, MIN(d) AS d FROM lev GROUP BY 1, 2)
+SELECT node, COUNT(*) AS n_reached, CAST(SUM(d) AS BIGINT) AS total_dist,
+       CAST(FLOOR(COUNT(*) * 1e6 / SUM(d) + 0.5) AS BIGINT)
+       AS closeness_micros
+FROM dist WHERE d > 0 GROUP BY node ORDER BY node
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1925,4 +2157,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
     "missing_value_fill": (q_missing_value_fill, SQL_MISSING_VALUE_FILL),
+    "path_type_classify": (q_path_type_classify, SQL_PATH_TYPE_CLASSIFY),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "eigenvector_centrality": (q_eigenvector_centrality, SQL_EIGENVECTOR_CENTRALITY),
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
+    "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
 }

@@ -1,0 +1,116 @@
+"""Unit tests for the graph centrality family on planted fixtures — the
+oracle gate exercises these on near-complete graphs where symmetry can hide
+double-counting, so the planted graphs here are deliberately asymmetric."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions import graph
+
+
+def edge_df(spark, pairs, weights=None):
+    weights = weights or [1] * len(pairs)
+    rows = [(int(a), int(b), int(w)) for (a, b), w in zip(pairs, weights)]
+    return spark.createDataFrame(rows, "src long, dst long, weight long")
+
+
+# Fixture graph:  0-1-2 triangle, 2-3 bridge, 3-4-5 triangle, 6-7 pendant pair
+PAIRS = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (6, 7)]
+
+
+def test_triangle_counts_planted(spark):
+    out = {
+        r["node"]: r.asDict()
+        for r in graph.triangle_counts(edge_df(spark, PAIRS)).collect()
+    }
+    assert {n: out[n]["triangles"] for n in sorted(out)} == {
+        0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0, 7: 0,
+    }
+    assert out[2]["degree"] == 3 and out[6]["degree"] == 1
+    # node 2: deg 3, 1 triangle → clustering 2·1/(3·2) = 1/3
+    assert out[2]["clustering_micros"] == 333333
+    assert out[0]["clustering_micros"] == 1_000_000
+    assert out[6]["clustering_micros"] == 0
+
+
+def test_triangle_counts_dedups_and_orients(spark):
+    # duplicate + reversed edges must not inflate counts
+    noisy = PAIRS + [(1, 0), (2, 0), (0, 1)]
+    base = graph.triangle_counts(edge_df(spark, PAIRS)).collect()
+    dup = graph.triangle_counts(edge_df(spark, noisy)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, dup))
+
+
+def test_connected_components_planted(spark):
+    comp = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(edge_df(spark, PAIRS)).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6}
+
+
+def test_connected_components_long_chain(spark):
+    # path graph 0-1-...-12: worst case for plain min-propagation; pointer
+    # jumping must still converge inside the iteration budget
+    chain = [(i, i + 1) for i in range(12)]
+    comp = graph.connected_components(edge_df(spark, chain), max_iter=6)
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_eigenvector_scores_planted(spark):
+    # star 0-{1,2,3}: 4 unnormalized integer iterations from 1s give
+    # center 0: s=9 (s1=3,s2=3,s3=9,s4=9? compute: s1(0)=3, s1(leaf)=1;
+    # s2(0)=3, s2(leaf)=3; s3(0)=9, s3(leaf)=3; s4(0)=9, s4(leaf)=9 → all max)
+    star = [(0, 1), (0, 2), (0, 3)]
+    out = {r["node"]: r for r in
+           graph.eigenvector_scores(edge_df(spark, star)).collect()}
+    assert out[0]["score"] == 9 and out[1]["score"] == 9
+    assert out[0]["eigen_micros"] == 1_000_000
+    # asymmetric: pendant chain attached to a triangle concentrates score
+    out2 = {r["node"]: r["score"] for r in
+            graph.eigenvector_scores(edge_df(spark, PAIRS)).collect()}
+    assert out2[2] > out2[6]  # hub beats pendant
+    assert out2[2] == out2[3]  # symmetric twins tie exactly
+
+
+def test_landmark_closeness_planted(spark):
+    # path 0-1-2-3-4 with landmarks = all of the 8 smallest ids = all nodes
+    chain = [(i, i + 1) for i in range(4)]
+    out = {r["node"]: r.asDict() for r in
+           graph.landmark_closeness(edge_df(spark, chain)).collect()}
+    # node 2 (center): dists 2,1,1,2 → n=4 total=6
+    assert out[2]["n_reached"] == 4 and out[2]["total_dist"] == 6
+    assert out[2]["closeness_micros"] == 666667
+    # node 0: dists 1,2,3,4 → n=4 total=10
+    assert out[0]["total_dist"] == 10
+    # depth cap: long chain truncates reach
+    long_chain = [(i, i + 1) for i in range(9)]
+    far = {r["node"]: r["n_reached"] for r in
+           graph.landmark_closeness(edge_df(spark, long_chain),
+                                    n_landmarks=1, max_depth=4).collect()}
+    assert far == {1: 1, 2: 1, 3: 1, 4: 1}  # only nodes within 4 hops of node 0
+
+
+def test_path_classifier_buckets(spark):
+    from anomaly_detection_spark.functions import text
+
+    rows = [
+        ("C:\\Users\\a\\report.PDF",),
+        ("/srv/data/song.mp3",),
+        ("relative/archive.tar",),
+        ("noext",),
+        ("/deep/x.y.z/strange.xyz",),
+    ]
+    df = spark.createDataFrame(rows, "p string").select(
+        text.path_filename("p").alias("fn"),
+        text.path_extension("p").alias("ext"),
+        text.file_type(text.path_extension("p")).alias("ft"),
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("report.PDF", "pdf", "document"),
+        ("song.mp3", "mp3", "audio"),
+        ("archive.tar", "tar", "archive"),
+        ("noext", "", "unknown"),
+        ("strange.xyz", "xyz", "other"),
+    ]

@@ -162,3 +162,25 @@ def test_fill_missing_stats_are_broadcast(spark):
     plan = plan_of(QUERIES["missing_value_fill"][0](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark):
+    """Degree-oriented triangle counting must stay equi-joins (wedge join on
+    apex, semi-join close) — a CartesianProduct means the orientation or the
+    close condition fell out of the plan."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["graph_triangles"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the triangle-closing semi-join survives
+
+
+def test_eigenvector_iterations_are_equi_joins(spark):
+    """Four power iterations = four join+agg rounds; only the final 1-row
+    max-score normalization may be a broadcast nested-loop."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["eigenvector_centrality"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
