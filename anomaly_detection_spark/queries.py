@@ -2090,6 +2090,140 @@ FROM dist WHERE d > 0 GROUP BY node ORDER BY node
 """
 
 
+def q_graph_anomaly_scores(spark, sf):
+    """§2.9d composite: the reference's graph anomaly score
+    (graph_metrics.py:93-130 ``detect_anomalies``): 0.3·degree + 0.3·
+    (betweenness → landmark-closeness stand-in, the sampled-shortest-path
+    analogue) + 0.3·eigenvector + 0.1·triangles/max, flagged above the exact
+    95th percentile. The edge build is checkpointed once and shared by all
+    four metric subplans."""
+    from anomaly_detection_spark.functions import graph
+
+    edges = _supplier_edges(spark, sf).localCheckpoint()
+    deg = graph.degree_centrality(edges).select("node", "centrality_micros")
+    tri = graph.triangle_counts(edges).select("node", "triangles")
+    eig = graph.eigenvector_scores(edges).select("node", "eigen_micros")
+    clo = graph.landmark_closeness(edges).select("node", "closeness_micros")
+    mx = tri.agg(F.max("triangles").alias("_mt"))
+    tri_n = tri.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.when(F.col("_mt") <= 0, F.lit(0).cast("long")).otherwise(
+            F.floor(F.col("triangles") * 1e6 / F.col("_mt") + 0.5).cast("long")
+        ).alias("tri_micros"),
+    )
+    scored = (
+        deg.join(eig, "node").join(tri_n, "node").join(clo, "node", "left")
+        .select(
+            "node",
+            F.floor(
+                0.3 * F.col("centrality_micros")
+                + 0.3 * F.col("eigen_micros")
+                + 0.3 * F.coalesce("closeness_micros", F.lit(0))
+                + 0.1 * F.col("tri_micros")
+                + 0.5
+            ).cast("long").alias("score_micros"),
+        )
+    )
+    thr = scored.agg(F.expr("percentile(score_micros, 0.95)").alias("_t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select("node", "score_micros",
+                (F.col("score_micros") > F.col("_t")).alias("is_anomaly"))
+        .orderBy("node")
+    )
+
+
+SQL_GRAPH_ANOMALY_SCORES = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+deg AS (SELECT node, COUNT(DISTINCT other) AS n_neighbors FROM sym GROUP BY node),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+cent AS (
+  SELECT node,
+         CAST(FLOOR(n_neighbors * 1e6 / (nn.n - 1.0) + 0.5) AS BIGINT)
+         AS cent_micros
+  FROM deg, nn
+),
+tri0 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri0
+    UNION ALL SELECT b FROM tri0
+    UNION ALL SELECT c FROM tri0
+  ) GROUP BY node
+),
+tri AS (
+  SELECT d.node, CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles
+  FROM deg d LEFT JOIN pn ON pn.node = d.node
+),
+trin AS (
+  SELECT node,
+         CASE WHEN (SELECT MAX(triangles) FROM tri) <= 0 THEN 0
+              ELSE CAST(FLOOR(triangles * 1e6
+                              / (SELECT MAX(triangles) FROM tri) + 0.5)
+                        AS BIGINT) END AS tri_micros
+  FROM tri
+),
+s0 AS (SELECT DISTINCT node, CAST(1 AS BIGINT) AS score FROM sym),
+s1 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s0 s ON s.node = sym.other GROUP BY sym.node),
+s2 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s1 s ON s.node = sym.other GROUP BY sym.node),
+s3 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s2 s ON s.node = sym.other GROUP BY sym.node),
+s4 AS (SELECT sym.node, CAST(SUM(sym.w * s.score) AS BIGINT) AS score
+       FROM sym JOIN s3 s ON s.node = sym.other GROUP BY sym.node),
+eig AS (
+  SELECT node,
+         CAST(FLOOR(score * 1e6 / (SELECT MAX(score) FROM s4) + 0.5) AS BIGINT)
+         AS eigen_micros
+  FROM s4
+),
+lm AS (SELECT node AS root FROM (SELECT DISTINCT node FROM sym)
+       ORDER BY node LIMIT 8),
+f0 AS (SELECT root, root AS node FROM lm),
+f1 AS (SELECT DISTINCT f0.root, sym.other AS node
+       FROM f0 JOIN sym ON sym.node = f0.node),
+f2 AS (SELECT DISTINCT f1.root, sym.other AS node
+       FROM f1 JOIN sym ON sym.node = f1.node),
+f3 AS (SELECT DISTINCT f2.root, sym.other AS node
+       FROM f2 JOIN sym ON sym.node = f2.node),
+f4 AS (SELECT DISTINCT f3.root, sym.other AS node
+       FROM f3 JOIN sym ON sym.node = f3.node),
+lev AS (
+  SELECT root, node, 0 AS d FROM f0
+  UNION ALL SELECT root, node, 1 FROM f1
+  UNION ALL SELECT root, node, 2 FROM f2
+  UNION ALL SELECT root, node, 3 FROM f3
+  UNION ALL SELECT root, node, 4 FROM f4
+),
+dist AS (SELECT root, node, MIN(d) AS d FROM lev GROUP BY 1, 2),
+clo AS (
+  SELECT node,
+         CAST(FLOOR(COUNT(*) * 1e6 / SUM(d) + 0.5) AS BIGINT) AS clos_micros
+  FROM dist WHERE d > 0 GROUP BY node
+),
+scored AS (
+  SELECT c.node,
+         CAST(FLOOR(0.3 * c.cent_micros + 0.3 * eig.eigen_micros
+                    + 0.3 * COALESCE(clo.clos_micros, 0)
+                    + 0.1 * trin.tri_micros + 0.5) AS BIGINT) AS score_micros
+  FROM cent c
+  JOIN eig ON eig.node = c.node
+  JOIN trin ON trin.node = c.node
+  LEFT JOIN clo ON clo.node = c.node
+)
+SELECT node, score_micros,
+       score_micros > (SELECT quantile_cont(score_micros, 0.95) FROM scored)
+       AS is_anomaly
+FROM scored ORDER BY node
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2162,4 +2296,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "eigenvector_centrality": (q_eigenvector_centrality, SQL_EIGENVECTOR_CENTRALITY),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
+    "graph_anomaly_scores": (q_graph_anomaly_scores, SQL_GRAPH_ANOMALY_SCORES),
 }
