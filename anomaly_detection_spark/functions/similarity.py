@@ -141,6 +141,41 @@ def lsh_multiprobe_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup member of
+    the dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+    embedding-cosine): candidates blocked by hyperplane-LSH sign bucket so
+    the self-join is a bucket equi-join (Σ|bucket|² work, never n²), then
+    exact cosine ≥ ``threshold`` verifies each candidate. Same
+    trade-recall-for-scale discipline as ``dedup.lsh_candidate_pairs``:
+    a near-identical pair is missed only when a hyperplane sum sits close
+    enough to zero for the perturbation to flip a sign bit. Norms are
+    computed once per vector, never per pair."""
+    bucket = lsh_sign_bucket(F.col(vec_col), n_planes, dim)
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        bucket.alias("_b"),
+    ).withColumn("_n", norm(F.col("_v")))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                    F.col("_n").alias("na"), "_b")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                    F.col("_n").alias("nb"), "_b")
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_sign_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket as a bit string. Hyperplane components
     are deterministic pseudo-randoms derived from md5 of (plane, dim-index) —

@@ -2224,6 +2224,56 @@ FROM scored ORDER BY node
 """
 
 
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup detection end to end: the corpus is
+    augmented with deterministic perturbed copies (every 10th vector, first
+    component +0.05, id offset 100000 — this corpus has no natural
+    near-dups, max pairwise cosine ≈ 0.46), then LSH-bucket-blocked pairs
+    with exact cosine ≥ 0.98 are reported. Both engines apply the same
+    blocking, so a planted pair that flips a sign bit is consistently
+    excluded on both sides."""
+    emb = load(spark, sf, "embeddings")
+    v = F.col("embedding")
+    perturbed = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(i == 1, F.element_at(v, i) + 0.05)
+                   .otherwise(F.element_at(v, i).cast("double")),
+    )
+    aug = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        perturbed.alias("embedding"),
+    )
+    both = emb.select("vec_id", v.cast("array<double>").alias("embedding")) \
+        .unionByName(aug)
+    return (
+        similarity.near_dup_pairs(both, threshold=0.98)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, 64),
+           i -> CASE WHEN i = 1 THEN embedding[i] + 0.05
+                     ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 0
+), base AS (
+  SELECT vec_id, embedding, {_lsh_bucket_bits_sql()} AS b FROM aug
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM_SQL.format(a='a.embedding')}
+                  * {_NORM_SQL.format(a='b.embedding')}), 6) AS cos
+  FROM base a JOIN base b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.98 ORDER BY id_a, id_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2297,4 +2347,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
     "graph_anomaly_scores": (q_graph_anomaly_scores, SQL_GRAPH_ANOMALY_SCORES),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
 }
