@@ -2208,10 +2208,14 @@ clo AS (
   FROM dist WHERE d > 0 GROUP BY node
 ),
 scored AS (
+  -- literals must be DOUBLE: DuckDB's bare 0.3 is exact DECIMAL, whose
+  -- product differs from Spark's double 0.3 in the last ulp at FLOOR edges
   SELECT c.node,
-         CAST(FLOOR(0.3 * c.cent_micros + 0.3 * eig.eigen_micros
-                    + 0.3 * COALESCE(clo.clos_micros, 0)
-                    + 0.1 * trin.tri_micros + 0.5) AS BIGINT) AS score_micros
+         CAST(FLOOR(CAST(0.3 AS DOUBLE) * c.cent_micros
+                    + CAST(0.3 AS DOUBLE) * eig.eigen_micros
+                    + CAST(0.3 AS DOUBLE) * COALESCE(clo.clos_micros, 0)
+                    + CAST(0.1 AS DOUBLE) * trin.tri_micros
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micros
   FROM cent c
   JOIN eig ON eig.node = c.node
   JOIN trin ON trin.node = c.node

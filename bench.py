@@ -41,7 +41,10 @@ HEADLINE = [
     "simhash_fingerprints",
     "doc_fingerprint",
     "embedding_ivf_topk",
+    "embedding_near_dups",
     "media_metadata_stats",
+    "graph_triangles",
+    "ml_outlier_ensemble",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

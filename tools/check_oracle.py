@@ -18,7 +18,9 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from anomaly_detection_spark.queries import TABLES  # noqa: E402
 from anomaly_detection_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon_pdf(pdf, cols):
