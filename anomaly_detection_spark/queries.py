@@ -2278,6 +2278,72 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.98 ORDER BY id_a, id_b
 """
 
 
+def q_high_risk_correlations(spark, sf):
+    """High-risk user correlation (multidimensional_detector.py:616-676
+    ``_analyze_user_correlations``): pairwise interaction strength among
+    users whose risk score clears HIGH_RISK_THRESHOLD (70, config.py), with
+    the pair's combined risk — the reference's nested dict loop re-expressed
+    as bounded co-activity pairs ⋈ broadcast high-risk score lookups."""
+    from anomaly_detection_spark.functions import graph, risk
+
+    e = load(spark, sf, "events")
+    anomalies = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("value").alias("severity")
+    )
+    hi = (
+        risk.entity_risk_scores(anomalies, micros=True)
+        .select("user_id", "risk_score_micros")
+        .filter(F.col("risk_score_micros") >= 70_000_000)
+    )
+    keyed = e.select("user_id", "event_type", F.col("ts").cast("date").alias("d"))
+    pairs = graph.co_activity_pairs(keyed, "user_id", ["event_type", "d"])
+    a = hi.select(F.col("user_id").alias("user_a"),
+                  F.col("risk_score_micros").alias("_ra"))
+    b = hi.select(F.col("user_id").alias("user_b"),
+                  F.col("risk_score_micros").alias("_rb"))
+    return (
+        pairs.select(F.col("entity_a").alias("user_a"),
+                     F.col("entity_b").alias("user_b"),
+                     F.col("shared").alias("strength"))
+        .join(F.broadcast(a), "user_a")
+        .join(F.broadcast(b), "user_b")
+        .select("user_a", "user_b", "strength",
+                (F.col("_ra") + F.col("_rb")).alias("combined_risk_micros"))
+        .orderBy("user_a", "user_b")
+    )
+
+
+SQL_HIGH_RISK_CORRELATIONS = """
+WITH a AS (
+  SELECT user_id, COUNT(*) AS n_anomalies,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sev_cents
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+), s AS (
+  SELECT user_id,
+         LEAST(100.0, 30.0 + 10.0 * n_anomalies
+               + (sev_cents / (100.0 * n_anomalies)) / 3.0) AS score
+  FROM a
+), hi AS (
+  SELECT user_id, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS risk_micros
+  FROM s
+  WHERE CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) >= 70000000
+), ud AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+), p AS (
+  SELECT x.user_id AS user_a, y.user_id AS user_b, COUNT(*) AS strength
+  FROM ud x JOIN ud y ON x.event_type = y.event_type AND x.d = y.d
+  WHERE x.user_id < y.user_id
+  GROUP BY 1, 2
+)
+SELECT p.user_a, p.user_b, p.strength,
+       ha.risk_micros + hb.risk_micros AS combined_risk_micros
+FROM p
+JOIN hi ha ON ha.user_id = p.user_a
+JOIN hi hb ON hb.user_id = p.user_b
+ORDER BY user_a, user_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2352,4 +2418,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
     "graph_anomaly_scores": (q_graph_anomaly_scores, SQL_GRAPH_ANOMALY_SCORES),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "high_risk_correlations": (q_high_risk_correlations, SQL_HIGH_RISK_CORRELATIONS),
 }
