@@ -251,17 +251,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
-def landmark_closeness(edges: DataFrame, n_landmarks: int = 8,
-                       max_depth: int = 4) -> DataFrame:
-    """Closeness centrality against a deterministic landmark set — the
-    sampled-BFS stand-in for ``graph_metrics.py:49-50`` nx.closeness
-    (exact all-pairs BFS is O(V·E); landmark BFS is the standard scale
-    substitute, state O(V·|landmarks|)). Landmarks are the ``n_landmarks``
-    smallest node ids. Per node (landmarks at distance ≥ 1 within
-    ``max_depth``): ``n_reached``, ``total_dist``, ``closeness_micros`` =
-    floor(1e6 · n_reached / total_dist + 0.5). The adjacency is materialized
-    once so the edge build does not re-execute per BFS level."""
-    adj = _sym(edges).localCheckpoint()
+def _landmark_bfs(adj: DataFrame, n_landmarks: int, max_depth: int) -> DataFrame:
+    """(root, node, d) exact shortest distances from the ``n_landmarks``
+    smallest-id nodes, bounded at ``max_depth`` — multi-source BFS as an
+    iterative frontier join, state O(V·|landmarks|), lineage truncated per
+    level. ``adj`` must already be materialized (localCheckpoint)."""
     landmarks = (
         adj.select("node").distinct().orderBy("node").limit(n_landmarks)
         .select(F.col("node").alias("root"))
@@ -282,12 +276,110 @@ def landmark_closeness(edges: DataFrame, n_landmarks: int = 8,
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    reached = visited.filter(F.col("d") > 0)
+    return visited
+
+
+def landmark_closeness(edges: DataFrame, n_landmarks: int = 8,
+                       max_depth: int = 4) -> DataFrame:
+    """Closeness centrality against a deterministic landmark set — the
+    sampled-BFS stand-in for ``graph_metrics.py:49-50`` nx.closeness
+    (exact all-pairs BFS is O(V·E); landmark BFS is the standard scale
+    substitute, state O(V·|landmarks|)). Landmarks are the ``n_landmarks``
+    smallest node ids. Per node (landmarks at distance ≥ 1 within
+    ``max_depth``): ``n_reached``, ``total_dist``, ``closeness_micros`` =
+    floor(1e6 · n_reached / total_dist + 0.5). The adjacency is materialized
+    once so the edge build does not re-execute per BFS level."""
+    adj = _sym(edges).localCheckpoint()
+    reached = _landmark_bfs(adj, n_landmarks, max_depth).filter(F.col("d") > 0)
     return reached.groupBy("node").agg(
         F.count("*").alias("n_reached"),
         F.sum("d").alias("total_dist"),
         F.floor(F.count("*") * 1e6 / F.sum("d") + 0.5)
         .cast("long").alias("closeness_micros"),
+    )
+
+
+def landmark_stress(edges: DataFrame, n_landmarks: int = 8,
+                    max_depth: int = 4) -> DataFrame:
+    """Sampled-source betweenness as exact stress centrality: the number of
+    shortest paths from the landmark set that pass THROUGH each node
+    (endpoints excluded) — the integer-arithmetic member of the
+    betweenness family (≈ ``graph_metrics.py:53-60`` sampled
+    nx.betweenness_centrality; Brandes' fractional dependency accumulation
+    needs float divisions whose summation order is engine-dependent, so the
+    exact path-count variant is what an oracle can check bit-for-bit).
+
+    Per landmark root, over the shortest-path DAG (edges level l → l+1):
+    forward   σ(v) = Σ_{u ∈ pred(v)} σ(u)          (σ(root) = 1)
+    backward  T(u) = Σ_{v ∈ succ(u)} (1 + T(v))    (T at max depth = 0)
+    stress(v) = Σ_roots σ(v) · T(v) — every shortest path s→v→t counted
+    once. Both recurrences are level-ordered join+agg loops with fixed
+    ``max_depth`` trip count (no convergence actions); the DAG is
+    materialized once. σ and T are int64 path counts — bounded by the
+    product of DAG level widths, far inside int64 at sane depths."""
+    adj = _sym(edges).localCheckpoint()
+    dist = _landmark_bfs(adj, n_landmarks, max_depth)
+    du = dist.select("root", F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = dist.select("root", F.col("node").alias("v"), F.col("d").alias("dv"))
+    dag = (
+        adj.select(F.col("node").alias("u"), F.col("other").alias("v"))
+        .join(du, "u")
+        .join(dv, ["root", "v"])
+        .filter(F.col("dv") == F.col("du") + 1)
+        .select("root", "u", "v", "du")
+        .localCheckpoint()
+    )
+    # forward: σ per level
+    frontier = dist.filter(F.col("d") == 0).select(
+        "root", "node", F.lit(1).cast("long").alias("sigma")
+    )
+    sigmas = []
+    for lvl in range(1, max_depth + 1):
+        frontier = (
+            dag.filter(F.col("du") == lvl - 1)
+            .join(frontier.select("root", F.col("node").alias("u"), "sigma"),
+                  ["root", "u"])
+            .groupBy("root", F.col("v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sigmas.append(frontier)
+    all_sigma = sigmas[0]
+    for s in sigmas[1:]:
+        all_sigma = all_sigma.unionByName(s)
+    # backward: T per level (deepest level has no successors → 0)
+    deepest = dist.filter(F.col("d") == max_depth).select(
+        "root", "node", F.lit(0).cast("long").alias("t")
+    )
+    t_frames = [deepest]
+    succ_t = deepest
+    for lvl in range(max_depth - 1, 0, -1):
+        contrib = (
+            dag.filter(F.col("du") == lvl)
+            .join(succ_t.select("root", F.col("node").alias("v"), "t"),
+                  ["root", "v"])
+            .groupBy("root", F.col("u").alias("node"))
+            .agg(F.sum(F.col("t") + 1).alias("t"))
+        )
+        cur = (
+            dist.filter(F.col("d") == lvl).select("root", "node")
+            .join(contrib, ["root", "node"], "left")
+            .select("root", "node",
+                    F.coalesce("t", F.lit(0).cast("long")).alias("t"))
+        )
+        t_frames.append(cur)
+        succ_t = cur
+    all_t = t_frames[0]
+    for t in t_frames[1:]:
+        all_t = all_t.unionByName(t)
+    through = (
+        all_sigma.join(all_t, ["root", "node"])
+        .groupBy("node")
+        .agg(F.sum(F.col("sigma") * F.col("t")).alias("stress"))
+    )
+    return (
+        adj.select("node").distinct()
+        .join(through, "node", "left")
+        .select("node", F.coalesce("stress", F.lit(0).cast("long")).alias("stress"))
     )
 
 

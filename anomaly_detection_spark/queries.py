@@ -2062,8 +2062,10 @@ def q_landmark_closeness(spark, sf):
     return graph.landmark_closeness(_supplier_edges(spark, sf)).orderBy("node")
 
 
-SQL_LANDMARK_CLOSENESS = f"""
-WITH {_SQL_SUPPLIER_EDGES},
+# unrolled landmark BFS shared by closeness and stress oracles: level sets
+# f0..f4 then min-distance (a recursive UNION ALL CTE enumerates paths, not
+# nodes, and explodes on dense graphs — level sets are bounded by V·|lm|)
+_SQL_LANDMARK_DIST = """
 lm AS (SELECT node AS root FROM (SELECT DISTINCT node FROM sym)
        ORDER BY node LIMIT 8),
 f0 AS (SELECT root, root AS node FROM lm),
@@ -2082,11 +2084,87 @@ lev AS (
   UNION ALL SELECT root, node, 3 FROM f3
   UNION ALL SELECT root, node, 4 FROM f4
 ),
-dist AS (SELECT root, node, MIN(d) AS d FROM lev GROUP BY 1, 2)
+dist AS MATERIALIZED (SELECT root, node, MIN(d) AS d FROM lev GROUP BY 1, 2)"""
+
+SQL_LANDMARK_CLOSENESS = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+{_SQL_LANDMARK_DIST}
 SELECT node, COUNT(*) AS n_reached, CAST(SUM(d) AS BIGINT) AS total_dist,
        CAST(FLOOR(COUNT(*) * 1e6 / SUM(d) + 0.5) AS BIGINT)
        AS closeness_micros
 FROM dist WHERE d > 0 GROUP BY node ORDER BY node
+"""
+
+
+def q_landmark_stress(spark, sf):
+    """§2.9d: sampled-source betweenness as exact integer stress centrality
+    (graph_metrics.py:53-60 sampled nx.betweenness) — shortest paths from
+    the 8-landmark set through each node, σ·T path counting over the BFS
+    DAG. Brandes' float dependency ratios are summation-order-dependent
+    across engines; the path-count variant is bit-exact."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.landmark_stress(_supplier_edges(spark, sf)).orderBy("node")
+
+
+def _sql_stress_levels(max_depth: int = 4) -> str:
+    parts = [
+        "dag AS MATERIALIZED (\n"
+        "  SELECT du.root, e2.node AS u, e2.other AS v, du.d AS du\n"
+        "  FROM sym e2\n"
+        "  JOIN dist du ON du.node = e2.node\n"
+        "  JOIN dist dv ON dv.root = du.root AND dv.node = e2.other\n"
+        "  WHERE dv.d = du.d + 1\n"
+        ")",
+        "sg0 AS MATERIALIZED (SELECT root, node, CAST(1 AS BIGINT) AS sigma\n"
+        "        FROM dist WHERE d = 0)",
+    ]
+    for lvl in range(1, max_depth + 1):
+        parts.append(
+            f"sg{lvl} AS MATERIALIZED (SELECT dag.root, dag.v AS node,\n"
+            f"             CAST(SUM(s.sigma) AS BIGINT) AS sigma\n"
+            f"        FROM dag JOIN sg{lvl - 1} s\n"
+            f"          ON s.root = dag.root AND s.node = dag.u\n"
+            f"        WHERE dag.du = {lvl - 1} GROUP BY 1, 2)"
+        )
+    parts.append(
+        f"t{max_depth} AS MATERIALIZED (SELECT root, node, CAST(0 AS BIGINT) AS t\n"
+        f"        FROM dist WHERE d = {max_depth})"
+    )
+    for lvl in range(max_depth - 1, 0, -1):
+        parts.append(
+            f"c{lvl} AS MATERIALIZED (SELECT dag.root, dag.u AS node,\n"
+            f"            CAST(SUM(t.t + 1) AS BIGINT) AS t\n"
+            f"       FROM dag JOIN t{lvl + 1} t\n"
+            f"         ON t.root = dag.root AND t.node = dag.v\n"
+            f"       WHERE dag.du = {lvl} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"t{lvl} AS MATERIALIZED (SELECT d.root, d.node,\n"
+            f"            COALESCE(c.t, CAST(0 AS BIGINT)) AS t\n"
+            f"       FROM (SELECT root, node FROM dist WHERE d = {lvl}) d\n"
+            f"       LEFT JOIN c{lvl} c ON c.root = d.root AND c.node = d.node)"
+        )
+    alls = " UNION ALL ".join(f"SELECT * FROM sg{k}" for k in range(1, max_depth + 1))
+    allt = " UNION ALL ".join(f"SELECT * FROM t{k}" for k in range(1, max_depth + 1))
+    parts.append(f"alls AS ({alls})")
+    parts.append(f"allt AS ({allt})")
+    return ",\n".join(parts)
+
+
+SQL_LANDMARK_STRESS = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+{_SQL_LANDMARK_DIST},
+{_sql_stress_levels()},
+thr AS (
+  SELECT s.node, CAST(SUM(s.sigma * t.t) AS BIGINT) AS stress
+  FROM alls s JOIN allt t ON t.root = s.root AND t.node = s.node
+  GROUP BY 1
+)
+SELECT n.node, COALESCE(thr.stress, CAST(0 AS BIGINT)) AS stress
+FROM (SELECT DISTINCT node FROM sym) n
+LEFT JOIN thr ON thr.node = n.node
+ORDER BY n.node
 """
 
 
@@ -2419,4 +2497,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_anomaly_scores": (q_graph_anomaly_scores, SQL_GRAPH_ANOMALY_SCORES),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "high_risk_correlations": (q_high_risk_correlations, SQL_HIGH_RISK_CORRELATIONS),
+    "landmark_stress": (q_landmark_stress, SQL_LANDMARK_STRESS),
 }

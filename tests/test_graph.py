@@ -114,3 +114,62 @@ def test_path_classifier_buckets(spark):
         ("noext", "", "unknown"),
         ("strange.xyz", "xyz", "other"),
     ]
+
+
+def _brute_stress(pairs, n_landmarks=8, max_depth=4):
+    """Pure-python reference: count shortest paths from landmark roots
+    through each node (endpoints excluded), depth-bounded."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in pairs:
+        adj[a].add(b); adj[b].add(a); nodes |= {a, b}
+    roots = sorted(nodes)[:n_landmarks]
+    stress = defaultdict(int)
+    for r in roots:
+        dist = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_depth:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        # enumerate all shortest paths via DFS over the BFS DAG
+        def paths_from(u):
+            out = []
+            for v in adj[u]:
+                if dist.get(v, -1) == dist[u] + 1:
+                    sub = paths_from(v)
+                    out.extend([[u] + p for p in sub])
+                    out.append([u, v])
+            return out
+        for p in paths_from(r):
+            for mid in p[1:-1]:
+                stress[mid] += 1
+    return {n: stress.get(n, 0) for n in nodes}
+
+
+def test_landmark_stress_star_and_path(spark):
+    # star: all shortest leaf-leaf paths pass through the hub
+    star = [(0, 1), (0, 2), (0, 3)]
+    out = {r["node"]: r["stress"] for r in
+           graph.landmark_stress(edge_df(spark, star)).collect()}
+    assert out == {0: 6, 1: 0, 2: 0, 3: 0}
+    # path graph + brute-force cross-check on the asymmetric fixture
+    for pairs in ([(i, i + 1) for i in range(4)], PAIRS):
+        got = {r["node"]: r["stress"] for r in
+               graph.landmark_stress(edge_df(spark, pairs)).collect()}
+        assert got == _brute_stress(pairs), pairs
+
+
+def test_landmark_stress_depth_bound(spark):
+    # chain of 9: depth-4 truncation must match the brute reference
+    chain = [(i, i + 1) for i in range(9)]
+    got = {r["node"]: r["stress"] for r in
+           graph.landmark_stress(edge_df(spark, chain),
+                                 n_landmarks=2, max_depth=3).collect()}
+    assert got == _brute_stress(chain, n_landmarks=2, max_depth=3)
