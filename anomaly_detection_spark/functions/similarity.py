@@ -176,29 +176,31 @@ def near_dup_pairs(
     )
 
 
+def _plane_component(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component — md5 of "p:i",
+    first 4 hex digits, mapped to (−1, 1). Computed driver-side with
+    hashlib (bit-identical to SQL ``md5``) and baked in as literals: the
+    equivalent in-plan md5 ``transform`` is not constant-folded by Catalyst
+    (lambdas block folding), though measured per-row cost is the same —
+    literals simply keep the plan inspectable and the constants explicit."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4], 16)
+    return (h - 32767.5) / 32768.0
+
+
 def lsh_sign_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket as a bit string. Hyperplane components
     are deterministic pseudo-randoms derived from md5 of (plane, dim-index) —
-    md5 (unlike xxhash64) is bit-identical in every SQL engine, so buckets
-    are reproducible across engines and runs without storing planes.
-    Component = (first-4-hex-digits − 32767.5) / 32768 ∈ (−1, 1)."""
-
-    def plane_comps(p: int) -> Column:
-        # closure factory, NOT a default-arg lambda: F.transform passes the
-        # element index as a second lambda arg, clobbering default args
-        def comp(i: Column) -> Column:
-            h = F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 4),
-                16, 10,
-            ).cast("long")
-            return (h - 32767.5) / 32768.0
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
-
+    md5 (unlike xxhash64) is bit-identical in every engine, so buckets are
+    reproducible across engines and runs without storing planes. Components
+    are baked into the plan as literal arrays (see ``_plane_component``);
+    the oracle recomputes them with SQL md5 and lands on the same doubles."""
     bits = []
     for p in range(n_planes):
+        comps = F.array(*[F.lit(_plane_component(p, i)) for i in range(dim)])
         s = F.aggregate(
-            F.zip_with(vec_col, plane_comps(p), lambda v, c: v.cast("double") * c),
+            F.zip_with(vec_col, comps, lambda v, c: v.cast("double") * c),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
