@@ -2422,6 +2422,112 @@ ORDER BY user_a, user_b
 """
 
 
+def q_access_pattern_drift(spark, sf):
+    """Day-over-day behavioral drift (time_series_analyzer.py:222-276
+    ``_analyze_access_pattern_trend`` + ``_analyze_communication_trend``):
+    per user, the Jaccard similarity of consecutive days' accessed-resource
+    sets and the new-partner analogue (share of today's resources not seen
+    yesterday), averaged over consecutive-day pairs. Per-pair ratios are
+    quantized to integer micros BEFORE averaging, so the average is an
+    exact integer sum ÷ count — float summation order never appears.
+    Resources = the props JSON ``k`` field; consecutive = lag over the
+    user's distinct active days."""
+    e = load(spark, sf, "events")
+    ud = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.get_json_object("props", "$.k").alias("k"),
+    ).distinct()
+    sizes = ud.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    days = sizes.select(
+        "user_id", "d", "n",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lag("n").over(w).alias("prev_n"),
+    ).filter(F.col("prev_d").isNotNull())
+    # attach prev_d to each resource row FIRST, so the prev-day membership
+    # probe is a single bounded equi-join — joining cur×prev on (user, k)
+    # alone would cross-product every day pair a recurring resource spans
+    inter = (
+        ud.join(days.select("user_id", "d", "prev_d"), ["user_id", "d"])
+        .join(
+            ud.select("user_id", F.col("d").alias("prev_d"), "k"),
+            ["user_id", "prev_d", "k"],
+            "left_semi",
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count("*").alias("n_int"))
+    )
+    pairs = days.join(inter, ["user_id", "d"], "left").select(
+        "user_id",
+        F.coalesce("n_int", F.lit(0)).alias("n_int"), "n", "prev_n",
+    )
+    jac = F.floor(F.col("n_int") * 1e6
+                  / (F.col("n") + F.col("prev_n") - F.col("n_int")) + 0.5)
+    new_ratio = F.floor((F.col("n") - F.col("n_int")) * 1e6 / F.col("n") + 0.5)
+    per_pair = pairs.select(
+        "user_id", jac.cast("long").alias("jm"),
+        new_ratio.cast("long").alias("nm"),
+    )
+    return (
+        per_pair.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_day_pairs"),
+            F.floor(F.sum("jm") / F.count("*")).cast("long")
+            .alias("avg_jaccard_micros"),
+            F.floor(F.sum("nm") / F.count("*")).cast("long")
+            .alias("avg_new_ratio_micros"),
+        )
+        .select(
+            "user_id", "n_day_pairs", "avg_jaccard_micros",
+            (F.lit(1_000_000) - F.col("avg_jaccard_micros"))
+            .alias("trend_strength_micros"),
+            "avg_new_ratio_micros",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ACCESS_PATTERN_DRIFT = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         json_extract_string(props, '$.k') AS k
+  FROM events
+), sizes AS (
+  SELECT user_id, d, COUNT(*) AS n FROM ud GROUP BY 1, 2
+), days AS (
+  SELECT user_id, d, n,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+         LAG(n) OVER (PARTITION BY user_id ORDER BY d) AS prev_n
+  FROM sizes
+), pairs AS (SELECT * FROM days WHERE prev_d IS NOT NULL),
+inter AS (
+  SELECT p.user_id, p.d, COUNT(*) AS n_int
+  FROM pairs p
+  JOIN ud cur ON cur.user_id = p.user_id AND cur.d = p.d
+  JOIN ud prev ON prev.user_id = p.user_id AND prev.d = p.prev_d
+             AND prev.k = cur.k
+  GROUP BY 1, 2
+), per_pair AS (
+  SELECT p.user_id,
+         CAST(FLOOR(COALESCE(i.n_int, 0) * 1e6
+                    / (p.n + p.prev_n - COALESCE(i.n_int, 0)) + 0.5)
+              AS BIGINT) AS jm,
+         CAST(FLOOR((p.n - COALESCE(i.n_int, 0)) * 1e6 / p.n + 0.5)
+              AS BIGINT) AS nm
+  FROM pairs p LEFT JOIN inter i ON i.user_id = p.user_id AND i.d = p.d
+)
+SELECT user_id, COUNT(*) AS n_day_pairs,
+       CAST(FLOOR(CAST(SUM(jm) AS BIGINT) / COUNT(*)) AS BIGINT)
+       AS avg_jaccard_micros,
+       1000000 - CAST(FLOOR(CAST(SUM(jm) AS BIGINT) / COUNT(*)) AS BIGINT)
+       AS trend_strength_micros,
+       CAST(FLOOR(CAST(SUM(nm) AS BIGINT) / COUNT(*)) AS BIGINT)
+       AS avg_new_ratio_micros
+FROM per_pair GROUP BY user_id ORDER BY user_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2498,4 +2604,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "high_risk_correlations": (q_high_risk_correlations, SQL_HIGH_RISK_CORRELATIONS),
     "landmark_stress": (q_landmark_stress, SQL_LANDMARK_STRESS),
+    "access_pattern_drift": (q_access_pattern_drift, SQL_ACCESS_PATTERN_DRIFT),
 }
