@@ -93,6 +93,34 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_sessionized_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions on a stream via native ``session_window`` —
+    the streaming twin of W1 (batch sessionization is lag+cumsum,
+    ``queries.q_sessionize_events``). Sessions merge while events arrive
+    within ``gap`` of each other; the watermark finalizes (and evicts) a
+    session once max event time − allowance passes its close, which is what
+    bounds the state store. Emits (session_start, session_end, key,
+    n_events); ``session_end`` is last event + gap, per session-window
+    semantics."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col, "n_events",
+        )
+    )
+
+
 def streaming_row_violations(docs_stream: DataFrame, rules: RuleSet,
                              ctx: RuleContext | None = None) -> DataFrame:
     """The batch engine's fused row-rule pass applied to a streaming frame —

@@ -206,3 +206,69 @@ def test_streaming_stateful_uniqueness_matches_batch(spark, docs, stream_dirs):
         for r in builtin.unique("doc_id").build(docs, RuleContext()).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """Native session_window on a stream (W1's streaming twin): append mode
+    emits exactly the sessions the final watermark closed, and they must
+    equal BOTH the batch session_window aggregation and the engine's
+    lag+cumsum sessionization (starts + event counts) on the same events."""
+    import datetime
+    import tempfile, shutil
+    from pyspark.sql.window import Window
+    from anomaly_detection_spark.streaming import streaming_sessionized_counts
+
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        # watermarks require TIMESTAMP (testdata ships TIMESTAMP_NTZ)
+        events = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id")
+        )
+        split = "2024-01-15"
+        events.filter(F.col("ts") < split).coalesce(1).write.parquet(f"{base}/in/b0")
+        events.filter(F.col("ts") >= split).coalesce(1).write.parquet(f"{base}/in/b1")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/in/*")
+        )
+        got_df = _run_to_memory(
+            streaming_sessionized_counts(stream), spark, "sess", f"{base}/ckpt"
+        )
+        got = {(r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"]) for r in got_df.collect()}
+
+        wm = events.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+        batch = (
+            events.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                           "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events")
+            .filter(F.col("session_end") <= wm)
+        )
+        want = {(r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"]) for r in batch.collect()}
+        assert got == want and len(want) > 0
+
+        # cross-check starts + sizes against the engine's lag+cumsum form
+        w = Window.partitionBy("user_id").orderBy("ts")
+        lagged = events.withColumn(
+            "new_s",
+            (F.coalesce(
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"),
+                F.lit(10**9)) > 1800).cast("int"),
+        ).withColumn("sid", F.sum("new_s").over(w))
+        cumsum = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in lagged.groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("session_start"),
+                 F.count("*").alias("n_events"))
+            .collect()
+        }
+        emitted = {(u, s, n) for u, s, e, n in got}
+        assert emitted <= cumsum and len(emitted) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
