@@ -2528,6 +2528,69 @@ FROM per_pair GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_user_activity_profile(spark, sf):
+    """Consolidated per-entity activity profile (user_profile_builder.py:
+    87-127 ``_build_activity_profile``: hour histogram + entropy + activity
+    breadth, built per user in one pass): event count, active days,
+    distinct resources, the 24-bin hour-of-day histogram (canonical
+    comma-joined string — array reprs differ between pandas paths), and its
+    Shannon entropy. Conditional aggregation — 24 SUM(CASE) bins in ONE
+    groupBy, no explode, no pivot second shuffle."""
+    e = load(spark, sf, "events")
+    hour = F.hour("ts")
+    bins = [
+        F.sum(F.when(hour == h, 1).otherwise(0)).alias(f"h{h}")
+        for h in range(24)
+    ]
+    base = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.countDistinct(F.get_json_object("props", "$.k")).alias("n_resources"),
+        *bins,
+    )
+    ent = None
+    for h in range(24):
+        p = F.col(f"h{h}").cast("double") / F.col("n_events")
+        term = F.when(F.col(f"h{h}") > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return base.select(
+        "user_id", "n_events", "n_active_days", "n_resources",
+        F.concat_ws(",", *[F.col(f"h{h}").cast("string") for h in range(24)])
+        .alias("hour_hist"),
+        F.round(ent, 6).alias("hour_entropy"),
+    ).orderBy("user_id")
+
+
+def _sql_user_activity_profile() -> str:
+    bins = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS h{h}"
+        for h in range(24)
+    )
+    hist = " || ',' || ".join(f"CAST(h{h} AS VARCHAR)" for h in range(24))
+    terms = " + ".join(
+        f"(CASE WHEN h{h} > 0 THEN -(CAST(h{h} AS DOUBLE) / n_events)"
+        f" * log2(CAST(h{h} AS DOUBLE) / n_events) ELSE 0.0 END)"
+        for h in range(24)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+         COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_resources,
+         {bins}
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, n_active_days, n_resources,
+       {hist} AS hour_hist,
+       ROUND({terms}, 6) AS hour_entropy
+FROM base ORDER BY user_id
+"""
+
+
+SQL_USER_ACTIVITY_PROFILE = _sql_user_activity_profile()
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2605,4 +2668,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "high_risk_correlations": (q_high_risk_correlations, SQL_HIGH_RISK_CORRELATIONS),
     "landmark_stress": (q_landmark_stress, SQL_LANDMARK_STRESS),
     "access_pattern_drift": (q_access_pattern_drift, SQL_ACCESS_PATTERN_DRIFT),
+    "user_activity_profile": (q_user_activity_profile, SQL_USER_ACTIVITY_PROFILE),
 }
