@@ -2373,7 +2373,14 @@ def q_high_risk_correlations(spark, sf):
         .select("user_id", "risk_score_micros")
         .filter(F.col("risk_score_micros") >= 70_000_000)
     )
-    keyed = e.select("user_id", "event_type", F.col("ts").cast("date").alias("d"))
+    # both pair endpoints must be high-risk, so restrict the co-activity
+    # self-join input FIRST (broadcast semi-join): the pair space shrinks
+    # from Σ|key ∩ all users|² to Σ|key ∩ high-risk|² — at scale high-risk
+    # is a small fraction and this is the difference that matters
+    keyed = (
+        e.select("user_id", "event_type", F.col("ts").cast("date").alias("d"))
+        .join(F.broadcast(hi.select("user_id")), "user_id", "left_semi")
+    )
     pairs = graph.co_activity_pairs(keyed, "user_id", ["event_type", "d"])
     a = hi.select(F.col("user_id").alias("user_a"),
                   F.col("risk_score_micros").alias("_ra"))
