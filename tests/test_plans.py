@@ -184,3 +184,37 @@ def test_eigenvector_iterations_are_equi_joins(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_high_risk_pairs_prefilter_is_broadcast_semi(spark):
+    """The high-risk filter must reach the co-activity input as a broadcast
+    (semi) join BEFORE the pair self-join — pairing everyone first and
+    filtering after would make the join input Σ|key ∩ all-users|²."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["high_risk_correlations"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    # prefilter semi-join + two score lookups, all broadcast
+    assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_user_activity_profile_single_scan(spark):
+    """24 hour bins + entropy + breadth = ONE scan with pruned columns
+    (a pivot or explode formulation would add a second shuffle)."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["user_activity_profile"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,props:string>" in plan
+
+
+def test_access_pattern_drift_no_day_cross_product(spark):
+    """The prev-day membership probe must stay equi-joined on
+    (user, prev_d, k) — never a cur×prev join keyed on (user, k) alone."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["access_pattern_drift"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
