@@ -2598,6 +2598,70 @@ FROM base ORDER BY user_id
 SQL_USER_ACTIVITY_PROFILE = _sql_user_activity_profile()
 
 
+def q_dup_clusters(spark, sf):
+    """End-to-end near-dup pipeline — the full shape a 100 TB dedup job
+    runs, composed from the engine's own operators: MinHash-LSH candidate
+    pairs (bucketed, never all-pairs) → n-gram Jaccard verification →
+    connected components over the verified dup edges → per-cluster summary
+    (canonical = min doc_id). One registry entry proving the stages
+    compose; each stage is also oracle-paired on its own."""
+    from anomaly_detection_spark.functions import graph
+
+    d = load(spark, sf, "documents")
+    cands = dedup.lsh_candidate_pairs(d, k=4, bands=2)
+    verified = dedup.ngram_jaccard_pairs(d, threshold=0.2, candidates=cands)
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    comp = graph.connected_components(edges)
+    return (
+        comp.groupBy("component").agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({{shingles}}) AS shset FROM t),
+sig AS (
+  SELECT t.doc_id,
+    list_min(list_transform({{shingles}}, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform({{shingles}}, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform({{shingles}}, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform({{shingles}}, s -> md5('3:' || s))) AS mh3
+  FROM t
+),
+buckets AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig WHERE mh2 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+            JOIN sh sb ON cand.id_b = sb.doc_id
+  WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0
+        / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.2
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT sym.b, reach.label FROM reach JOIN sym ON sym.a = reach.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_docs
+FROM comp GROUP BY component ORDER BY component
+"""
+SQL_DUP_CLUSTERS = SQL_DUP_CLUSTERS.format(toks=_TOKS_SQL, shingles=_SHINGLES_SQL)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2676,4 +2740,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "landmark_stress": (q_landmark_stress, SQL_LANDMARK_STRESS),
     "access_pattern_drift": (q_access_pattern_drift, SQL_ACCESS_PATTERN_DRIFT),
     "user_activity_profile": (q_user_activity_profile, SQL_USER_ACTIVITY_PROFILE),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
 }
