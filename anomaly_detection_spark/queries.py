@@ -2662,6 +2662,56 @@ FROM comp GROUP BY component ORDER BY component
 SQL_DUP_CLUSTERS = SQL_DUP_CLUSTERS.format(toks=_TOKS_SQL, shingles=_SHINGLES_SQL)
 
 
+def q_rolling_user_activity(spark, sf):
+    """Time-RANGE rolling stats (the reference's moving-average family,
+    trend_detector.py): per user, trailing-7-day mean/std of daily event
+    counts — a RANGE frame over calendar days, not ROWS, so gaps in a
+    user's active days shrink the window as the reference's date math does
+    (`change_points` covers the ROWS variant). Closed-form mean/std from
+    exact integer sums."""
+    e = load(spark, sf, "events")
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("d")) \
+        .agg(F.count("*").alias("c"))
+    day_num = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.partitionBy("user_id").orderBy(day_num).rangeBetween(-6, 0)
+    stats = daily.select(
+        "user_id", "d", "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return stats.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "c", "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_c"),
+        F.when(F.col("n") > 1, F.round(F.sqrt(var), 6)).alias("std_c"),
+    ).orderBy("user_id", "day")
+
+
+SQL_ROLLING_USER_ACTIVITY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT user_id, d, c,
+         COUNT(c) OVER w AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c*c) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY date_diff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day, c, n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_c,
+       CASE WHEN n > 1
+            THEN ROUND(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+       END AS std_c
+FROM stats ORDER BY user_id, day
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2741,4 +2791,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "access_pattern_drift": (q_access_pattern_drift, SQL_ACCESS_PATTERN_DRIFT),
     "user_activity_profile": (q_user_activity_profile, SQL_USER_ACTIVITY_PROFILE),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "rolling_user_activity": (q_rolling_user_activity, SQL_ROLLING_USER_ACTIVITY),
 }
