@@ -383,6 +383,44 @@ def landmark_stress(edges: DataFrame, n_landmarks: int = 8,
     )
 
 
+def pagerank_fixed(edges: DataFrame, iters: int = 5,
+                   scale: int = 10**9) -> DataFrame:
+    """PageRank over the undirected view, in FIXED-POINT integer arithmetic:
+    scores are int64 "nanos" (``scale`` = 1.0), damping 0.85 = 17/20 applied
+    as exact integer multiply-then-floor-divide, so every iteration is a sum
+    of integers — bit-identical across engines and partitionings, unlike
+    float PageRank whose per-node contribution sums are order-dependent.
+    pr₀ = scale/N; prₖ₊₁(v) = base + Σ_{u∼v} (prₖ(u)·17) div (20·deg(u)),
+    base = (scale·3) div (20·N). Floor loss slightly deflates the total
+    mass; ranking semantics are standard. One join+agg per iteration; the
+    adjacency and degree frames are materialized once so the edge build
+    does not re-execute per iteration."""
+    adj = _sym(edges).localCheckpoint()
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg")).localCheckpoint()
+    nn = deg.agg(F.count("*").alias("_n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("pr"), "_n",
+    )
+    for _ in range(iters):
+        contrib = (
+            adj.join(
+                pr.select(F.col("node").alias("other"),
+                          F.expr("(pr * 17) div (20 * deg)").alias("_c")),
+                "other",
+            )
+            .groupBy("node").agg(F.sum("_c").alias("_s"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(contrib, "node")
+            .select("node", "deg",
+                    F.expr(f"(CAST({scale} AS BIGINT) * 3) div (20 * _n) + _s")
+                    .alias("pr"),
+                    "_n")
+        )
+    return pr.select("node", F.col("pr").alias("pagerank_nanos"))
+
+
 def degree_centrality(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
     """Per-node degree centrality over an undirected view of weighted edges
     (≈ ``graph_metrics.py:46-52`` nx.degree_centrality + weighted degree).

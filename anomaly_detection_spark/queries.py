@@ -2712,6 +2712,45 @@ FROM stats ORDER BY user_id, day
 """
 
 
+def q_pagerank(spark, sf):
+    """§2.9d: fixed-point integer PageRank on the supplier graph — the
+    canonical iterative graph op at 10^12-edge scale, made bit-exact
+    (int64 nanos, 17/20 damping via integer floor-division) so a DuckDB
+    oracle can check it; float PageRank's contribution sums are
+    summation-order-dependent."""
+    from anomaly_detection_spark.functions import graph
+
+    return graph.pagerank_fixed(_supplier_edges(spark, sf)).orderBy("node")
+
+
+def _sql_pagerank(iters: int = 5, scale: int = 10**9) -> str:
+    parts = [
+        "deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY node)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"pr0 AS (SELECT node, deg, CAST({scale} AS BIGINT) // nn.n AS pr"
+        f" FROM deg, nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pr{k} AS MATERIALIZED (\n"
+            f"  SELECT d.node, d.deg,\n"
+            f"         (CAST({scale} AS BIGINT) * 3) // (20 * nn.n)\n"
+            f"         + CAST(SUM((p.pr * 17) // (20 * p.deg)) AS BIGINT) AS pr\n"
+            f"  FROM deg d\n"
+            f"  JOIN sym ON sym.node = d.node\n"
+            f"  JOIN pr{k - 1} p ON p.node = sym.other\n"
+            f"  CROSS JOIN nn\n"
+            f"  GROUP BY d.node, d.deg, nn.n)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, pr AS pagerank_nanos FROM pr{iters} ORDER BY node"
+
+
+SQL_PAGERANK = f"""
+WITH {_SQL_SUPPLIER_EDGES},
+{_sql_pagerank()}
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2792,4 +2831,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_activity_profile": (q_user_activity_profile, SQL_USER_ACTIVITY_PROFILE),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "rolling_user_activity": (q_rolling_user_activity, SQL_ROLLING_USER_ACTIVITY),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }

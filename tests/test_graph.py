@@ -173,3 +173,31 @@ def test_landmark_stress_depth_bound(spark):
            graph.landmark_stress(edge_df(spark, chain),
                                  n_landmarks=2, max_depth=3).collect()}
     assert got == _brute_stress(chain, n_landmarks=2, max_depth=3)
+
+
+def test_pagerank_fixed_matches_integer_reference(spark):
+    from collections import defaultdict
+
+    def brute(pairs, iters=5, scale=10**9):
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b); adj[b].add(a)
+        nodes = sorted(adj)
+        n = len(nodes)
+        pr = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            pr = {
+                v: (scale * 3) // (20 * n)
+                + sum((pr[u] * 17) // (20 * len(adj[u])) for u in adj[v])
+                for v in nodes
+            }
+        return pr
+
+    for pairs in ([(0, 1), (0, 2), (0, 3)], PAIRS):
+        got = {r["node"]: r["pagerank_nanos"] for r in
+               graph.pagerank_fixed(edge_df(spark, pairs)).collect()}
+        assert got == brute(pairs), pairs
+    # hub ranks above pendant on the asymmetric fixture
+    got = {r["node"]: r["pagerank_nanos"] for r in
+           graph.pagerank_fixed(edge_df(spark, PAIRS)).collect()}
+    assert got[2] > got[6]
