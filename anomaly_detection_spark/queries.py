@@ -2751,6 +2751,108 @@ WITH {_SQL_SUPPLIER_EDGES},
 """
 
 
+_SQL_HASH_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def q_corpus_split_stats(spark, sf):
+    """Deterministic train/val/test split (80/10/10) by stable md5 hash of
+    doc_id — membership never reshuffles as the corpus grows (the property
+    hash splits have and row-number splits don't). Per (split, lang):
+    document count + total chars."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents")
+    return (
+        d.select(curation.split_column("doc_id").alias("split"), "lang",
+                 "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+SQL_CORPUS_SPLIT_STATS = f"""
+WITH b AS (
+  SELECT CASE WHEN {_SQL_HASH_BUCKET} < 80 THEN 'train'
+              WHEN {_SQL_HASH_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stratified_sample_stats(spark, sf):
+    """Deterministic stratified sampling: per-language keep-rates applied as
+    a pure hash-bucket filter (no shuffle, no rand() — reproducible and
+    scan-pushable at 100 TB). Per language: sampled count + id range."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents")
+    s = curation.stratified_sample(
+        d, "lang", {"en": 60, "zh": 25, "de": 10}, default_pct=5,
+    )
+    return (
+        s.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
+SQL_STRATIFIED_SAMPLE_STATS = f"""
+WITH s AS (
+  SELECT lang, doc_id FROM documents
+  WHERE {_SQL_HASH_BUCKET} <
+        CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 25 WHEN 'de' THEN 10
+                  ELSE 5 END
+)
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_token_budget_docs(spark, sf):
+    """Quality-ranked token-budget selection — the data-mixing primitive:
+    best documents first (here an integer pseudo-quality with deliberate
+    ties to exercise the id tie-break) until the running token total hits
+    20k. The Spark plan's only unpartitioned window runs over distinct
+    quality values (curation.token_budget_selection); the oracle states the
+    same semantics as one global prefix sum."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens"),
+        (F.col("n_chars") % 97).alias("q"),
+    )
+    sel = curation.token_budget_selection(d, 20_000, "n_tokens", "q", "doc_id")
+    return sel.select("doc_id", "n_tokens", "q") \
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+
+
+SQL_TOKEN_BUDGET_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, len({{toks}}) AS n_tokens, n_chars % 97 AS q FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, q,
+         SUM(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, q FROM c WHERE cum <= 20000
+ORDER BY q DESC, doc_id
+"""
+SQL_TOKEN_BUDGET_DOCS = SQL_TOKEN_BUDGET_DOCS.format(toks=_TOKS_SQL)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2832,4 +2934,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "rolling_user_activity": (q_rolling_user_activity, SQL_ROLLING_USER_ACTIVITY),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "corpus_split_stats": (q_corpus_split_stats, SQL_CORPUS_SPLIT_STATS),
+    "stratified_sample_stats": (q_stratified_sample_stats, SQL_STRATIFIED_SAMPLE_STATS),
+    "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET_DOCS),
 }

@@ -1,0 +1,62 @@
+"""Curation-operator invariants: hash-split stability under corpus growth,
+and the scale-shaped token-budget selection matching the naive global
+prefix-sum semantics exactly (including ties)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anomaly_detection_spark.functions import curation
+
+
+def test_split_membership_stable_under_growth(spark):
+    full = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    subset = full.filter("doc_id < 400")
+    s_full = {r["doc_id"]: r["s"] for r in
+              full.select("doc_id", curation.split_column("doc_id").alias("s"))
+              .collect()}
+    s_sub = {r["doc_id"]: r["s"] for r in
+             subset.select("doc_id", curation.split_column("doc_id").alias("s"))
+             .collect()}
+    # growing the corpus never moves an existing doc between splits
+    assert all(s_full[k] == v for k, v in s_sub.items())
+    # ratios roughly 80/10/10
+    n = len(s_full)
+    assert 0.7 < sum(v == "train" for v in s_full.values()) / n < 0.9
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out1 = curation.stratified_sample(df, "lang", {"en": 50, "zh": 10})
+    out2 = curation.stratified_sample(df, "lang", {"en": 50, "zh": 10})
+    a = sorted(r["doc_id"] for r in out1.collect())
+    assert a == sorted(r["doc_id"] for r in out2.collect())  # reproducible
+    en = df.filter("lang = 'en'").count()
+    kept_en = out1.filter("lang = 'en'").count()
+    assert 0.3 * en < kept_en < 0.7 * en
+    # no shuffle: plan has no Exchange
+    plan = out1._sc._jvm.PythonSQLUtils.explainString(
+        out1._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan.split("\n\n")[0]
+
+
+def test_token_budget_matches_naive_global_prefix(spark):
+    # deliberate quality ties so the id tie-break matters
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        (F.col("id") % 5).alias("q"),
+    )
+    got = sorted(r["doc_id"] for r in
+                 curation.token_budget_selection(df, 250, "n_tokens", "q",
+                                                 "doc_id").collect())
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = sorted(
+        r["doc_id"] for r in
+        df.withColumn("_c", F.sum("n_tokens").over(w))
+        .filter(F.col("_c") <= 250).collect()
+    )
+    assert got == naive and len(naive) > 10
