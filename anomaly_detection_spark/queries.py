@@ -2853,6 +2853,103 @@ ORDER BY q DESC, doc_id
 SQL_TOKEN_BUDGET_DOCS = SQL_TOKEN_BUDGET_DOCS.format(toks=_TOKS_SQL)
 
 
+def q_interleaved_span_stats(spark, sf):
+    """The north-rule input shape inside the oracle gate: documents →
+    interleaved (doc_id, spans:array<struct<kind,text,media_ref,offset>>,
+    partition) exactly as ``__spark_entry__.entry()`` builds it — with
+    planted offset defects (every 13th doc negative, every 17th duplicate)
+    — then per-partition span statistics computed ON the nested column
+    (size / filter / transform / sort over array<struct>), so the gate
+    checks Spark's nested-array ops against DuckDB list-of-struct lambdas
+    value-for-value."""
+    raw = load(spark, sf, "documents")
+    second_off = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(-1))
+        .when(F.col("doc_id") % 17 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    docs = raw.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring("text", 1, 40).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("m"), (F.col("doc_id") % 64).cast("string"))
+                .alias("media_ref"),
+                second_off.alias("offset"),
+            ),
+        ).alias("spans"),
+        F.col("source").alias("partition"),
+    )
+    spans = F.col("spans")
+    offs = F.transform(spans, lambda s: s["offset"])
+    valid = (
+        (F.sort_array(offs) == offs)
+        & (F.size(F.array_distinct(offs)) == F.size(offs))
+        & F.forall(offs, lambda o: o >= 0)
+    )
+    return (
+        docs.select(
+            "partition",
+            F.size(spans).alias("_n_spans"),
+            F.size(F.filter(spans, lambda s: s["kind"] == "text"))
+            .alias("_n_text"),
+            F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull()))
+            .alias("_n_media"),
+            (~valid).cast("int").alias("_invalid"),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_spans").alias("total_spans"),
+            F.sum("_n_text").alias("n_text_spans"),
+            F.sum("_n_media").alias("n_media_spans"),
+            F.sum("_invalid").alias("n_invalid_offset_docs"),
+        )
+        .orderBy("partition")
+    )
+
+
+SQL_INTERLEAVED_SPAN_STATS = """
+WITH docs AS (
+  SELECT doc_id, source AS partition,
+         [struct_pack(kind := 'text', text := substr(text, 1, 40),
+                      media_ref := CAST(NULL AS VARCHAR), "offset" := 0),
+          struct_pack(kind := 'image', text := CAST(NULL AS VARCHAR),
+                      media_ref := 'm' || CAST(doc_id % 64 AS VARCHAR),
+                      "offset" := CASE WHEN doc_id % 13 = 0 THEN -1
+                                       WHEN doc_id % 17 = 0 THEN 0
+                                       ELSE 1 END)] AS spans
+  FROM documents
+), stats AS (
+  SELECT partition,
+         len(spans) AS n_spans,
+         len(list_filter(spans, s -> s.kind = 'text')) AS n_text,
+         len(list_filter(spans, s -> s.media_ref IS NOT NULL)) AS n_media,
+         CASE WHEN list_sort(list_transform(spans, s -> s."offset"))
+                   = list_transform(spans, s -> s."offset")
+               AND len(list_distinct(list_transform(spans, s -> s."offset")))
+                   = len(spans)
+               AND len(list_filter(list_transform(spans, s -> s."offset"),
+                                   o -> o < 0)) = 0
+              THEN 0 ELSE 1 END AS invalid
+  FROM docs
+)
+SELECT partition, COUNT(*) AS n_docs,
+       CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+       CAST(SUM(n_text) AS BIGINT) AS n_text_spans,
+       CAST(SUM(n_media) AS BIGINT) AS n_media_spans,
+       CAST(SUM(invalid) AS BIGINT) AS n_invalid_offset_docs
+FROM stats GROUP BY partition ORDER BY partition
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2937,4 +3034,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_split_stats": (q_corpus_split_stats, SQL_CORPUS_SPLIT_STATS),
     "stratified_sample_stats": (q_stratified_sample_stats, SQL_STRATIFIED_SAMPLE_STATS),
     "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET_DOCS),
+    "interleaved_span_stats": (q_interleaved_span_stats, SQL_INTERLEAVED_SPAN_STATS),
 }
