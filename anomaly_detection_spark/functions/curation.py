@@ -51,6 +51,55 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, int],
     return df.filter(b < pct)
 
 
+def pack_sequences(df: DataFrame, token_col: str = "n_tokens",
+                   id_col: str = "doc_id", seq_len: int = 512,
+                   bucket_width: int = 4096) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay documents end-to-end in
+    ``id_col`` order and cut fixed ``seq_len``-token training sequences —
+    the step that turns a curated corpus into packed LM batches. Emits per
+    document: ``seq_start`` (first sequence index), ``offset_in_seq``
+    (token offset where the doc begins), ``n_seqs_spanned`` (how many
+    sequence boundaries the doc crosses + 1).
+
+    Scale shape: the global running sum is a TWO-PHASE distributed prefix
+    sum, never one giant unpartitioned window (which funnels the corpus
+    through a single task): per-bucket token totals (buckets = id ranges of
+    ``bucket_width``) → a window over the bucket totals only (corpus/width
+    rows — tiny) → broadcast-join the bucket offsets back → per-bucket
+    partitioned within-bucket running sum. offset + local prefix is exactly
+    the global (id asc) exclusive prefix. All arithmetic is int64 (``div``/
+    ``pmod``), exact past 2^53 where doubles would silently drift.
+
+    Rows with ``token_col ≤ 0`` must be filtered upstream (they would pack
+    zero-width and make ``n_seqs_spanned`` ill-defined).
+    """
+    bucket = (F.col(id_col) - F.pmod(id_col, F.lit(bucket_width))).cast("long")
+    t = df.select(F.col(id_col), F.col(token_col), bucket.alias("_bkt"))
+    per_bucket = t.groupBy("_bkt").agg(F.sum(token_col).alias("_bt"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_boff")
+    )
+    wl = Window.partitionBy("_bkt").orderBy(F.asc(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = (
+        t.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_before",
+            F.col("_boff") + F.coalesce(F.sum(token_col).over(wl), F.lit(0)),
+        )
+    )
+    return packed.withColumn(
+        "_end", F.col("_before") + F.col(token_col) - 1
+    ).select(
+        id_col, token_col,
+        F.expr(f"_before DIV {seq_len}").alias("seq_start"),
+        F.pmod("_before", F.lit(seq_len)).alias("offset_in_seq"),
+        (F.expr(f"_end DIV {seq_len}")
+         - F.expr(f"_before DIV {seq_len}") + 1).alias("n_seqs_spanned"),
+    )
+
+
 def token_budget_selection(df: DataFrame, budget_tokens: int,
                            token_col: str = "n_tokens",
                            quality_col: str = "quality",

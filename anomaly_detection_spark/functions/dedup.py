@@ -133,10 +133,15 @@ def _band_buckets(df: DataFrame, text_col: str, id_col: str,
                 F.md5(F.concat_ws("|", F.lit(str(b)), *cols)),
             )
         )
+    # explode_outer + null-drop, NOT explode(filter(...)): plain explode
+    # gets an inferred `size(arr) > 0` pre-filter that predicate pushdown
+    # inlines into the scan filter with the whole minhash pipeline expanded
+    # — interpreted (lambda blocks codegen), no CSE, so every signature is
+    # computed twice per row (measured ~2× on lsh_candidate_pairs).
     return sig.select(
         F.col(id_col),
-        F.explode(F.filter(F.array(*band_bkts), lambda x: x.isNotNull())).alias("bucket"),
-    )
+        F.explode_outer(F.array(*band_bkts)).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
 
 
 def lsh_bucket_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -199,7 +204,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
     )
     return (
-        grouped.select(F.explode(pairs).alias("_p"))
+        # explode_outer: explode's inferred non-empty filter would inline —
+        # and so evaluate — the O(|ids|²) pair expression a second time.
+        grouped.select(F.explode_outer(pairs).alias("_p"))
+        .filter(F.col("_p").isNotNull())
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )

@@ -1,0 +1,122 @@
+"""Corpus-hygiene operators for LLM training pipelines: Gopher-style
+repetition statistics and benchmark-contamination n-gram overlap.
+
+Both are explode → two-level hash-aggregation pipelines: partial (map-side)
+aggregation applies at every step, the only shuffles are keyed by
+``(doc_id, gram)`` then ``doc_id``, and no per-document state ever leaves the
+JVM — the shape that survives a 100 TB corpus. Repetition thresholds follow
+the published Gopher/MassiveText quality filters (fraction of the document
+made of its most-repeated n-gram, fraction of duplicated n-grams); ratios are
+emitted as integer parts-per-million (``floor(1e6·x + 0.5)``) so the DuckDB
+oracle matches bit-for-bit (both engines do one IEEE double divide, then
+floor — no round-half ambiguity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions.dedup import _shingles_of, with_shingles
+from anomaly_detection_spark.functions.text import tokens
+
+
+def _ppm(num, den):
+    """Integer parts-per-million of num/den — cross-engine-exact (one double
+    divide + floor; never round(), whose half-breaking differs per engine)."""
+    return F.floor(F.lit(1_000_000.0) * num / den + F.lit(0.5)).cast("long")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition profile over documents with ≥3 tokens:
+
+    * ``n_tokens`` — whitespace token count;
+    * ``top_token_ppm`` — occurrences of the most frequent token / n_tokens;
+    * ``top_bigram_ppm`` — occurrences of the most frequent word 2-gram /
+      total 2-grams;
+    * ``dup_trigram_ppm`` — fraction of 3-gram occurrences that are repeats
+      (``(total − distinct) / total``).
+
+    The Gopher repetition filters, recast distributed: ONE scan binds token /
+    2-gram / 3-gram arrays as columns (never re-tokenizing inside lambdas),
+    a single tagged explode feeds ONE ``(doc, n, gram)`` count, and per-doc
+    metrics come from a second, smaller aggregation — 2 shuffles total for
+    all three gram sizes, both with map-side combine.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")) \
+        .filter(F.size("_toks") >= 3)
+    bound = base.select(
+        id_col, "_toks",
+        _shingles_of(F.col("_toks"), 2).alias("_b2"),
+        _shingles_of(F.col("_toks"), 3).alias("_b3"),
+    )
+
+    def _tag(arr: str, n: int):
+        return F.transform(
+            F.col(arr),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    # explode_outer, NOT explode: InferFiltersFromGenerate gives plain
+    # explode a `size(arr) > 0` pre-filter that predicate pushdown inlines
+    # into the scan filter with the whole gram expression expanded — and
+    # filter conditions get no subexpression elimination, so the text is
+    # re-tokenized per gram position (measured 7× on this op). The arrays
+    # here are never empty (≥3 tokens guaranteed), so outer ≡ inner.
+    ex = bound.select(
+        id_col,
+        F.explode_outer(F.concat(_tag("_toks", 1), _tag("_b2", 2), _tag("_b3", 3))).alias("_t"),
+    ).select(id_col, F.col("_t.n").alias("_n"), F.col("_t.g").alias("_g"))
+    counts = ex.groupBy(id_col, "_n", "_g").agg(F.count("*").alias("_c"))
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max("_c").alias("_mx"),
+        F.sum("_c").alias("_tot"),
+        F.count("*").alias("_dst"),
+    )
+    pick = lambda n, expr: F.max(F.when(F.col("_n") == n, expr))  # noqa: E731
+    return per_n.groupBy(id_col).agg(
+        pick(1, F.col("_tot")).alias("n_tokens"),
+        pick(1, _ppm(F.col("_mx"), F.col("_tot"))).alias("top_token_ppm"),
+        pick(2, _ppm(F.col("_mx"), F.col("_tot"))).alias("top_bigram_ppm"),
+        pick(3, _ppm(F.col("_tot") - F.col("_dst"), F.col("_tot"))).alias("dup_trigram_ppm"),
+    )
+
+
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document sharing at
+    least one distinct word n-gram with any benchmark document, emit
+    ``(id, n_shingles, n_contaminated, contamination_ppm)`` — the standard
+    n-gram-overlap decontamination pass run before training (as published
+    for GPT-3/PaLM/Llama eval decontamination).
+
+    Scale shape: the benchmark side (eval suites — thousands of docs, not
+    billions) collapses to a DISTINCT shingle set and is **broadcast**, so
+    the 100 TB corpus side is a scan + map-side semi-join + per-doc count —
+    no corpus-wide shuffle keyed by shingle, which would be the naive plan's
+    bottleneck (shingle frequencies are power-law-skewed).
+    """
+    # explode_outer + null-drop (see repetition_stats): plain explode's
+    # inferred non-empty pre-filter inlines the shingle expression into the
+    # scan filter, re-tokenizing per position.
+    cor = with_shingles(corpus, text_col, id_col, n=n, distinct=True)
+    ex = cor.select(id_col, F.explode_outer("_sh").alias("_g")) \
+        .filter(F.col("_g").isNotNull())
+    bench_sh = (
+        with_shingles(benchmark, text_col, id_col, n=n, distinct=True)
+        .select(F.explode_outer("_sh").alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .distinct()
+    )
+    totals = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        ex.join(F.broadcast(bench_sh), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return totals.join(hits, id_col).select(
+        id_col, "n_shingles", "n_contaminated",
+        _ppm(F.col("n_contaminated"), F.col("n_shingles")).alias("contamination_ppm"),
+    )

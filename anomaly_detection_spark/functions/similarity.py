@@ -119,9 +119,12 @@ def lsh_multiprobe_topk(
         )
 
     probes = F.array(F.col("_b0"), *[flip(j) for j in range(1, n_planes + 1)])
+    # explode_outer: probes is never empty, and plain explode's inferred
+    # non-empty pre-filter would inline the bucket computation into the
+    # scan filter (see dedup._band_buckets).
     q = base.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
-        F.explode(probes).alias("_b"),
+        F.explode_outer(probes).alias("_b"),
     ).withColumn("qn", norm(F.col("qv")))
     c = base.select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),

@@ -67,6 +67,62 @@ def autocorr_at_lags(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """As-of join (each left row ⟵ the latest right row with
+    ``right.ts ≤ left.ts`` per key): the time-series primitive Spark lacks
+    natively, built as union-tag + ``last(…, ignorenulls)`` window.
+
+    Scale shape: ONE shuffle on ``key_col`` and a per-key sort — never the
+    naive inequality join, whose range predicate degenerates to a per-key
+    cross product (quadratic in events-per-key at 100 TB). Right rows must
+    be unique per (key, ts); pre-aggregate if they aren't, or the picked
+    row is partition-order-dependent.
+
+    Returns the left frame's key/ts plus ``payload_cols`` (from left) and
+    each right payload column as ``ref_<name>`` plus ``ref_ts``; rows with
+    no preceding right row carry nulls (filter for inner semantics).
+    """
+    ref_payload = [c for c in right.columns if c not in (key_col, ts_col)]
+    # Union with aligned schemas: left rows carry a null ref struct, ref
+    # rows null left-payload columns.
+    r_struct = F.struct(F.col(ts_col).alias("_ref_ts"), *ref_payload)
+    r_tag = right.select(
+        key_col, ts_col, F.lit(1).alias("_is_ref"), r_struct.alias("_rp")
+    )
+    l_tag = left.select(
+        key_col, ts_col, F.lit(0).alias("_is_ref"),
+        F.lit(None).cast(r_tag.schema["_rp"].dataType.simpleString()).alias("_rp"),
+        *payload_cols,
+    )
+    r_full = r_tag.select(
+        key_col, ts_col, "_is_ref", "_rp",
+        *[F.lit(None).cast(left.schema[c].dataType.simpleString()).alias(c)
+          for c in payload_cols],
+    )
+    u = l_tag.unionByName(r_full)
+    # At equal ts the ref sorts FIRST (desc on the tag) so "≤" includes it.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn("_ref", F.last("_rp", ignorenulls=True).over(w))
+        .filter(F.col("_is_ref") == 0)
+    )
+    return out.select(
+        key_col, ts_col, *payload_cols,
+        F.col("_ref._ref_ts").alias("ref_ts"),
+        *[F.col(f"_ref.{c}").alias(f"ref_{c}") for c in ref_payload],
+    )
+
+
 def dominant_period(
     daily: DataFrame,
     key_col: str,

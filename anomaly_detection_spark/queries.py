@@ -2950,6 +2950,173 @@ FROM stats GROUP BY partition ORDER BY partition
 """
 
 
+_BIGRAMS_SQL = """CASE WHEN len(toks) >= 2 THEN
+  list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+  ELSE CAST([] AS VARCHAR[]) END"""
+
+
+def _ppm_sql(num: str, den: str) -> str:
+    """Integer parts-per-million, matching repetition._ppm: force the 1e6
+    factor to DOUBLE (bare DuckDB decimals are DECIMAL and multiply exactly,
+    diverging from Spark's double product at floor edges)."""
+    return f"CAST(FLOOR(CAST(1000000 AS DOUBLE) * {num} / {den} + 0.5) AS BIGINT)"
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition stats per document (≥3 tokens): most-frequent
+    token / 2-gram fractions and duplicated-3-gram fraction, as integer ppm.
+    One tagged explode covers all three gram sizes in a single scan."""
+    from anomaly_detection_spark.functions import repetition
+
+    return repetition.repetition_stats(load(spark, sf, "documents")) \
+        .orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+f AS (
+  SELECT doc_id, toks, {_BIGRAMS_SQL} AS b2, {_SHINGLES_SQL} AS b3
+  FROM t WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM f
+  UNION ALL SELECT doc_id, 2 AS n, unnest(b2) AS g FROM f
+  UNION ALL SELECT doc_id, 3 AS n, unnest(b3) AS g FROM f
+), cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3
+), per AS (
+  SELECT doc_id, n, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot,
+         COUNT(*) AS dst
+  FROM cnt GROUP BY 1, 2
+)
+SELECT doc_id,
+  MAX(CASE WHEN n = 1 THEN tot END) AS n_tokens,
+  MAX(CASE WHEN n = 1 THEN {_ppm_sql('mx', 'tot')} END) AS top_token_ppm,
+  MAX(CASE WHEN n = 2 THEN {_ppm_sql('mx', 'tot')} END) AS top_bigram_ppm,
+  MAX(CASE WHEN n = 3 THEN {_ppm_sql('(tot - dst)', 'tot')} END) AS dup_trigram_ppm
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_benchmark_contamination(spark, sf):
+    """Benchmark-decontamination scan: 3% of documents (stable md5 hash
+    buckets ≥ 97) act as the held-out benchmark; every remaining corpus doc
+    sharing a distinct 3-gram with the benchmark is reported with its
+    overlap fraction. The benchmark shingle set is broadcast — the corpus
+    side never shuffles on shingle."""
+    from anomaly_detection_spark.functions import curation, repetition
+
+    d = load(spark, sf, "documents")
+    b = curation.hash_bucket("doc_id", 100)
+    return repetition.contamination_overlap(
+        d.filter(b < 97), d.filter(b >= 97)
+    ).orderBy("doc_id")
+
+
+SQL_BENCHMARK_CONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_HASH_BUCKET} AS bkt, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, bkt, list_distinct({_SHINGLES_SQL}) AS sh FROM t
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM s WHERE bkt < 97
+), ev AS (
+  SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM s WHERE bkt >= 97)
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1
+), hit AS (
+  SELECT ex.doc_id, COUNT(*) AS n_contaminated
+  FROM ex JOIN ev USING (g) GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       {_ppm_sql('n_contaminated', 'n_shingles')} AS contamination_ppm
+FROM tot JOIN hit USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_asof_signup_join(spark, sf):
+    """As-of join (J6 family): each purchase event picks up the user's
+    latest signup at-or-before it — built as ONE shuffle (union-tag +
+    last-ignorenulls window, timeseries.asof_join), never an inequality
+    join. The DuckDB oracle uses its native ASOF JOIN — a genuinely
+    independent algorithm for the same semantics."""
+    from anomaly_detection_spark.functions import timeseries
+
+    e = load(spark, sf, "events")
+    refs = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    left = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    j = timeseries.asof_join(left, refs, "user_id", "ts", ["event_id", "value"])
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref_us = F.unix_micros(F.col("ref_ts").cast("timestamp"))
+    return j.filter(F.col("ref_ts").isNotNull()).select(
+        "event_id", "user_id",
+        ts_us.alias("ts_us"),
+        ref_us.alias("signup_ts_us"),
+        (ts_us - ref_us).alias("us_since_signup"),
+        _cents(F.col("ref_signup_value")).alias("signup_value_cents"),
+        _cents(F.col("value")).alias("purchase_cents"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_SIGNUP_JOIN = """
+WITH refs AS (
+  SELECT user_id, ts, MAX(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(r.ts) AS signup_ts_us,
+       epoch_us(p.ts) - epoch_us(r.ts) AS us_since_signup,
+       CAST(ROUND(r.signup_value * 100) AS BIGINT) AS signup_value_cents,
+       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+FROM p ASOF JOIN refs r ON p.user_id = r.user_id AND p.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+def q_sequence_packing(spark, sf):
+    """Sequence packing (concat-and-chunk into 512-token LM sequences) via
+    the two-phase distributed prefix sum in curation.pack_sequences — the
+    oracle states the same thing as one global running sum. bucket_width=64
+    forces multiple buckets even at sf0.001, so the gate exercises the
+    bucket-offset recombination, not just the within-bucket window."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return curation.pack_sequences(
+        d, "n_tokens", "doc_id", seq_len=512, bucket_width=64
+    ).orderBy("doc_id")
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+), f AS (
+  SELECT * FROM t WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cum_before
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       cum_before // 512 AS seq_start,
+       cum_before % 512 AS offset_in_seq,
+       ((cum_before + n_tokens - 1) // 512) - (cum_before // 512) + 1
+         AS n_seqs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -3035,4 +3202,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample_stats": (q_stratified_sample_stats, SQL_STRATIFIED_SAMPLE_STATS),
     "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET_DOCS),
     "interleaved_span_stats": (q_interleaved_span_stats, SQL_INTERLEAVED_SPAN_STATS),
+    # Group G — training-pipeline ops (repetition, contamination, as-of, packing)
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
+    "asof_signup_join": (q_asof_signup_join, SQL_ASOF_SIGNUP_JOIN),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

@@ -45,6 +45,10 @@ HEADLINE = [
     "media_metadata_stats",
     "graph_triangles",
     "ml_outlier_ensemble",
+    "doc_repetition",
+    "benchmark_contamination",
+    "asof_signup_join",
+    "sequence_packing",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

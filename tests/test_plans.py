@@ -218,3 +218,39 @@ def test_access_pattern_drift_no_day_cross_product(spark):
     plan = plan_of(QUERIES["access_pattern_drift"][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_range_join(spark):
+    """The as-of join must be union-tag + window — ONE exchange on the key,
+    never an inequality join (BroadcastNestedLoop/Cartesian), whose range
+    predicate is quadratic per key at scale."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["asof_signup_join"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The corpus side must never shuffle on shingle (power-law-skewed key):
+    the benchmark shingle set is broadcast into a map-side hash join."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["benchmark_contamination"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_pack_sequences_offsets_join_is_broadcast(spark):
+    """The bucket-offset recombination joins a tiny per-bucket frame back to
+    the corpus — must be broadcast, and the only unpartitioned window must
+    run over the bucket totals (bounded), not the corpus."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["sequence_packing"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,97 @@
+"""Training-pipeline operators: sequence packing, as-of join, repetition
+stats, contamination overlap — each checked against a serial brute force
+(SURVEY.md §5: tiny obviously-correct oracle on the same data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions import curation, repetition, timeseries
+
+
+def test_pack_sequences_matches_serial_prefix(spark):
+    rows = [(i, t) for i, t in zip(range(0, 20, 2), [3, 5, 2, 9, 1, 4, 7, 2, 6, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # bucket_width=3 forces many buckets; seq_len=7 forces boundary crossings
+    got = {
+        r["doc_id"]: r
+        for r in curation.pack_sequences(
+            df, "n_tokens", "doc_id", seq_len=7, bucket_width=3
+        ).collect()
+    }
+    before = 0
+    for i, t in sorted(rows):
+        r = got[i]
+        assert r["seq_start"] == before // 7
+        assert r["offset_in_seq"] == before % 7
+        assert r["n_seqs_spanned"] == (before + t - 1) // 7 - before // 7 + 1
+        before += t
+    assert before == sum(t for _, t in rows)
+
+
+def test_asof_join_brute_force(spark):
+    left = [
+        (1, 10, "a"), (1, 20, "b"), (1, 5, "c"),   # c precedes any ref
+        (2, 15, "d"), (2, 30, "e"),
+        (3, 50, "f"),                               # key with no refs
+        (1, 12, "g"),                               # equal-ts tie with a ref
+    ]
+    right = [(1, 8, 100.0), (1, 12, 200.0), (2, 15, 300.0), (4, 1, 400.0)]
+    l = spark.createDataFrame(left, "k long, ts long, tag string")
+    r = spark.createDataFrame(right, "k long, ts long, v double")
+    out = {
+        row["tag"]: row
+        for row in timeseries.asof_join(l, r, "k", "ts", ["tag"]).collect()
+    }
+    assert len(out) == len(left)
+
+    def brute(k, ts):
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        return max(cands) if cands else None
+
+    for k, ts, tag in left:
+        exp = brute(k, ts)
+        row = out[tag]
+        if exp is None:
+            assert row["ref_ts"] is None and row["ref_v"] is None
+        else:
+            assert (row["ref_ts"], row["ref_v"]) == exp
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition.repetition_stats(df).collect()}
+    assert set(got) == {1, 2}  # <3 tokens excluded
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["top_token_ppm"] == 1_000_000
+    assert r1["top_bigram_ppm"] == 1_000_000      # 'x x' is all 3 bigrams
+    assert r1["dup_trigram_ppm"] == 500_000       # 2 trigrams, 1 distinct
+    r2 = got[2]
+    assert r2["top_token_ppm"] == 250_000
+    assert r2["top_bigram_ppm"] == 333_333
+    assert r2["dup_trigram_ppm"] == 0
+
+
+def test_contamination_planted(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),   # shares 'alpha beta gamma'
+         (2, "one two three four"),       # no overlap
+         (3, "beta gamma delta epsilon")],  # shares 'beta gamma delta'
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition.contamination_overlap(corpus, bench).collect()
+    }
+    assert set(got) == {1, 3}  # doc 2 clean -> not reported
+    assert got[1]["n_shingles"] == 2 and got[1]["n_contaminated"] == 2
+    assert got[1]["contamination_ppm"] == 1_000_000
+    assert got[3]["n_shingles"] == 2 and got[3]["n_contaminated"] == 1
+    assert got[3]["contamination_ppm"] == 500_000
