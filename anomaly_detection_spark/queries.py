@@ -997,6 +997,54 @@ SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
 """
 
 
+def q_embedding_ivf_multiprobe(spark, sf):
+    """IVF ANN with nprobe=2 (similarity.ivf_multiprobe_topk): each query
+    searches its TWO nearest coarse cells by integer-exact centroid
+    distance — the recall fix over single-cell `embedding_ivf_topk`. The
+    codebook (per-label integer sums + counts, no float means) is tiny and
+    broadcast; candidates stay in their home cell, so the join is still a
+    per-bucket equi-join at 2× the single-probe work."""
+    return similarity.ivf_multiprobe_topk(
+        load(spark, sf, "embeddings"), k=3, nprobe=2
+    ).orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_IVF_MULTIPROBE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+dimsum AS (
+  SELECT label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
+), probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
+        c.label ASC) AS pr
+    FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM e q JOIN probe p ON p.query_id = q.vec_id
+           JOIN e b ON b.label = p.label AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 def q_embedding_lsh_buckets(spark, sf):
     """Hyperplane-LSH bucketing of embeddings (the alternative coarse
     quantizer for ivf_topk when no cluster labels exist): 8 sign bits from
@@ -3160,6 +3208,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_ivf_topk": (q_embedding_ivf_topk, SQL_EMBEDDING_IVF_TOPK),
+    "embedding_ivf_multiprobe": (q_embedding_ivf_multiprobe, SQL_EMBEDDING_IVF_MULTIPROBE),
     "embedding_lsh_buckets": (q_embedding_lsh_buckets, SQL_EMBEDDING_LSH_BUCKETS),
     "embedding_lsh_multiprobe": (q_embedding_lsh_multiprobe, SQL_EMBEDDING_LSH_MULTIPROBE),
     # Group D — multimodal

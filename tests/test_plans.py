@@ -254,3 +254,16 @@ def test_pack_sequences_offsets_join_is_broadcast(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_multiprobe_codebook_broadcast_no_cartesian(spark):
+    """The nprobe assignment pairs every query with the TINY broadcast
+    codebook (BroadcastNestedLoop over n_buckets rows — bounded); the
+    corpus-sized candidate join must stay a bucket equi-join, and no
+    unbroadcast CartesianProduct may appear anywhere."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["embedding_ivf_multiprobe"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    assert "CartesianProduct" not in plan

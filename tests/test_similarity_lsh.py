@@ -68,3 +68,39 @@ def test_multiprobe_covers_hamming1_neighbours(emb, buckets):
         if q != n and ham(buckets[q], buckets[n]) == 1
     }
     assert missed == gained  # every Hamming-1 pair is probed, none skipped
+
+
+def test_ivf_multiprobe_recovers_cross_cell_neighbour(spark):
+    """The nprobe=2 recall property: a query whose true nearest neighbour
+    sits in a DIFFERENT (but second-closest) cell finds it; single-probe
+    ivf_topk on the same data cannot."""
+    dim = 64
+
+    def vec(base, eps=0.0):
+        return [float(base)] * (dim // 2) + [float(base + eps)] * (dim // 2)
+
+    rows = [
+        # cell 0: the query + one mediocre same-cell neighbour
+        (1, vec(1.0), 0),
+        (2, vec(0.6), 0),
+        # cell 1: the query's true nearest neighbour (near-identical copy)
+        (3, vec(1.0, eps=0.001), 1),
+        (4, vec(1.05), 1),
+        # cell 2: far away — must NOT be probed
+        (5, vec(-1.0), 2),
+        (6, vec(-1.02), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_multiprobe_topk(df, k=3, nprobe=2).collect()
+    }
+    assert (1, 3) in multi            # cross-cell true neighbour found
+    assert (1, 5) not in multi        # far cell not probed
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(df, k=3).collect()
+    }
+    assert (1, 3) not in single       # single-probe provably misses it
