@@ -51,6 +51,78 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, int],
     return df.filter(b < pct)
 
 
+def domain_mixture(df: DataFrame, domain_col: str = "source",
+                   token_col: str = "n_tokens",
+                   budget_tokens: int = 1_000_000) -> DataFrame:
+    """Temperature-based domain mixture weights (α = 0.5) + repeat factors
+    under a token budget — the published multilingual/multi-domain sampling
+    scheme (sample domain d with probability ∝ T_d^α, α < 1 upweights
+    low-resource domains relative to their raw token share).
+
+    Per domain: ``n_docs``, ``domain_tokens`` (exact int64 sum),
+    ``weight_ppm`` (the α=0.5 mixture weight), ``epochs_micro`` (how many
+    times the domain is replayed to fill its share of ``budget_tokens``,
+    in millionths: weight·budget/T_d).
+
+    Cross-engine-exact by construction: T_d^0.5 is taken as
+    ``floor(sqrt(T_d))`` — an EXACT integer in both engines (IEEE sqrt is
+    correctly rounded below 2^53) — so every emitted ratio is one double
+    divide of two exact integers + floor, never a sum of doubles whose
+    order could differ. Plan: one map-side-combined groupBy to per-domain
+    totals (rows = #domains — tiny), then a windowless broadcast-size
+    normalization."""
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("domain_tokens"),
+    ).withColumn("_isq", F.floor(F.sqrt(F.col("domain_tokens"))).cast("long"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    norm = per.withColumn("_den", F.sum("_isq").over(w))
+    ppm = F.floor(
+        F.lit(1_000_000.0) * F.col("_isq") / F.col("_den") + F.lit(0.5)
+    ).cast("long")
+    epochs = F.floor(
+        F.lit(1_000_000.0) * (F.col("_isq") * F.lit(budget_tokens))
+        / (F.col("_den") * F.col("domain_tokens")) + F.lit(0.5)
+    ).cast("long")
+    return norm.select(
+        domain_col, "n_docs", "domain_tokens",
+        ppm.alias("weight_ppm"), epochs.alias("epochs_micro"),
+    )
+
+
+def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
+                 buckets: int = 256) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a unique
+    ``shuffle_pos`` in [0, n) following md5-hash order — the reproducible
+    corpus shuffle a training run needs (same corpus ⇒ same order, on any
+    cluster, with no ``rand()``).
+
+    Never a global ``row_number`` window (single-task funnel): the rank is
+    a two-phase distributed prefix sum over the md5 keyspace — rows bucket
+    by their first md5 byte-pair (uniform by construction), per-bucket
+    counts give exclusive bucket offsets via a window over ``buckets``
+    rows only, broadcast back; global pos = bucket offset + within-bucket
+    rank. Within-bucket ties broken by the full hash then id, so the order
+    is total and engine-independent."""
+    h = F.md5(F.col(id_col).cast("string"))
+    t = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("long") % buckets
+    )
+    per_bucket = t.groupBy("_bkt").agg(F.count("*").alias("_bc"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff")
+    )
+    wl = Window.partitionBy("_bkt").orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        t.join(F.broadcast(offsets), "_bkt")
+        .select(
+            id_col,
+            (F.col("_boff") + F.row_number().over(wl) - 1).alias("shuffle_pos"),
+        )
+    )
+
+
 def pack_sequences(df: DataFrame, token_col: str = "n_tokens",
                    id_col: str = "doc_id", seq_len: int = 512,
                    bucket_width: int = 4096) -> DataFrame:

@@ -2901,6 +2901,60 @@ ORDER BY q DESC, doc_id
 SQL_TOKEN_BUDGET_DOCS = SQL_TOKEN_BUDGET_DOCS.format(toks=_TOKS_SQL)
 
 
+def q_domain_mixture(spark, sf):
+    """Temperature-based (α=0.5) domain mixture weights over `source` under
+    a 1M-token budget (curation.domain_mixture): the multilingual/
+    multi-domain sampling scheme — weight ∝ √(domain tokens), upweighting
+    low-resource domains. Integer-exact: √T is floor'd to an exact int in
+    both engines, so every ratio is a single double divide of exact ints."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").select(
+        "source", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return curation.domain_mixture(d, "source", "n_tokens", 1_000_000) \
+        .orderBy("source")
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH t AS (
+  SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+), per AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS domain_tokens
+  FROM t GROUP BY 1
+), q AS (
+  SELECT *, CAST(FLOOR(SQRT(domain_tokens)) AS BIGINT) AS isq FROM per
+), d AS (
+  SELECT *, CAST(SUM(isq) OVER () AS BIGINT) AS den FROM q
+)
+SELECT source, n_docs, domain_tokens,
+  CAST(FLOOR(CAST(1000000 AS DOUBLE) * isq / den + 0.5) AS BIGINT) AS weight_ppm,
+  CAST(FLOOR(CAST(1000000 AS DOUBLE) * (isq * 1000000) / (den * domain_tokens) + 0.5) AS BIGINT)
+    AS epochs_micro
+FROM d ORDER BY source
+"""
+
+
+def q_corpus_shuffle_order(spark, sf):
+    """Deterministic global training-order shuffle (curation.shuffle_rank):
+    unique shuffle_pos in [0,n) following md5-hash order, computed as a
+    two-phase distributed prefix sum over 256 hash buckets — the oracle
+    states the same total order as ONE global row_number (valid only at
+    oracle scale; the Spark plan has no global window)."""
+    from anomaly_detection_spark.functions import curation
+
+    return curation.shuffle_rank(load(spark, sf, "documents"), "doc_id") \
+        .orderBy("doc_id")
+
+
+SQL_CORPUS_SHUFFLE_ORDER = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+         AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_interleaved_span_stats(spark, sf):
     """The north-rule input shape inside the oracle gate: documents →
     interleaved (doc_id, spans:array<struct<kind,text,media_ref,offset>>,
@@ -3250,6 +3304,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_split_stats": (q_corpus_split_stats, SQL_CORPUS_SPLIT_STATS),
     "stratified_sample_stats": (q_stratified_sample_stats, SQL_STRATIFIED_SAMPLE_STATS),
     "token_budget_docs": (q_token_budget_docs, SQL_TOKEN_BUDGET_DOCS),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "corpus_shuffle_order": (q_corpus_shuffle_order, SQL_CORPUS_SHUFFLE_ORDER),
     "interleaved_span_stats": (q_interleaved_span_stats, SQL_INTERLEAVED_SPAN_STATS),
     # Group G — training-pipeline ops (repetition, contamination, as-of, packing)
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),

@@ -60,3 +60,33 @@ def test_token_budget_matches_naive_global_prefix(spark):
         .filter(F.col("_c") <= 250).collect()
     )
     assert got == naive and len(naive) > 10
+
+
+def test_shuffle_rank_is_permutation_and_deterministic(spark):
+    df = spark.range(0, 337).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in curation.shuffle_rank(df, "doc_id").collect()}
+    assert sorted(a.values()) == list(range(337))   # a true permutation
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in curation.shuffle_rank(df, "doc_id").collect()}
+    assert a == b                                   # same order every run
+    # hash order, not id order: the identity permutation would mean md5
+    # sorted ids numerically, which is astronomically unlikely
+    assert any(a[i] != i for i in a)
+
+
+def test_domain_mixture_upweights_low_resource_domains(spark):
+    rows = [("big", 10_000) for _ in range(10)] + [("small", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    tot = 100_000 + 100
+    # budget = corpus size, so epochs read directly as over/under-sampling
+    out = {r["source"]: r for r in
+           curation.domain_mixture(df, "source", "n_tokens", tot).collect()}
+    raw_small_share = 100 / tot
+    got_small_share = out["small"]["weight_ppm"] / 1e6
+    assert got_small_share > raw_small_share * 5   # α=0.5 boosts the tail
+    # weights normalize (ppm rounding leaves at most #domains µ of slack)
+    assert abs(sum(r["weight_ppm"] for r in out.values()) - 1_000_000) <= 2
+    # epochs: small domain replayed far more than once, big less
+    assert out["small"]["epochs_micro"] > 1_000_000
+    assert out["big"]["epochs_micro"] < 1_000_000

@@ -267,3 +267,15 @@ def test_ivf_multiprobe_codebook_broadcast_no_cartesian(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastExchange" in tree
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_rank_no_global_window(spark):
+    """The corpus-order shuffle must never funnel through one global
+    row_number: the only unpartitioned window runs over the 256 bucket
+    counts, and the offsets rejoin the corpus via broadcast."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["corpus_shuffle_order"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan
