@@ -126,6 +126,59 @@ WHERE p.p_partkey IS NULL GROUP BY l_partkey
 """
 
 
+def q_bloom_membership(spark, sf):
+    """Bloom-filter membership (functions/membership.py — the scalable
+    referential prescreen): bitset built from supplier keys, probed by
+    every distinct lineitem suppkey plus a shifted definitely-absent copy.
+    Emits (key, maybe_present, present); present ⇒ maybe_present (no
+    false negatives) is checked by the oracle replicating the exact md5
+    bit math. Probe side pays ZERO shuffles for the Bloom answer (k
+    broadcast word-joins), only the exact `present` marker joins."""
+    from anomaly_detection_spark.functions import membership
+
+    sup = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("key")).distinct()
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("key")).distinct()
+    probes = li.unionByName(li.select((F.col("key") + 500000).alias("key"))).distinct()
+    bits = membership.bloom_bitset(sup, "key", 65536, 3)
+    ann = membership.bloom_maybe_contains(probes, "key", bits, 65536, 3)
+    return ann.join(
+        sup.withColumn("present", F.lit(True)), "key", "left"
+    ).select(
+        "key", "maybe_present",
+        F.coalesce("present", F.lit(False)).alias("present"),
+    ).orderBy("key")
+
+
+SQL_BLOOM_MEMBERSHIP = """
+WITH sup AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS key FROM supplier),
+li AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS key FROM lineitem),
+probes AS (SELECT key FROM li UNION SELECT key + 500000 FROM li),
+pos AS (
+  SELECT s.key,
+    CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(s.key AS VARCHAR)),1,15)) AS BIGINT) % 65536 AS p
+  FROM sup s, generate_series(0, 2) t(i)
+), words AS (
+  SELECT p // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS word
+  FROM pos GROUP BY 1
+), probe_pos AS (
+  SELECT pr.key,
+    CAST(('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(pr.key AS VARCHAR)),1,15)) AS BIGINT) % 65536 AS p
+  FROM probes pr, generate_series(0, 2) t(i)
+), checks AS (
+  SELECT pp.key,
+    CASE WHEN w.word IS NOT NULL
+          AND ((w.word >> CAST(pp.p % 32 AS INTEGER)) & 1) = 1
+         THEN 1 ELSE 0 END AS hit
+  FROM probe_pos pp LEFT JOIN words w ON w.w = pp.p // 32
+), ann AS (SELECT key, MIN(hit) = 1 AS maybe_present FROM checks GROUP BY 1)
+SELECT a.key, a.maybe_present, (s.key IS NOT NULL) AS present
+FROM ann a LEFT JOIN sup s ON a.key = s.key ORDER BY a.key
+"""
+
+
 def q_psi_event_type_drift(spark, sf):
     """PSI of the event_type distribution: first half-month (baseline) vs
     second (current) — the engine's drift statistic on driver data."""
@@ -3229,6 +3282,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "null_profile_documents": (q_null_profile_documents, SQL_NULL_PROFILE_DOCUMENTS),
     "uniqueness_orders": (q_uniqueness_orders, SQL_UNIQUENESS_ORDERS),
     "referential_lineitem_part": (q_referential_lineitem_part, SQL_REFERENTIAL_LINEITEM_PART),
+    "bloom_membership": (q_bloom_membership, SQL_BLOOM_MEMBERSHIP),
     "psi_event_type_drift": (q_psi_event_type_drift, SQL_PSI_EVENT_TYPE_DRIFT),
     "ks_value_drift": (q_ks_value_drift, SQL_KS_VALUE_DRIFT),
     "orders_percentiles": (q_orders_percentiles, SQL_ORDERS_PERCENTILES),

@@ -217,6 +217,52 @@ def referential(catalog_col: str = "media_ref", rule_id: str = "referential:medi
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def referential_scalable(catalog_col: str = "media_ref",
+                         rule_id: str = "referential_scalable:media_ref",
+                         m_bits: int = 65536, k: int = 3) -> DatasetRule:
+    """``referential`` for catalogs too big to broadcast (10^9+ media rows):
+    a Bloom bitset built FROM the catalog (functions/membership.py, md5
+    positions — engine-portable) prescreens every ref with zero shuffles;
+    Bloom misses are DEFINITELY dangling (no false negatives) and short-
+    circuit straight to violations, so only "maybe present" refs — true
+    members plus the small false-positive tail — pay the exact anti-join,
+    which runs as a shuffle merge join (AQE-skew-handled), never a
+    broadcast. Violation rows are identical to ``referential`` by
+    construction; only the physical plan changes."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        if ctx.media_catalog is None:
+            raise ValueError("referential_scalable rule needs ctx.media_catalog")
+        from anomaly_detection_spark.functions import membership
+
+        p, d = ctx.partition_col, ctx.doc_id_col
+        refs = (
+            docs.select(F.col(p).alias("partition"), F.col(d).alias("doc_id"),
+                        F.explode(F.col(f"spans.{catalog_col}")).alias(catalog_col))
+            .filter(F.col(catalog_col).isNotNull())
+        )
+        cat = ctx.media_catalog.select(catalog_col).distinct()
+        bits = membership.bloom_bitset(cat, catalog_col, m_bits, k)
+        probed = membership.bloom_maybe_contains(refs, catalog_col, bits, m_bits, k)
+        definite = probed.filter(~F.col("maybe_present")).drop("maybe_present")
+        survivors = probed.filter(F.col("maybe_present")).drop("maybe_present")
+        # hint pins the merge join: broadcast here would defeat the point
+        fp_dangling = survivors.join(cat.hint("merge"), catalog_col, "left_anti")
+        dangling = definite.unionByName(fp_dangling)
+        return (
+            dangling.groupBy("partition", "doc_id")
+            .agg(F.concat_ws(",", F.collect_set(catalog_col)).alias("_refs"))
+            .select(
+                "partition",
+                F.lit(rule_id).alias("rule_id"),
+                "doc_id",
+                F.concat(F.lit("dangling media_ref: "), F.col("_refs")).alias("detail"),
+            )
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
 def span_sequence_prescreen(spans_col: str = "spans") -> Column:
     """JVM predicate that is TRUE exactly when the Arrow offsets UDF would
     return a non-NULL reason: spans NULL, any NULL offset, any negative
