@@ -248,3 +248,80 @@ def streaming_duplicate_doc_ids(docs_stream: DataFrame,
             if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_psi_drift(
+    stream: DataFrame,
+    baseline_hist: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window PSI of a categorical distribution against a STATIC
+    baseline histogram — the streaming twin of ``drift.psi`` (each closed
+    event-time window plays the role of a batch partition), with
+    bit-identical semantics: full-outer bins, per-side normalization,
+    ``greatest(·, eps)`` smoothing, ``(p−q)·ln(p/q)`` terms.
+
+    Physical shape: TWO chained watermarked window aggregations (counts
+    per (window, bin), then one row per window carrying its bounded
+    category list) — the Spark 3.4+ multiple-stateful-operator form. The
+    baseline histogram is categorical, therefore bounded; it is collected
+    ONCE driver-side and baked into the plan as literals, so there is no
+    join at all downstream of the stateful aggs (a stream–static join
+    after an aggregation would add a stage; literals fuse into the same
+    project). Baseline-only bins contribute their (eps − q)·ln(eps/q)
+    penalty via per-bin ``exists`` guards — exact batch parity, pinned by
+    ``tests/test_streaming.py``."""
+    base = {r["bin"]: r["count"] for r in baseline_hist.collect()}
+    btot = float(sum(base.values()))
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"),
+                 F.col(key_col).alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    perwin = (
+        counts
+        .groupBy(F.window(F.window_time("w"), window_duration).alias("w2"))
+        .agg(F.collect_list(F.struct("bin", "n")).alias("cats"))
+    )
+    # bind tot as a real column BEFORE any lambda references it: lambdas
+    # get no common-subexpression elimination, so an inline tot would
+    # re-sum the list once per category
+    bound = perwin.select(
+        "w2", "cats",
+        F.aggregate("cats", F.lit(0).cast("long"),
+                    lambda a, x: a + x["n"]).cast("double").alias("tot"),
+    )
+
+    def q_of(bin_col):
+        expr = F.lit(0.0)
+        for k, cnt in sorted(base.items()):
+            expr = F.when(bin_col == F.lit(k), F.lit(cnt / btot)).otherwise(expr)
+        return expr
+
+    def term(p, q):
+        ps = F.greatest(p, F.lit(eps))
+        qs = F.greatest(q, F.lit(eps))
+        return (ps - qs) * F.log(ps / qs)
+
+    obs = F.aggregate(
+        "cats", F.lit(0.0),
+        lambda acc, x: acc + term(x["n"] / F.col("tot"), q_of(x["bin"])),
+    )
+
+    def has_bin(k):
+        return F.exists("cats", lambda c: c["bin"] == F.lit(k))
+
+    missing = F.lit(0.0)
+    for k, cnt in sorted(base.items()):
+        missing = missing + F.when(has_bin(k), F.lit(0.0)) \
+            .otherwise(term(F.lit(0.0), F.lit(cnt / btot)))
+    return bound.select(
+        F.col("w2.start").alias("window_start"),
+        F.col("w2.end").alias("window_end"),
+        (obs + missing).alias("psi"),
+    )

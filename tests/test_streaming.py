@@ -272,3 +272,65 @@ def test_streaming_session_window_matches_batch(spark):
         assert emitted <= cumsum and len(emitted) > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_psi_drift_matches_batch(spark):
+    """The chained-window streaming PSI must equal drift.psi run per closed
+    window in batch (window start = the batch 'partition'), including the
+    baseline-only-bin penalty terms."""
+    import datetime
+
+    from anomaly_detection_spark import drift
+    from anomaly_detection_spark.streaming import streaming_psi_drift
+
+    base_dir = tempfile.mkdtemp(prefix="stream_psi_")
+    try:
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        split = "2024-01-15"
+        baseline = events.filter(F.col("ts") < split)
+        current = events.filter(F.col("ts") >= split)
+        # a bin the current stream never emits, to exercise the
+        # baseline-only penalty path
+        base_hist = baseline.groupBy(F.col("event_type").alias("bin")) \
+            .agg(F.count("*").alias("count")) \
+            .unionByName(spark.createDataFrame(
+                [("ghost_type", 500)], "bin string, count long"))
+
+        current.coalesce(1).write.parquet(f"{base_dir}/in/b0")
+        stream = (
+            spark.readStream.schema(current.schema)
+            .parquet(f"{base_dir}/in/*")
+        )
+        got_df = _run_to_memory(
+            streaming_psi_drift(stream, base_hist), spark, "psi_drift",
+            f"{base_dir}/ckpt",
+        )
+        got = {r["window_start"]: r["psi"] for r in got_df.collect()}
+        assert len(got) > 0
+
+        # batch expectation on exactly the windows the final watermark
+        # closed (availableNow flushes to max event time − 1h)
+        wm = current.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+        cur_hist = drift.categorical_histogram(
+            current.withColumn(
+                "w", F.window("ts", "1 day")
+            ).filter(F.col("w.end") <= wm).withColumn(
+                "partition", F.col("w.start").cast("string")
+            ),
+            F.col("event_type"),
+        )
+        b_named = base_hist.withColumn("partition", F.lit("x"))
+        want = {}
+        for part in [r["partition"] for r in cur_hist.select("partition").distinct().collect()]:
+            one = cur_hist.filter(F.col("partition") == part)
+            psi_val = drift.psi(
+                one, b_named.withColumn("partition", F.lit(part))
+            ).first()["psi"]
+            want[part] = psi_val
+        got_by_str = {str(k): v for k, v in got.items()}
+        assert set(got_by_str) == set(want)
+        for k in want:
+            assert abs(got_by_str[k] - want[k]) < 1e-9, k
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
