@@ -39,6 +39,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--resume", action="store_true",
                     help="skip (partition, rule_id) pairs already committed for this snapshot")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--iceberg-snapshot-id", default=None,
+                    help="pin the Iceberg snapshot to validate (time travel); "
+                         "default = current table state")
+    ap.add_argument("--incremental-from", default=None,
+                    help="Iceberg incremental read: validate only rows APPENDED "
+                         "after this snapshot id (up to --iceberg-snapshot-id if "
+                         "given) — the per-snapshot revalidation shape; composes "
+                         "with the manifest, which already skips committed "
+                         "(partition, rule) pairs")
     ap.add_argument("--report-json", default=None,
                     help="also write a driver-side JSON summary report "
                          "(per-rule totals; ≈ the reference's summary report)")
@@ -59,7 +68,15 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"validate:{args.snapshot_id}")
     if args.format == "iceberg":
-        docs = spark.read.table(args.input)
+        reader = spark.read
+        if args.incremental_from:
+            # appends-only incremental scan between two snapshots
+            reader = reader.option("start-snapshot-id", args.incremental_from)
+            if args.iceberg_snapshot_id:
+                reader = reader.option("end-snapshot-id", args.iceberg_snapshot_id)
+        elif args.iceberg_snapshot_id:
+            reader = reader.option("snapshot-id", args.iceberg_snapshot_id)
+        docs = reader.table(args.input)
     else:
         docs = spark.read.parquet(args.input)
     catalog = spark.read.parquet(args.catalog)
