@@ -827,6 +827,70 @@ FROM t
 """
 
 
+def q_doc_top_terms(spark, sf):
+    """TF-IDF top-3 keywords per document (corpus keyword extraction; ≈ the
+    reference's per-keyword content scoring, data_normalizer.py:398-421,
+    generalized from a fixed keyword list to corpus-derived TF-IDF).
+
+    idf is the exactly-rounded rational n_docs/df with no log damping:
+    IEEE multiply/divide are correctly rounded so the score is bit-identical
+    across engines, ln is not. Scale shape: explode → (doc_id,term) hash agg
+    with map-side combine; df is a vocab-sized agg (vocab ≪ corpus) joined
+    back on term; top-k via per-doc window. No crossJoin; the only scalar
+    (n_docs) rides in on a broadcast single-row join.
+
+    df deliberately re-aggregates the tf lineage (second pruned scan) rather
+    than a count-over-window on term: hot terms ("the" ≈ every doc) would
+    hot-spot a window partition, while groupBy keeps map-side partial aggs;
+    and a cached narrow projection measured slower than re-scanning pruned
+    parquet columns (BENCH/BASELINE.md). The tf⋈df join broadcasts while the
+    vocab is small and falls back to an AQE skew-handled shuffle join."""
+    d = load(spark, sf, "documents")
+    terms = d.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "rank", "term", "tf", "df",
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_micro"),
+        )
+    )
+
+
+SQL_DOC_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS_SQL.replace("trim(text)", "trim(lower(text))")}) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df,
+       CAST(FLOOR(score * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_exact_dup_groups(spark, sf):
     return dedup.exact_duplicate_groups(load(spark, sf, "documents"))
 
@@ -3309,6 +3373,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id_accuracy": (q_lang_id_accuracy, SQL_LANG_ID_ACCURACY),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_top_terms": (q_doc_top_terms, SQL_DOC_TOP_TERMS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, SQL_LSH_CANDIDATE_PAIRS),
