@@ -263,6 +263,196 @@ SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks FROM cdf
 """
 
 
+def q_wasserstein_value_drift(spark, sf):
+    """Wasserstein-1 (earth-mover) distance over integer-cents event values,
+    first half-month vs second — completes the drift family (PSI = density
+    ratio, KS = max CDF gap, W1 = area between CDFs).
+
+    Exactness: W1·nb·nc = Σ_bins |CC·nb − CB·nc| · gap is pure int64
+    arithmetic (CC/CB cumulative counts, gap = distance to next occupied
+    bin), so the statistic is bit-identical cross-engine with no float
+    summation order to worry about; bound |CC·nb−CB·nc|·Σgap ≤ nc·nb·range
+    ≪ 2^63 at any SF here. Scale shape: one hash agg over bins (cardinality
+    = distinct cents values, bounded by the value range, not the corpus),
+    then a single ordered window over that bounded bin table — same shape as
+    the shipped KS query."""
+    e = load(spark, sf, "events").select(
+        (F.col("ts") >= "2024-01-15").alias("is_cur"),
+        _cents(F.col("value")).alias("bin"),
+    )
+    hist = e.groupBy("bin").agg(
+        F.sum(F.col("is_cur").cast("long")).alias("cc"),
+        F.sum((~F.col("is_cur")).cast("long")).alias("cb"),
+    )
+    tot = hist.agg(F.sum("cc").alias("nc"), F.sum("cb").alias("nb"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("bin")
+    cdf = hist.select(
+        "bin",
+        F.sum("cc").over(wc).alias("CC"),
+        F.sum("cb").over(wc).alias("CB"),
+        (F.lead("bin").over(wn) - F.col("bin")).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    j = cdf.join(F.broadcast(tot))
+    scaled = F.sum(
+        F.abs(F.col("CC") * F.col("nb") - F.col("CB") * F.col("nc")) * F.col("gap")
+    )
+    return j.agg(
+        scaled.cast("long").alias("w1_scaled"),
+        F.max("nc").alias("nc"),
+        F.max("nb").alias("nb"),
+        F.floor(
+            scaled.cast("double") / (F.max("nc") * F.max("nb")).cast("double")
+            * F.lit(1e4) + F.lit(0.5)
+        ).cast("long").alias("w1_cents_e4"),
+    )
+
+
+SQL_WASSERSTEIN_VALUE_DRIFT = """
+WITH e AS (
+  SELECT (ts >= TIMESTAMP '2024-01-15') AS is_cur,
+         CAST(ROUND(value*100) AS BIGINT) AS bin
+  FROM events
+), hist AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM e GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(SUM(cb) AS BIGINT) AS nb FROM hist
+), cdf AS (
+  SELECT bin,
+         SUM(cc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS CC,
+         SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS CB,
+         LEAD(bin) OVER (ORDER BY bin) - bin AS gap
+  FROM hist
+)
+SELECT CAST(SUM(ABS(CC * nb - CB * nc) * gap) AS BIGINT) AS w1_scaled,
+       MAX(nc) AS nc, MAX(nb) AS nb,
+       CAST(FLOOR(CAST(SUM(ABS(CC * nb - CB * nc) * gap) AS DOUBLE)
+                  / CAST(MAX(nc) * MAX(nb) AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS w1_cents_e4
+FROM cdf CROSS JOIN tot WHERE gap IS NOT NULL
+"""
+
+
+def q_frequent_values(spark, sf):
+    """Deequ-style frequent-values profile: top-5 most frequent values per
+    profiled column (documents.lang, documents.source, events.event_type) in
+    one long-format pass — the data-profiling report a validation engine
+    emits next to null-rates and distinct counts.
+
+    ratio_ppm is exact integer math (cnt·1e6 div total), no float rounding.
+    Scale shape: per-column unions feed ONE (col_name, value) hash agg with
+    map-side combine; the window runs over distinct values per column
+    (bounded by column cardinality, not corpus size)."""
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "events")
+    cols = (
+        d.select(F.lit("documents.lang").alias("col_name"), F.col("lang").alias("value"))
+        .unionByName(
+            d.select(F.lit("documents.source").alias("col_name"), F.col("source").alias("value"))
+        )
+        .unionByName(
+            e.select(F.lit("events.event_type").alias("col_name"), F.col("event_type").alias("value"))
+        )
+    )
+    counts = (
+        cols.where(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wt = Window.partitionBy("col_name")
+    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(wt))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "col_name", "rank", "value", "cnt",
+            F.expr("(cnt * 1000000L) div total").alias("ratio_ppm"),
+        )
+    )
+
+
+SQL_FREQUENT_VALUES = """
+WITH cols AS (
+  SELECT 'documents.lang' AS col_name, lang AS value FROM documents
+  UNION ALL
+  SELECT 'documents.source', source FROM documents
+  UNION ALL
+  SELECT 'events.event_type', event_type FROM events
+), counts AS (
+  SELECT col_name, value, COUNT(*) AS cnt
+  FROM cols WHERE value IS NOT NULL GROUP BY col_name, value
+), ranked AS (
+  SELECT col_name, value, cnt,
+         SUM(cnt) OVER (PARTITION BY col_name) AS total,
+         ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rank
+  FROM counts
+)
+SELECT col_name, rank, value, cnt,
+       CAST((cnt * 1000000) // total AS BIGINT) AS ratio_ppm
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_price_qty_correlation(spark, sf):
+    """Per-group Pearson correlation of quantity vs extended price, computed
+    from exact integer-cents power sums (A3's mean/std family completed with
+    covariance; the profiling correlation matrix a validation report carries).
+
+    Exactness recipe: all five power sums accumulate as decimal(38,0)
+    (DuckDB: HUGEINT) — order-independent integer addition — then ONE cast
+    to double per term; the closing num/(sqrt·sqrt) uses only correctly
+    rounded IEEE ops, so corr is bit-identical cross-engine. Map-side
+    partial aggs, one shuffle on the 3-value group key."""
+    li = load(spark, sf, "lineitem")
+    x = _cents(F.col("l_quantity"))
+    y = _cents(F.col("l_extendedprice"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+        F.sum(dec(y * y)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / (F.sqrt(dx) * F.sqrt(dy))
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long").alias("corr_micro"),
+    )
+
+
+SQL_PRICE_QTY_CORRELATION = """
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sy,
+    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy,
+    SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS corr_micro
+FROM s
+"""
+
+
 def q_orders_percentiles(spark, sf):
     o = load(spark, sf, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -3349,6 +3539,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bloom_membership": (q_bloom_membership, SQL_BLOOM_MEMBERSHIP),
     "psi_event_type_drift": (q_psi_event_type_drift, SQL_PSI_EVENT_TYPE_DRIFT),
     "ks_value_drift": (q_ks_value_drift, SQL_KS_VALUE_DRIFT),
+    "wasserstein_value_drift": (q_wasserstein_value_drift, SQL_WASSERSTEIN_VALUE_DRIFT),
+    "frequent_values": (q_frequent_values, SQL_FREQUENT_VALUES),
+    "price_qty_correlation": (q_price_qty_correlation, SQL_PRICE_QTY_CORRELATION),
     "orders_percentiles": (q_orders_percentiles, SQL_ORDERS_PERCENTILES),
     # Group B — relational
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
