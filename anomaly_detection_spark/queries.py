@@ -452,6 +452,80 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM s
 """
 
+# log10(1 + 1/d) in ppm, d = 1..9 — baked constants so no engine computes a
+# transcendental (ln/log10 are not correctly rounded; these integers are).
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def q_benford_totalprice(spark, sf):
+    """Benford first-digit profile of order totals — the classic
+    data-quality screen for fabricated or truncated numeric columns,
+    emitted per digit with exact integer observed-vs-expected ppm.
+
+    Exactness: first digit from an explicit FLOOR→string (Spark casts
+    double→bigint by truncation but DuckDB rounds, so neither engine's
+    implicit cast is used); observed ppm is integer div. Scale shape: one
+    hash agg to ≤9 rows; the 9-row window total is driver-trivial."""
+    o = load(spark, sf, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("cnt"))
+    exp = F.lit(None).cast("int")
+    for d, ppm in enumerate(_BENFORD_PPM, start=1):
+        exp = F.when(F.col("digit") == d, F.lit(ppm)).otherwise(exp)
+    return (
+        counts.withColumn("obs_ppm", F.expr("(cnt * 1000000L) div sum(cnt) over ()"))
+        .select(
+            "digit", "cnt", "obs_ppm",
+            exp.alias("exp_ppm"),
+            (F.col("obs_ppm") - exp).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_TOTALPRICE = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS cnt
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+), w AS (
+  SELECT digit, cnt, (cnt * 1000000) // SUM(cnt) OVER () AS obs_ppm FROM c
+)
+SELECT digit, cnt, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS exp_ppm,
+       CAST(obs_ppm AS BIGINT)
+         - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS dev_ppm
+FROM w ORDER BY digit
+"""
+
+
+def q_cross_column_consistency(spark, sf):
+    """Cross-column constraint check (§2.10 conditional rule family): the
+    stored ``n_chars`` must equal ``length(text)`` under null-safe equality
+    — the redundant-derived-column consistency screen a validation engine
+    runs on every ingest. One map-side-combined hash agg; violation count
+    per source."""
+    d = load(spark, sf, "documents")
+    viol = ~F.col("n_chars").eqNullSafe(F.length(F.col("text")))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(viol.cast("long")).alias("n_violations"),
+    )
+
+
+SQL_CROSS_COLUMN_CONSISTENCY = """
+SELECT source, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM documents GROUP BY source
+"""
+
 
 def q_orders_percentiles(spark, sf):
     o = load(spark, sf, "orders")
@@ -3542,6 +3616,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wasserstein_value_drift": (q_wasserstein_value_drift, SQL_WASSERSTEIN_VALUE_DRIFT),
     "frequent_values": (q_frequent_values, SQL_FREQUENT_VALUES),
     "price_qty_correlation": (q_price_qty_correlation, SQL_PRICE_QTY_CORRELATION),
+    "benford_totalprice": (q_benford_totalprice, SQL_BENFORD_TOTALPRICE),
+    "cross_column_consistency": (q_cross_column_consistency, SQL_CROSS_COLUMN_CONSISTENCY),
     "orders_percentiles": (q_orders_percentiles, SQL_ORDERS_PERCENTILES),
     # Group B — relational
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

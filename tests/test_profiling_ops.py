@@ -8,6 +8,9 @@ import numpy as np
 import pandas as pd
 
 from anomaly_detection_spark.queries import (
+    _BENFORD_PPM,
+    q_benford_totalprice,
+    q_cross_column_consistency,
     q_frequent_values,
     q_price_qty_correlation,
     q_wasserstein_value_drift,
@@ -72,3 +75,40 @@ def test_pearson_matches_numpy(spark):
         assert got["n"] == len(grp)
         # numpy's two-pass formula differs from power sums by float noise only
         assert abs(got["corr_micro"] - math.floor(r * 1e6 + 0.5)) <= 2
+
+
+def test_benford_matches_naive(spark):
+    out = q_benford_totalprice(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    vals = o["o_totalprice"][o["o_totalprice"] >= 1]
+    digits = np.floor(vals).astype("int64").astype(str).str[0].astype(int)
+    vc = digits.value_counts().sort_index()
+    total = int(vc.sum())
+    assert list(out["digit"]) == list(vc.index)
+    assert list(out["cnt"]) == list(vc.values)
+    for _, r in out.iterrows():
+        assert r["obs_ppm"] == (r["cnt"] * 1_000_000) // total
+        assert r["exp_ppm"] == _BENFORD_PPM[r["digit"] - 1]
+        assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+    assert sum(_BENFORD_PPM) == 1_000_000
+
+
+def test_cross_column_flags_planted_violations(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["abc", "defg", None, "hi", None],
+            "n_chars": [3, 99, None, 2, 7],  # doc 2 wrong, doc 5 null-vs-set
+            "source": ["s1", "s1", "s2", "s2", "s2"],
+        }
+    )
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["source"]: (r["n"], r["n_violations"])
+        for r in q_cross_column_consistency(spark, str(tmp_path)).collect()
+    }
+    # s1: doc2 mismatch; s2: doc3 null==null consistent, doc5 7 vs NULL violation
+    assert out == {"s1": (2, 1), "s2": (3, 1)}
