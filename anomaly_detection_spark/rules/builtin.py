@@ -357,6 +357,84 @@ def ks_drift(base_docs: DataFrame, threshold: float = 0.2,
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def schema_match(expected, rule_id: str = "schema_match") -> DatasetRule:
+    """Schema-drift rule: the snapshot's columns/types must match the
+    expected contract (missing, type-drifted, and unexpected columns each
+    produce a violation). ``expected`` is a StructType or a list of
+    ``(name, simple_type_string)`` pairs, e.g. ``[("doc_id", "string"),
+    ("spans", "array<struct<kind:string,...>>")]``.
+
+    Metadata-only — no data is scanned for the comparison itself; the
+    problems (driver-local, a handful of rows) are fanned across the
+    snapshot's distinct partitions with a broadcast cross join so every
+    partition's verdict row fails, matching the (partition × rule) grid."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        spark = docs.sparkSession
+        if isinstance(expected, StructType):
+            exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+        else:
+            exp = dict(expected)
+        actual = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+        problems = []
+        for name, dt in exp.items():
+            if name not in actual:
+                problems.append(f"missing column {name} ({dt})")
+            elif actual[name] != dt:
+                problems.append(f"type drift {name}: expected {dt}, got {actual[name]}")
+        problems += [
+            f"unexpected column {name} ({dt})"
+            for name, dt in actual.items() if name not in exp
+        ]
+        if not problems:
+            return spark.createDataFrame(
+                [], "partition string, rule_id string, doc_id string, detail string"
+            )
+        pr = spark.createDataFrame(
+            [(rule_id, None, d) for d in problems],
+            "rule_id string, doc_id string, detail string",
+        )
+        parts = docs.select(F.col(ctx.partition_col).alias("partition")).distinct()
+        return parts.crossJoin(F.broadcast(pr)).select(
+            "partition", "rule_id", "doc_id", "detail"
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
+def row_count_drift(base_docs: DataFrame, max_rel_delta: float = 0.5,
+                    rule_id: str = "row_count_drift") -> DatasetRule:
+    """Per-partition volume check vs a baseline snapshot: a partition whose
+    row count moved more than ``max_rel_delta`` relative to baseline — or
+    that appeared/disappeared entirely — fails. Two count-aggs (map-side
+    combined) + a full outer join on the tiny per-partition count tables;
+    cost is independent of snapshot width."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p = ctx.partition_col
+        cur = docs.groupBy(F.col(p).alias("partition")).agg(F.count("*").alias("n_cur"))
+        base = base_docs.groupBy(F.col(p).alias("partition")).agg(
+            F.count("*").alias("n_base")
+        )
+        j = cur.join(base, "partition", "full_outer")
+        nc = F.coalesce(F.col("n_cur"), F.lit(0))
+        nb = F.coalesce(F.col("n_base"), F.lit(0))
+        # violated when |cur-base| > max_rel_delta * base, or base empty
+        bad = (F.abs(nc - nb) * F.lit(1.0) > F.lit(max_rel_delta) * nb) | (nb == 0)
+        return j.filter(bad).select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("rows "), nb.cast("string"), F.lit(" -> "), nc.cast("string")
+            ).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
 DEFAULT_KINDS = ["text", "image", "audio", "table"]
 
 
