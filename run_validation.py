@@ -48,6 +48,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "given) — the per-snapshot revalidation shape; composes "
                          "with the manifest, which already skips committed "
                          "(partition, rule) pairs")
+    ap.add_argument("--expect-schema", default=None,
+                    help="JSON file of {column: simple_type_string} (or a list "
+                         "of [name, type] pairs); enables the schema_match "
+                         "contract rule (missing/extra/type-drifted columns)")
+    ap.add_argument("--max-row-delta", type=float, default=0.5,
+                    help="relative per-partition row-count tolerance vs "
+                         "--baseline; enables row_count_drift when --baseline "
+                         "is given")
     ap.add_argument("--report-json", default=None,
                     help="also write a driver-side JSON summary report "
                          "(per-rule totals; ≈ the reference's summary report)")
@@ -95,6 +103,17 @@ def main(argv: list[str] | None = None) -> int:
             else spark.read.parquet(args.baseline)
         )
         rules.add(builtin.psi_drift(base_docs)).add(builtin.ks_drift(base_docs))
+        rules.add(builtin.row_count_drift(base_docs, max_rel_delta=args.max_row_delta))
+    if args.expect_schema:
+        import json as _json
+
+        with open(args.expect_schema) as fh:
+            contract = _json.load(fh)
+        items = (
+            list(contract.items()) if isinstance(contract, dict)
+            else [tuple(x) for x in contract]
+        )
+        rules.add(builtin.schema_match(items))
     manifest = RuleProgressManifest(spark, args.manifest) if args.manifest else None
     run = ValidationRun(
         spark, docs, rules, media_catalog=catalog,

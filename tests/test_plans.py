@@ -279,3 +279,42 @@ def test_shuffle_rank_no_global_window(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in plan
+
+
+def test_doc_top_terms_topk_is_group_limited(spark):
+    """The per-doc rank<=3 filter must plan as WindowGroupLimit (partial
+    top-k before the final sort within each doc group), and the only
+    nested-loop join is the single-row n_docs broadcast."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["doc_top_terms"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "CartesianProduct" not in plan
+    # both the tf agg and the vocab df agg keep map-side partial aggregation
+    assert tree.count("HashAggregate") >= 4
+
+
+def test_wasserstein_single_bin_table_window(spark):
+    """W1 reduces events to one bin histogram (single scan feeding the agg)
+    before any window; the ordered window runs over the bounded bin table."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["wasserstein_value_drift"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # bins aggregated with partial aggregation before the shuffle
+    assert "HashAggregate" in tree and "Exchange" in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_values_reads_only_profiled_columns(spark):
+    """The long-format union must column-prune each branch's parquet scan to
+    the single profiled column."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["frequent_values"][0](spark, SF))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, plan
+    assert all("text" not in s and "o_totalprice" not in s for s in schemas)
+    assert any("lang" in s for s in schemas)
+    assert any("event_type" in s for s in schemas)

@@ -127,8 +127,15 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
 
         # drift mode: same snapshot as its own baseline ⇒ drift rules appear
         # in the verdict grid and all pass (PSI/KS of identical data = 0)
+        # an intentionally wrong schema contract: 'spans' missing from the
+        # contract + a column the table doesn't have
+        contract = [["doc_id", "string"], ["partition", "string"],
+                    ["bogus_col", "int"]]
+        with open(f"{base}/contract.json", "w") as fh:
+            _json.dump(contract, fh)
         third = subprocess.run(
             args[:-1] + ["s_drift", "--baseline", f"{base}/docs",
+                         "--expect-schema", f"{base}/contract.json",
                          "--output", f"{base}/out_drift"],
             capture_output=True, text=True, timeout=600, env=env, cwd=base,
         )
@@ -139,5 +146,24 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
         ).fetchall()
         assert {r[0] for r in verd} == {"drift_psi:span_kind", "drift_ks:spans_per_doc"}
         assert all(r[1] for r in verd)
+        # same snapshot as baseline ⇒ zero volume delta ⇒ all partitions pass
+        assert duckdb.sql(
+            f"SELECT bool_and(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
+            "WHERE rule_id = 'row_count_drift'"
+        ).fetchone()[0] is True
+        # wrong contract ⇒ schema_match fails every partition, and the
+        # violation details name both drift kinds
+        assert duckdb.sql(
+            f"SELECT bool_or(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
+            "WHERE rule_id = 'schema_match'"
+        ).fetchone()[0] is False
+        sch_details = {
+            r[0] for r in duckdb.sql(
+                f"SELECT DISTINCT detail FROM '{base}/out_drift/violations/*.parquet' "
+                "WHERE rule_id = 'schema_match'"
+            ).fetchall()
+        }
+        assert any(d.startswith("missing column bogus_col") for d in sch_details)
+        assert any(d.startswith("unexpected column spans") for d in sch_details)
     finally:
         shutil.rmtree(base, ignore_errors=True)
