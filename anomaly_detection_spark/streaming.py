@@ -325,3 +325,84 @@ def streaming_psi_drift(
         F.col("w2.end").alias("window_end"),
         (obs + missing).alias("psi"),
     )
+
+
+def streaming_ks_drift(
+    stream: DataFrame,
+    baseline_hist: DataFrame,
+    value=None,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window two-sample KS statistic of a binned numeric expression vs a
+    STATIC baseline histogram — the streaming twin of ``drift.ks_statistic``
+    (each closed event-time window plays the role of a batch partition).
+
+    ``baseline_hist`` must be a BOUNDED pre-bucketed histogram
+    ``(bin double, count long)`` (for continuous values bucket with
+    ``floor(value/width)*width``, exactly as the batch ``numeric_histogram``
+    docstring prescribes); it is collected once driver-side and the baseline
+    CDF is baked into the plan as a chained-``when`` step function, so —
+    like ``streaming_psi_drift`` — nothing joins downstream of the stateful
+    aggs. KS evaluates |CDF_cur − CDF_base| at every bin of EITHER side
+    (a step-function difference attains its max at a step), giving exact
+    batch parity, pinned by ``tests/test_streaming.py``.
+
+    Physical shape: the same Spark 3.4+ chained-stateful-window form as the
+    PSI twin — counts per (window, bin), then one row per window carrying
+    its bounded bin list."""
+    value = value if value is not None else F.col("value")
+    base_rows = sorted(
+        (float(r["bin"]), int(r["count"])) for r in baseline_hist.collect()
+    )
+    btot = float(sum(c for _, c in base_rows))
+    steps: list[tuple[float, float]] = []
+    cum = 0.0
+    for b, c in base_rows:
+        cum += c / btot
+        steps.append((b, cum))
+
+    def q_cdf(x):
+        # chained whens, largest step first: CDF_base(x) = cum of last bin <= x
+        expr = F.lit(0.0)
+        for b, cq in steps:
+            expr = F.when(x >= F.lit(b), F.lit(cq)).otherwise(expr)
+        return expr
+
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"),
+                 value.cast("double").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    perwin = (
+        counts
+        .groupBy(F.window(F.window_time("w"), window_duration).alias("w2"))
+        .agg(F.collect_list(F.struct("bin", "n")).alias("bins"))
+    )
+    bound = perwin.select(
+        "w2", "bins",
+        F.aggregate("bins", F.lit(0).cast("long"),
+                    lambda a, x: a + x["n"]).cast("double").alias("tot"),
+    )
+
+    def cdf_cur(x):
+        hits = F.aggregate(
+            "bins", F.lit(0).cast("long"),
+            lambda a, c: a + F.when(c["bin"] <= x, c["n"]).otherwise(F.lit(0).cast("long")),
+        )
+        return hits / F.col("tot")
+
+    cur_pts = F.array_max(
+        F.transform("bins", lambda c: F.abs(cdf_cur(c["bin"]) - q_cdf(c["bin"])))
+    )
+    base_pts = F.lit(0.0)
+    for b, cq in steps:
+        base_pts = F.greatest(base_pts, F.abs(cdf_cur(F.lit(b)) - F.lit(cq)))
+    ks = F.greatest(F.coalesce(cur_pts, F.lit(0.0)), base_pts)
+    return bound.select(
+        F.col("w2.start").alias("window_start"),
+        F.col("w2.end").alias("window_end"),
+        ks.alias("ks"),
+    )

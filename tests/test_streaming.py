@@ -334,3 +334,62 @@ def test_streaming_psi_drift_matches_batch(spark):
             assert abs(got_by_str[k] - want[k]) < 1e-9, k
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def test_streaming_ks_drift_matches_batch(spark):
+    """The chained-window streaming KS must equal drift.ks_statistic run per
+    closed window in batch, evaluating at both current and baseline-only
+    bins (the full-outer-join semantics of the batch version)."""
+    import datetime
+
+    from anomaly_detection_spark import drift
+    from anomaly_detection_spark.streaming import streaming_ks_drift
+
+    base_dir = tempfile.mkdtemp(prefix="stream_ks_")
+    try:
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        split = "2024-01-15"
+        binned = (F.floor(F.col("value") / 20) * 20).cast("double")
+        baseline = events.filter(F.col("ts") < split)
+        current = events.filter(F.col("ts") >= split)
+        # a baseline-only bin far outside the current range exercises the
+        # baseline-step evaluation path
+        base_hist = baseline.groupBy(binned.alias("bin")) \
+            .agg(F.count("*").alias("count")) \
+            .unionByName(spark.createDataFrame(
+                [(10000.0, 200)], "bin double, count long"))
+
+        current.coalesce(1).write.parquet(f"{base_dir}/in/b0")
+        stream = (
+            spark.readStream.schema(current.schema)
+            .parquet(f"{base_dir}/in/*")
+        )
+        got_df = _run_to_memory(
+            streaming_ks_drift(stream, base_hist, value=binned),
+            spark, "ks_drift", f"{base_dir}/ckpt",
+        )
+        got = {str(r["window_start"]): r["ks"] for r in got_df.collect()}
+        assert len(got) > 0
+
+        wm = current.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+        cur_hist = drift.numeric_histogram(
+            current.withColumn("w", F.window("ts", "1 day"))
+            .filter(F.col("w.end") <= wm)
+            .withColumn("partition", F.col("w.start").cast("string")),
+            binned,
+        )
+        want = {}
+        for part in [r["partition"] for r in cur_hist.select("partition").distinct().collect()]:
+            one = cur_hist.filter(F.col("partition") == part)
+            want[part] = drift.ks_statistic(
+                one, base_hist.withColumn("partition", F.lit(part))
+            ).first()["ks"]
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+        # the ghost baseline bin forces CDF_cur=1 vs CDF_base<1 at x=10000:
+        # KS must be at least that gap
+        assert all(v >= 200 / (baseline.count() + 200) - 1e-9 for v in got.values())
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
