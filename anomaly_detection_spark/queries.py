@@ -3433,6 +3433,220 @@ FROM stats GROUP BY partition ORDER BY partition
 """
 
 
+def q_span_kind_transitions(spark, sf):
+    """Span-kind transition (bigram) counts over OFFSET-SORTED interleaved
+    spans — the north-rule ordering invariant used as an analytic: spans are
+    sorted by (offset, kind) entirely in-row (``array_sort`` on a repacked
+    struct, no per-doc shuffle, no Python), then adjacent kind pairs are
+    counted per partition.  Mirrors the reference's per-user event-sequence
+    view (``timestamp_processor.py:27-45`` orders events before windowing)
+    re-expressed on the ``spans`` nested column.  The 3-span build reuses
+    ``q_interleaved_span_stats``'s planted-offset scheme so the image span
+    moves position: doc_id%13 → offset -1 (image first), doc_id%17 → tie at
+    0 broken by kind, else offset 1 (interleaved mid-document)."""
+    raw = load(spark, sf, "documents")
+    second_off = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(-1))
+        .when(F.col("doc_id") % 17 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    docs = raw.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring("text", 1, 40).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("m"), (F.col("doc_id") % 64).cast("string"))
+                .alias("media_ref"),
+                second_off.alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring("text", 41, 40).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+        F.col("source").alias("partition"),
+    )
+    # Bind each intermediate array as a named column (Catalyst does not CSE
+    # inside HOF lambdas); struct-field-order sort (o, k) is the same
+    # lexicographic rule DuckDB's list_sort applies, so ties at equal offset
+    # break identically cross-engine.
+    kinds = docs.select(
+        "partition",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "spans",
+                    lambda s: F.struct(
+                        s["offset"].alias("o"), s["kind"].alias("k")
+                    ),
+                )
+            ),
+            lambda x: x["k"],
+        ).alias("kinds"),
+    )
+    pairs = kinds.select(
+        "partition",
+        F.zip_with(
+            F.slice("kinds", 1, F.size("kinds") - 1),
+            F.slice("kinds", 2, F.size("kinds") - 1),
+            lambda a, b: F.concat(a, F.lit(">"), b),
+        ).alias("pairs"),
+    )
+    return (
+        pairs.select("partition", F.explode("pairs").alias("transition"))
+        .groupBy("partition", "transition")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("partition", "transition")
+    )
+
+
+SQL_SPAN_KIND_TRANSITIONS = """
+WITH docs AS (
+  SELECT doc_id, source AS partition,
+         [struct_pack(kind := 'text', "offset" := 0),
+          struct_pack(kind := 'image',
+                      "offset" := CASE WHEN doc_id % 13 = 0 THEN -1
+                                       WHEN doc_id % 17 = 0 THEN 0
+                                       ELSE 1 END),
+          struct_pack(kind := 'text', "offset" := 2)] AS spans
+  FROM documents
+), kinds AS (
+  SELECT partition,
+         list_transform(
+           list_sort(list_transform(spans,
+             s -> struct_pack(o := s."offset", k := s.kind))),
+           x -> x.k) AS ks
+  FROM docs
+), pairs AS (
+  SELECT partition,
+         unnest(list_transform(generate_series(1, len(ks) - 1),
+                               i -> ks[i] || '>' || ks[i + 1])) AS transition
+  FROM kinds
+)
+SELECT partition, transition, COUNT(*) AS n_transitions
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_org_rule_scores(spark, sf):
+    """Organizational rule pack — the three §2.10 org-analyzer rules the
+    registry didn't yet cover, fused into ONE pass (filter → single groupBy,
+    skip predicate applied BEFORE the shuffle so only violating events move):
+
+    * skip-level score (``org_analyzer.py:236-254``): reporting level from a
+      closed-form binary reporting tree (parent(k)=floor(k/2), so
+      level(k)=floor(log2(k)) is a threshold CASE — no BFS join needed at
+      10^12 scale); upward skips of >2 levels score
+      ``least(100, (diff-2)*30)``;
+    * repeat-offender boost (``org_analyzer.py:400-427``): per-user
+      multiplier ``min(1.5, 1 + (n-1)*0.1)`` in exact integer permille;
+    * dept-sensitivity boost (``org_analyzer.py:429-458``): per-department
+      multiplier map, capped at 100 — all in integer milli-points so the
+      DuckDB oracle matches bit-for-bit (no float rounding anywhere).
+
+    The synthetic recipient ``1 + (event_id*31 + 7) % 64`` stands in for
+    the email `to` field (deterministic, SF-independent, and dense enough
+    that skips occur even at the 15-user sf0.001 smoke table)."""
+    e = load(spark, sf, "events")
+
+    def lvl(c):
+        # CASE chain top-down: floor(log2(k)), 0 for k in {0,1}
+        expr = F.when(c >= 1024, 10)
+        for level in range(9, 0, -1):
+            expr = expr.when(c >= 2**level, level)
+        return expr.otherwise(0)
+
+    recip = F.lit(1) + (F.col("event_id") * 31 + 7) % 64
+    skips = (
+        e.select(
+            "user_id",
+            lvl(F.col("user_id")).alias("slvl"),
+            lvl(recip).alias("rlvl"),
+        )
+        .filter(F.col("slvl") - F.col("rlvl") > 2)
+        .select(
+            "user_id",
+            F.least(
+                F.lit(100), (F.col("slvl") - F.col("rlvl") - 2) * 30
+            ).alias("score"),
+        )
+    )
+    agg = skips.groupBy("user_id").agg(
+        F.count("*").alias("n_skip"),
+        F.max("score").cast("long").alias("max_skip_score"),
+    )
+    boost_pm = F.least(
+        F.lit(1500).cast("long"), 1000 + (F.col("n_skip") - 1) * 100
+    )
+    dept_pm = (
+        F.when(F.col("user_id") % 5 == 0, 2000)  # finance
+        .when(F.col("user_id") % 5 == 1, 1800)  # executive
+        .when(F.col("user_id") % 5 == 2, 1500)  # hr
+        .when(F.col("user_id") % 5 == 3, 1200)  # it
+        .otherwise(1000)
+        .cast("long")
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_skip",
+            "max_skip_score",
+            boost_pm.alias("boost_pm"),
+            dept_pm.alias("dept_pm"),
+            F.least(
+                F.lit(100000).cast("long"),
+                (F.col("max_skip_score") * boost_pm * dept_pm) / F.lit(1000),
+            )
+            .cast("long")
+            .alias("risk_milli"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LOG2_CASE = ("CASE WHEN {c} >= 1024 THEN 10 "
+              + " ".join(f"WHEN {{c}} >= {2 ** i} THEN {i}"
+                         for i in range(9, 0, -1))
+              + " ELSE 0 END")
+
+SQL_ORG_RULE_SCORES = f"""
+WITH lv AS (
+  SELECT user_id,
+         {_LOG2_CASE.format(c='user_id')} AS slvl,
+         {_LOG2_CASE.format(c='r')} AS rlvl
+  FROM (SELECT user_id, 1 + (event_id * 31 + 7) % 64 AS r FROM events)
+), skips AS (
+  SELECT user_id, LEAST(100, (slvl - rlvl - 2) * 30) AS score
+  FROM lv WHERE slvl - rlvl > 2
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_skip,
+         CAST(MAX(score) AS BIGINT) AS max_skip_score
+  FROM skips GROUP BY 1
+), mult AS (
+  SELECT *,
+    LEAST(CAST(1500 AS BIGINT), 1000 + (n_skip - 1) * 100) AS boost_pm,
+    CAST(CASE WHEN user_id % 5 = 0 THEN 2000 WHEN user_id % 5 = 1 THEN 1800
+              WHEN user_id % 5 = 2 THEN 1500 WHEN user_id % 5 = 3 THEN 1200
+              ELSE 1000 END AS BIGINT) AS dept_pm
+  FROM agg
+)
+SELECT user_id, n_skip, max_skip_score, boost_pm, dept_pm,
+  CAST(LEAST(CAST(100000 AS BIGINT),
+             CAST(FLOOR(CAST(max_skip_score * boost_pm * dept_pm AS DOUBLE)
+                        / 1000) AS BIGINT)) AS BIGINT) AS risk_milli
+FROM mult ORDER BY user_id
+"""
+
+
 _BIGRAMS_SQL = """CASE WHEN len(toks) >= 2 THEN
   list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
   ELSE CAST([] AS VARCHAR[]) END"""
@@ -3674,6 +3888,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
+    "org_rule_scores": (q_org_rule_scores, SQL_ORG_RULE_SCORES),
     "missing_value_fill": (q_missing_value_fill, SQL_MISSING_VALUE_FILL),
     "path_type_classify": (q_path_type_classify, SQL_PATH_TYPE_CLASSIFY),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
@@ -3695,6 +3910,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "corpus_shuffle_order": (q_corpus_shuffle_order, SQL_CORPUS_SHUFFLE_ORDER),
     "interleaved_span_stats": (q_interleaved_span_stats, SQL_INTERLEAVED_SPAN_STATS),
+    "span_kind_transitions": (q_span_kind_transitions, SQL_SPAN_KIND_TRANSITIONS),
     # Group G — training-pipeline ops (repetition, contamination, as-of, packing)
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
