@@ -107,3 +107,73 @@ def linear_forecast(
         F.round(slope, 6).alias("slope"),
         F.round(pred, 6).alias("forecast"),
     )
+
+
+def branched_forecast(
+    daily: DataFrame,
+    entity_col: str,
+    x_col: str,
+    y_col: str,
+    horizon: int = 3,
+    period: int = 7,
+    clamp: tuple[int, int] = (0, 100),
+) -> DataFrame:
+    """Full ``predict_future_risk`` branch logic (trend_detector.py:224-279):
+
+    * **linear** when the per-entity trend is material — reference
+      ``min_slope=0.1``, tested here as the exact integer cross-product
+      ``10·|k·Σxy − Σx·Σy| ≥ k·Σxx − (Σx)²`` (⇔ \\|slope\\| ≥ 0.1 with zero
+      float comparisons), forecast = least-squares value at ``max(x)+horizon``;
+    * **seasonal** replay otherwise: the observed value one ``period``
+      before the target day (``x = xmax + horizon − period``), the
+      reference's seasonal-pattern fallback;
+    * **last**-value carry when that day has no observation (reference
+      returns the latest score).
+
+    The p-value gate of the reference's linear branch (scipy t-test) is
+    deliberately replaced by the slope-magnitude test alone — a t-CDF is not
+    engine-portable, the magnitude test is (documented simplification).
+
+    One shuffle: the per-entity ``max(x)`` window and the sum aggregation
+    both hash-partition on ``entity_col``, so Catalyst reuses the exchange.
+    Output: ``(entity, n_days, branch, forecast_micros)`` —
+    ``floor(f·1e6 + 0.5)`` of the clamped forecast, exact cross-engine."""
+    from pyspark.sql.window import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    w = Window.partitionBy(entity_col)
+    with_max = daily.withColumn("_xmax", F.max(x_col).over(w))
+    season_x = F.col("_xmax") + F.lit(horizon - period)
+    sums = with_max.groupBy(entity_col).agg(
+        F.count("*").alias("n_days"),
+        F.max("_xmax").alias("_xmax"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.max(F.when(x == season_x, y)).alias("_season_y"),
+        F.max_by(y_col, x_col).alias("_last_y"),
+    )
+    k, sx, sy = F.col("n_days"), F.col("_sx"), F.col("_sy")
+    num = k * F.col("_sxy") - sx * sy
+    den = k * F.col("_sxx") - sx * sx
+    x_target = F.col("_xmax") + F.lit(horizon)
+    lin = (sy * den - num * sx + num * k * x_target) / (k * den).cast("double")
+    lo, hi = clamp
+    branch = (
+        F.when((k >= 2) & (F.lit(10) * F.abs(num) >= den), F.lit("linear"))
+        .when(F.col("_season_y").isNotNull(), F.lit("seasonal"))
+        .otherwise(F.lit("last"))
+    )
+    fc = (
+        F.when(branch == "linear", lin)
+        .when(branch == "seasonal", F.col("_season_y").cast("double"))
+        .otherwise(F.col("_last_y").cast("double"))
+    )
+    fc = F.least(F.lit(float(hi)), F.greatest(F.lit(float(lo)), fc))
+    return sums.select(
+        F.col(entity_col),
+        F.col("n_days"),
+        branch.alias("branch"),
+        F.floor(fc * 1e6 + F.lit(0.5)).cast("long").alias("forecast_micros"),
+    )

@@ -2083,6 +2083,71 @@ FROM fit
 """
 
 
+def q_risk_forecast_branches(spark, sf):
+    """Full predict_future_risk branch logic (trend_detector.py:224-279) on
+    the same per-user daily risk series as ``risk_forecast``: linear
+    extrapolation when \\|slope\\| ≥ 0.1 (exact integer cross-product test,
+    no float slope compare), else seasonal replay of the value one 7-day
+    period before the 3-day-ahead target, else last-value carry."""
+    from anomaly_detection_spark.functions import risk
+
+    e = load(spark, sf, "events")
+    off = (F.hour("ts") < 8) | (F.hour("ts") >= 18)
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+    ).agg(
+        (
+            F.lit(10) * F.sum((F.col("event_type") == "error").cast("long"))
+            + F.sum(off.cast("long"))
+        ).alias("y")
+    )
+    return risk.branched_forecast(
+        daily, "user_id", "x", "y", horizon=3, period=7
+    ).orderBy("user_id")
+
+
+SQL_RISK_FORECAST_BRANCHES = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         10 * CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           + CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                            OR EXTRACT(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), wmax AS (
+  SELECT *, MAX(x) OVER (PARTITION BY user_id) AS xmax FROM daily
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_days, MAX(xmax) AS xmax,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         MAX(CASE WHEN x = xmax + 3 - 7 THEN y END) AS season_y,
+         arg_max(y, x) AS last_y
+  FROM wmax GROUP BY user_id
+), calc AS (
+  SELECT *, n_days*sxy - sx*sy AS num, n_days*sxx - sx*sx AS den FROM agg
+), br AS (
+  SELECT *, CASE WHEN n_days >= 2 AND 10 * ABS(num) >= den THEN 'linear'
+                 WHEN season_y IS NOT NULL THEN 'seasonal'
+                 ELSE 'last' END AS branch
+  FROM calc
+), fc AS (
+  SELECT user_id, n_days, branch,
+    LEAST(CAST(100 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+      CASE WHEN branch = 'linear'
+           THEN CAST(sy*den - num*sx + num*n_days*(xmax + 3) AS DOUBLE)
+                / CAST(n_days*den AS DOUBLE)
+           WHEN branch = 'seasonal' THEN CAST(season_y AS DOUBLE)
+           ELSE CAST(last_y AS DOUBLE) END)) AS f
+  FROM br
+)
+SELECT user_id, n_days, branch,
+  CAST(FLOOR(f * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+    AS forecast_micros
+FROM fc ORDER BY user_id
+"""
+
+
 def q_degree_centrality(spark, sf):
     """§2.9d graph centrality: weighted customer↔supplier interaction edges
     (one row per lineitem joins them), degree centrality per node — the
@@ -3885,6 +3950,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ml_outlier_ensemble": (q_ml_outlier_ensemble, SQL_ML_OUTLIER_ENSEMBLE),
     "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
+    "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),

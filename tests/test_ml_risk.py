@@ -124,3 +124,43 @@ def test_degree_centrality_small_graph(spark):
     assert got["a"]["centrality_micros"] == 1_000_000
     assert got["b"]["n_neighbors"] == 2
     assert got["d"]["centrality_micros"] == 333_333  # floor(1e6/3 + .5)
+
+
+def test_branched_forecast_three_branches(spark):
+    """Planted series hit each predict_future_risk branch exactly:
+
+    * ``lin``: y = 2x on days 0..4 → slope 2 ≥ 0.1 → linear branch,
+      forecast = 2·(4+3) = 14;
+    * ``sea``: flat 50 over days 0..12 with mirrored spikes (80) at days 4
+      and 8 — symmetric about the mean day, so the least-squares slope is
+      exactly 0 and the seasonal branch replays the day-8 value (the
+      ``xmax+3-7`` replay source for horizon 3, period 7);
+    * ``last``: single observation (60) → last-value carry."""
+    rows = (
+        [("lin", x, 2 * x) for x in range(5)]
+        + [("sea", x, 80 if x in (4, 8) else 50) for x in range(13)]
+        + [("last", 5, 60)]
+    )
+    daily = spark.createDataFrame(rows, "u string, x long, y long")
+    out = {
+        r["u"]: r
+        for r in risk.branched_forecast(
+            daily, "u", "x", "y", horizon=3, period=7
+        ).collect()
+    }
+    assert out["lin"]["branch"] == "linear"
+    assert out["lin"]["forecast_micros"] == 14_000_000
+    assert out["sea"]["branch"] == "seasonal"
+    assert out["sea"]["forecast_micros"] == 80_000_000
+    assert out["last"]["branch"] == "last"
+    assert out["last"]["forecast_micros"] == 60_000_000
+
+
+def test_branched_forecast_clamps_to_range(spark):
+    """A steep rising line forecasts past 100 → clamped to the cap."""
+    daily = spark.createDataFrame(
+        [("u", x, 40 * x) for x in range(4)], "u string, x long, y long"
+    )
+    row = risk.branched_forecast(daily, "u", "x", "y").first()
+    assert row["branch"] == "linear"
+    assert row["forecast_micros"] == 100_000_000
