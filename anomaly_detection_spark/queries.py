@@ -2038,6 +2038,78 @@ FROM s
 """
 
 
+def q_risk_report_summary(spark, sf):
+    """Report-generator rollup (report_generator.py:56-152: per-tier user
+    counts, score stats, riskiest user) over per-entity risk scores built
+    like ``entity_risk_scores`` but from the rarer late-night-error anomaly
+    set, so users spread across tiers.  The per-tier top user is a pure
+    hash aggregation — ``max(struct(score, -user_id))`` gives the highest
+    score with smallest-id tie-break in the SAME groupBy, no per-tier
+    window (a 3-partition ``row_number`` window would be the single-reducer
+    anti-pattern at 10^12 docs; the oracle states the equivalent semantics
+    with a window, valid at oracle scale)."""
+    from anomaly_detection_spark.functions import risk
+
+    e = load(spark, sf, "events")
+    anomalies = e.filter(
+        (F.col("event_type") == "error") & (F.hour("ts") >= 20)
+    ).select("user_id", F.col("value").alias("severity"))
+    scores = risk.entity_risk_scores(anomalies, micros=True)
+    top = F.max(
+        F.struct(
+            F.col("risk_score_micros").alias("s"),
+            (-F.col("user_id")).alias("nu"),
+        )
+    )
+    return (
+        scores.groupBy("risk_tier")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("risk_score_micros").alias("sum_score_micros"),
+            top.alias("_top"),
+        )
+        .select(
+            "risk_tier",
+            "n_users",
+            "sum_score_micros",
+            F.col("_top.s").alias("max_score_micros"),
+            (-F.col("_top.nu")).alias("top_user_id"),
+        )
+        .orderBy("risk_tier")
+    )
+
+
+SQL_RISK_REPORT_SUMMARY = """
+WITH a AS (
+  SELECT user_id, COUNT(*) AS n_anomalies,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sev_cents
+  FROM events
+  WHERE event_type = 'error' AND EXTRACT(hour FROM ts) >= 20
+  GROUP BY user_id
+), s AS (
+  SELECT user_id,
+         LEAST(100.0, 30.0 + 10.0 * n_anomalies
+               + (sev_cents / (100.0 * n_anomalies)) / 3.0) AS score
+  FROM a
+), sc AS (
+  SELECT user_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS m,
+         CASE WHEN score >= 70.0 THEN 'high'
+              WHEN score >= 40.0 THEN 'medium' ELSE 'low' END AS risk_tier
+  FROM s
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY risk_tier
+                               ORDER BY m DESC, user_id ASC) AS rn
+  FROM sc
+)
+SELECT risk_tier, COUNT(*) AS n_users,
+       CAST(SUM(m) AS BIGINT) AS sum_score_micros,
+       CAST(MAX(m) AS BIGINT) AS max_score_micros,
+       CAST(MAX(CASE WHEN rn = 1 THEN user_id END) AS BIGINT) AS top_user_id
+FROM ranked GROUP BY risk_tier ORDER BY risk_tier
+"""
+
+
 def q_risk_forecast(spark, sf):
     """Risk forecast (trend_detector.py:224-279): per-user daily risk points
     (10·errors + off-hours count, exact ints) → least-squares extrapolation
@@ -3951,6 +4023,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),
+    "risk_report_summary": (q_risk_report_summary, SQL_RISK_REPORT_SUMMARY),
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
