@@ -318,3 +318,54 @@ def test_frequent_values_reads_only_profiled_columns(spark):
     assert all("text" not in s and "o_totalprice" not in s for s in schemas)
     assert any("lang" in s for s in schemas)
     assert any("event_type" in s for s in schemas)
+
+
+def test_org_rule_scores_filters_before_shuffle(spark):
+    """The skip-level predicate must apply map-side: the only Exchange in
+    the plan ships already-filtered violation rows into the per-user agg,
+    and the final agg keeps a map-side partial."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["org_rule_scores"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # exactly one hash-partitioned exchange (the per-user agg); the only
+    # other exchange is the orderBy's range partitioning
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_count" in plan  # map-side partial agg
+    # Filter sits deeper in the tree than the Exchange (= runs before it)
+    assert tree.rindex("Filter") > tree.index("Exchange")
+
+
+def test_span_kind_transitions_single_agg_exchange(spark):
+    """Span sorting/pairing is all in-row (array_sort + zip_with): the plan
+    must show ONE hash-aggregation exchange for the (partition, transition)
+    count and no per-doc shuffle before it."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["span_kind_transitions"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert plan.count("hashpartitioning(") == 1
+    assert "Generate" in tree  # the explode of in-row pairs
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_branched_forecast_reuses_user_exchange(spark):
+    """The per-user max-day window and the sum aggregation hash-partition on
+    the same key: one user-keyed exchange total (no second shuffle for the
+    window), and no join anywhere."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["risk_forecast_branches"][0](spark, SF))
+    assert plan.count("hashpartitioning(") <= 2  # daily agg + window/agg key
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_risk_report_summary_no_window(spark):
+    """Per-tier top-user selection must be aggregation-only: no Window
+    operator (a 3-partition row_number would single-thread each tier)."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["risk_report_summary"][0](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "HashAggregate" in tree
