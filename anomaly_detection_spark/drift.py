@@ -105,6 +105,55 @@ def ks_statistic(cur: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
+def quantile_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cur_pred,
+    ps: tuple[float, ...] = (0.5, 0.95),
+    rel_threshold_pct: int = 10,
+) -> DataFrame:
+    """Quantile-shift drift per group: how far p50/p95 (etc.) of
+    ``value_col`` moved from the baseline window (``NOT cur_pred``) to the
+    current one — the distribution check PSI/KS/W1 don't give directly
+    (a monitoring-style "did the median move >10%?" rule; cf. the
+    reference's profile-vs-current mean/std comparisons,
+    ``access_analyzer.py:143-147``, generalized to quantiles).
+
+    ONE scan, ONE shuffle: both windows' percentiles ride the same groupBy
+    via NULL-ignoring ``percentile(CASE WHEN ...)`` conditional aggregates.
+    Outputs are exact-integer micro-units (``floor(q·1e6 + 0.5)``,
+    tie-break-free cross-engine) and the drift flag is the pure integer
+    comparison ``100·|shift| > rel_threshold_pct·|base|`` — no float
+    thresholding anywhere."""
+    v = F.col(value_col)
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    aggs = []
+    for p in ps:
+        tag = f"p{int(round(p * 100))}"
+        aggs += [
+            micros(F.percentile(F.when(~cur_pred, v), F.lit(p)))
+            .alias(f"{tag}_base_micros"),
+            micros(F.percentile(F.when(cur_pred, v), F.lit(p)))
+            .alias(f"{tag}_cur_micros"),
+        ]
+    out = df.groupBy(group_col).agg(*aggs)
+    cols, flags = [F.col(group_col)], []
+    for p in ps:
+        tag = f"p{int(round(p * 100))}"
+        base, cur = F.col(f"{tag}_base_micros"), F.col(f"{tag}_cur_micros")
+        shift = (cur - base).alias(f"{tag}_shift_micros")
+        cols += [base, cur, shift]
+        flags.append(
+            F.lit(100) * F.abs(cur - base)
+            > F.lit(rel_threshold_pct) * F.abs(base)
+        )
+    drifted = flags[0]
+    for fl in flags[1:]:
+        drifted = drifted | fl
+    return out.select(*cols, drifted.alias("drifted"))
+
+
 def drift_violations(
     cur_docs: DataFrame,
     base_docs: DataFrame,

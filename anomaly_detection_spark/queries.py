@@ -263,6 +263,42 @@ SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks FROM cdf
 """
 
 
+def q_quantile_shift_drift(spark, sf):
+    """Quantile-shift drift per event_type: p50/p95 of value, first
+    half-month vs second, exact-integer micro-units + a pure integer
+    >10 %-relative-shift flag (``drift.quantile_shift``)."""
+    from anomaly_detection_spark import drift
+
+    e = load(spark, sf, "events")
+    return drift.quantile_shift(
+        e, "event_type", "value", F.col("ts") >= "2024-01-15"
+    ).orderBy("event_type")
+
+
+SQL_QUANTILE_SHIFT_DRIFT = """
+WITH q AS (
+  SELECT event_type,
+    CAST(FLOOR(quantile_cont(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END, 0.5)
+               * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p50_base_micros,
+    CAST(FLOOR(quantile_cont(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END, 0.5)
+               * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p50_cur_micros,
+    CAST(FLOOR(quantile_cont(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END, 0.95)
+               * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p95_base_micros,
+    CAST(FLOOR(quantile_cont(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END, 0.95)
+               * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p95_cur_micros
+  FROM events GROUP BY event_type
+)
+SELECT event_type, p50_base_micros, p50_cur_micros,
+       p50_cur_micros - p50_base_micros AS p50_shift_micros,
+       p95_base_micros, p95_cur_micros,
+       p95_cur_micros - p95_base_micros AS p95_shift_micros,
+       (100 * ABS(p50_cur_micros - p50_base_micros) > 10 * ABS(p50_base_micros)
+        OR 100 * ABS(p95_cur_micros - p95_base_micros) > 10 * ABS(p95_base_micros))
+         AS drifted
+FROM q ORDER BY event_type
+"""
+
+
 def q_wasserstein_value_drift(spark, sf):
     """Wasserstein-1 (earth-mover) distance over integer-cents event values,
     first half-month vs second — completes the drift family (PSI = density
@@ -3965,6 +4001,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "psi_event_type_drift": (q_psi_event_type_drift, SQL_PSI_EVENT_TYPE_DRIFT),
     "ks_value_drift": (q_ks_value_drift, SQL_KS_VALUE_DRIFT),
     "wasserstein_value_drift": (q_wasserstein_value_drift, SQL_WASSERSTEIN_VALUE_DRIFT),
+    "quantile_shift_drift": (q_quantile_shift_drift, SQL_QUANTILE_SHIFT_DRIFT),
     "frequent_values": (q_frequent_values, SQL_FREQUENT_VALUES),
     "price_qty_correlation": (q_price_qty_correlation, SQL_PRICE_QTY_CORRELATION),
     "benford_totalprice": (q_benford_totalprice, SQL_BENFORD_TOTALPRICE),

@@ -107,3 +107,27 @@ def test_drift_rules_in_validation_suite(spark, snapshots):
     v = res.violations.filter("rule_id = 'drift_psi:span_kind'").collect()
     assert [r["doc_id"] for r in v] == [None]
     assert v[0]["partition"] == drifted
+
+
+def test_quantile_shift_flags_planted_median_move(spark):
+    """Two groups, 1..100 in both windows — except group 'b' whose current
+    window is scaled ×2: exact medians 50.5 vs 101.0, a 100% shift, so only
+    'b' flags; 'a' (identical windows) shows zero shift in every column."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark import drift
+
+    rows = [(g, False, float(i)) for g in ("a", "b") for i in range(1, 101)]
+    rows += [("a", True, float(i)) for i in range(1, 101)]
+    rows += [("b", True, 2.0 * i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, is_cur boolean, v double")
+    out = {
+        r["g"]: r
+        for r in drift.quantile_shift(df, "g", "v", F.col("is_cur")).collect()
+    }
+    assert out["a"]["p50_shift_micros"] == 0
+    assert out["a"]["p95_shift_micros"] == 0
+    assert out["a"]["drifted"] is False
+    assert out["b"]["p50_base_micros"] == 50_500_000
+    assert out["b"]["p50_cur_micros"] == 101_000_000
+    assert out["b"]["drifted"] is True
