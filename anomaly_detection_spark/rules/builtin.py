@@ -337,6 +337,49 @@ def psi_drift(base_docs: DataFrame, threshold: float = 0.25,
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def quantile_drift(base_docs: DataFrame, value: F.Column | None = None,
+                   rel_threshold_pct: int = 10,
+                   rule_id: str = "drift_quantile:spans_per_doc") -> DatasetRule:
+    """Per-partition quantile-shift drift vs a baseline snapshot as a suite
+    rule: p50/p95 of a numeric per-doc expression (default spans-per-doc)
+    moved more than ``rel_threshold_pct`` percent — the monitoring-style
+    complement of the PSI/KS shape statistics.  Both snapshots ride ONE
+    union + ONE conditional-percentile aggregation (`drift.quantile_shift`);
+    the flag is pure integer arithmetic on micro-unit quantiles.  Violations
+    are partition-level (doc_id NULL)."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from anomaly_detection_spark import drift as _drift
+
+        v = value if value is not None else F.size("spans")
+
+        def tagged(frame: DataFrame, is_cur: bool) -> DataFrame:
+            return frame.select(
+                F.col(ctx.partition_col).alias("partition"),
+                v.cast("double").alias("_v"),
+                F.lit(is_cur).alias("_is_cur"),
+            )
+
+        u = tagged(docs, True).unionByName(tagged(base_docs, False))
+        qs = _drift.quantile_shift(
+            u, "partition", "_v", F.col("_is_cur"),
+            rel_threshold_pct=rel_threshold_pct,
+        )
+        return qs.filter("drifted").select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("p50_shift_micros="),
+                F.col("p50_shift_micros").cast("string"),
+                F.lit(" p95_shift_micros="),
+                F.col("p95_shift_micros").cast("string"),
+            ).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
 def ks_drift(base_docs: DataFrame, threshold: float = 0.2,
              rule_id: str = "drift_ks:spans_per_doc") -> DatasetRule:
     """Spans-per-document distribution drift vs a baseline snapshot (KS

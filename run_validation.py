@@ -34,7 +34,7 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--output", required=True, help="output dir (verdicts/violations/metrics)")
     ap.add_argument("--manifest", default=None, help="progress-manifest dir (enables resume)")
     ap.add_argument("--baseline", default=None,
-                    help="previous-snapshot documents path; enables PSI/KS drift rules")
+                    help="previous-snapshot documents path; enables PSI/KS/quantile drift rules")
     ap.add_argument("--snapshot-id", default="s0")
     ap.add_argument("--resume", action="store_true",
                     help="skip (partition, rule_id) pairs already committed for this snapshot")
@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             else spark.read.parquet(args.baseline)
         )
         rules.add(builtin.psi_drift(base_docs)).add(builtin.ks_drift(base_docs))
+        rules.add(builtin.quantile_drift(base_docs))
         rules.add(builtin.row_count_drift(base_docs, max_rel_delta=args.max_row_delta))
     if args.expect_schema:
         import json as _json

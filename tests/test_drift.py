@@ -131,3 +131,37 @@ def test_quantile_shift_flags_planted_median_move(spark):
     assert out["b"]["p50_base_micros"] == 50_500_000
     assert out["b"]["p50_cur_micros"] == 101_000_000
     assert out["b"]["drifted"] is True
+
+
+def test_quantile_drift_rule_flags_span_count_shift(spark):
+    """Suite-rule form: baseline has 2 spans/doc everywhere; the current
+    snapshot triples p1's span counts — only p1 emits a partition-level
+    violation, with the exact micro-unit shifts in the detail."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    schema = ("partition string, doc_id string, spans array<struct<"
+              "kind:string,text:string,media_ref:string,offset:int>>")
+
+    def docs_of(n_by_part):
+        rows = [
+            (part, f"{part}-{i}",
+             [("text", "t", None, j) for j in range(n)])
+            for part, n in n_by_part.items()
+            for i in range(50)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    base = docs_of({"p0": 2, "p1": 2})
+    cur = docs_of({"p0": 2, "p1": 6})
+    rules = RuleSet(dataset_rules=[builtin.quantile_drift(base)])
+    res = ValidationRun(spark, cur, rules).run(resume=False)
+    v = res.violations.collect()
+    assert [(r["partition"], r["doc_id"]) for r in v] == [("p1", None)]
+    assert "p50_shift_micros=4000000" in v[0]["detail"]
+    verd = {(r["partition"], r["rule_id"]): r["pass"] for r in res.verdicts.collect()}
+    assert verd[("p1", "drift_quantile:spans_per_doc")] is False
+    assert verd[("p0", "drift_quantile:spans_per_doc")] is True

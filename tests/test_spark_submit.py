@@ -144,7 +144,9 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
             f"SELECT rule_id, bool_and(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
             "WHERE rule_id LIKE 'drift%' GROUP BY rule_id"
         ).fetchall()
-        assert {r[0] for r in verd} == {"drift_psi:span_kind", "drift_ks:spans_per_doc"}
+        assert {r[0] for r in verd} == {"drift_psi:span_kind",
+                                        "drift_ks:spans_per_doc",
+                                        "drift_quantile:spans_per_doc"}
         assert all(r[1] for r in verd)
         # same snapshot as baseline ⇒ zero volume delta ⇒ all partitions pass
         assert duckdb.sql(
