@@ -49,6 +49,9 @@ HEADLINE = [
     "benchmark_contamination",
     "asof_signup_join",
     "sequence_packing",
+    "span_kind_transitions",
+    "risk_forecast_branches",
+    "quantile_shift_drift",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
