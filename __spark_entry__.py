@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref")
     )
     rules = RuleSet(
-        row_rules=builtin.default_document_rules(),
+        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),

@@ -204,3 +204,49 @@ def token_budget_selection(df: DataFrame, budget_tokens: int,
         .filter(F.col("_cum") <= budget_tokens)
         .drop("_cum", "_off")
     )
+
+
+def chunk_token_windows(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", chunk_tokens: int = 128,
+                        overlap: int = 0) -> DataFrame:
+    """Split each document into fixed-size sliding token windows — the
+    context-window chunking step of an LLM training / RAG-indexing pipeline
+    (each chunk ≤ ``chunk_tokens`` whitespace tokens, consecutive chunks
+    sharing ``overlap`` tokens).
+
+    Pure DataFrame ops, no UDF: tokenize → integer chunk count →
+    ``posexplode(sequence(...))`` → ``slice`` per chunk. Exploding inside a
+    single projection keeps this one narrow stage: no shuffle, perfectly
+    parallel per input split, so it scales linearly to a 100 TB corpus.
+    Chunk count uses integer arithmetic only (``1 + ceil_div(n-c, s)``), so
+    the DuckDB oracle states the identical formula and the gate is exact.
+
+    Returns one row per (doc, chunk): id, chunk_id, n_tokens in the chunk,
+    and the chunk text (caller typically fingerprints or embeds it next).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - chunk_tokens + step - 1) / F.lit(step))
+    ).cast("long")
+    base = (
+        df.filter(n > 0)
+        .select(F.col(id_col), toks.alias("_toks"),
+                n.alias("doc_tokens"), n_chunks.alias("_nc"))
+        .select(id_col, "_toks", "doc_tokens",
+                F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                 .alias("chunk_id", "_i"))
+    )
+    start = F.col("chunk_id").cast("int") * step + 1
+    chunk = F.slice(F.col("_toks"), start, chunk_tokens)
+    return base.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("doc_tokens").cast("long").alias("doc_tokens"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

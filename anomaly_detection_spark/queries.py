@@ -3987,6 +3987,145 @@ FROM c ORDER BY doc_id
 """
 
 
+def _inject_pii(did: F.Column, text_col: F.Column) -> F.Column:
+    """Deterministically plant PII into a known subset of documents (the
+    corpus is synthetic word-salad with no real PII, so the scan would be
+    vacuous otherwise). Same CASE/concat expression as the oracle SQL —
+    the regex engines, not the planting, are what's under test."""
+    s = F.lit("")
+    email = F.when(did % 7 == 0, F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"))).otherwise(s)
+    ip = F.when(did % 11 == 0, F.concat(
+        F.lit(" from "), (did % 256).cast("string"), F.lit("."),
+        ((did * 7) % 256).cast("string"), F.lit("."),
+        ((did * 13) % 256).cast("string"), F.lit("."),
+        ((did * 29) % 256).cast("string"))).otherwise(s)
+    phone = F.when(did % 13 == 0, F.concat(
+        F.lit(" call "), F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad(((did * 3) % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(s)
+    ssn = F.when(did % 17 == 0, F.concat(
+        F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(((did * 7) % 10000).cast("string"), 4, "0"))).otherwise(s)
+    card = F.when(did % 19 == 0, F.concat(
+        F.lit(" card 4111-1111-1111-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(s)
+    return F.concat(text_col, email, ip, phone, ssn, card)
+
+
+def q_pii_scan(spark, sf):
+    """PII screen + redaction over the corpus (functions/pii.py): per-doc
+    match counts for email / IPv4 / phone / SSN / card patterns and the
+    post-redaction length. Patterns are Java-regex/RE2-identical, so the
+    DuckDB oracle runs the LITERAL same regexes. All JVM-side codegen —
+    the 100 TB shape is a pure per-row scan, no shuffle."""
+    from anomaly_detection_spark.functions import pii
+
+    d = load(spark, sf, "documents")
+    aug = _inject_pii(F.col("doc_id"), F.col("text"))
+    red = pii.redact(aug)
+    return d.select(
+        "doc_id",
+        *[F.regexp_count(aug, F.lit(p)).cast("long").alias(f"n_{k}")
+          for k, p in pii.PII_PATTERNS.items()],
+        F.length(aug).cast("long").alias("orig_len"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_PII_INJECT_SQL = """
+  text
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+       THEN ' from ' || (doc_id % 256) || '.' || ((doc_id*7) % 256) || '.'
+            || ((doc_id*13) % 256) || '.' || ((doc_id*29) % 256) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+       THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST((doc_id*3) % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+       THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+            || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 19 = 0
+       THEN ' card 4111-1111-1111-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+"""
+
+_PII_RE = {
+    "card": r"\b\d{4}(-\d{4}){3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+_PII_REDACT_SQL = "aug"
+for _k in _PII_RE:
+    _PII_REDACT_SQL = (
+        f"regexp_replace({_PII_REDACT_SQL}, '{_PII_RE[_k]}', "
+        f"'[{_k.upper()}]', 'g')"
+    )
+
+SQL_PII_SCAN = f"""
+WITH a AS (
+  SELECT doc_id, {_PII_INJECT_SQL} AS aug FROM documents
+), r AS (
+  SELECT doc_id, aug, {_PII_REDACT_SQL} AS red FROM a
+)
+SELECT doc_id,
+       {', '.join(f"CAST(len(regexp_extract_all(aug, '{p}')) AS BIGINT) AS n_{k}" for k, p in _PII_RE.items())},
+       CAST(len(aug) AS BIGINT) AS orig_len,
+       CAST(len(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM r ORDER BY doc_id
+"""
+
+
+def q_doc_chunks(spark, sf):
+    """Context-window chunking (curation.chunk_token_windows): document →
+    sliding 64-token windows with 16-token overlap; emits per-chunk token
+    count + md5. Narrow posexplode stage, no shuffle — linear at 100 TB.
+    The oracle states the same integer chunk-count formula with
+    generate-series + list_slice."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents")
+    ch = curation.chunk_token_windows(d, "text", "doc_id",
+                                      chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id", "chunk_id", "doc_tokens", "chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks, nt,
+         CASE WHEN nt <= 64 THEN 1
+              ELSE 1 + (nt - 64 + 47) // 48 END AS nc
+  FROM n
+), e AS (
+  SELECT doc_id, toks, nt, unnest(range(0, nc)) AS chunk_id FROM c
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(nt AS BIGINT) AS doc_tokens,
+       CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' '))
+         AS chunk_md5
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4092,4 +4231,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     "asof_signup_join": (q_asof_signup_join, SQL_ASOF_SIGNUP_JOIN),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "pii_scan": (q_pii_scan, SQL_PII_SCAN),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
 }

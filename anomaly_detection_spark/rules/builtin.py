@@ -52,6 +52,38 @@ def accepted_values(col: str, values: list[str], rule_id: str | None = None) -> 
     )
 
 
+def no_pii(spans_col: str = "spans", kinds: list[str] | None = None,
+           rule_id: str = "no_pii") -> RowRule:
+    """No unredacted PII in any text span — the screen an LLM training
+    corpus runs before shipping (functions/pii.py patterns: email / IPv4 /
+    phone / SSN / card; Java-regex == RE2 semantics).
+
+    The concatenated text-span payload is computed once via ``bind`` and the
+    per-category ``regexp_count`` runs JVM-side inside the fused pass — at
+    10^12 docs this adds zero shuffles, only per-row scan work.
+    """
+    from anomaly_detection_spark.functions import pii
+
+    cats = kinds or list(pii.PII_PATTERNS)
+    bound = "_pii_text"
+    txt = F.concat_ws(" ", F.transform(
+        F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
+        lambda s: F.coalesce(s["text"], F.lit("")),
+    ))
+    n = {k: F.regexp_count(F.col(bound), F.lit(pii.PII_PATTERNS[k])) for k in cats}
+    total = None
+    for c in n.values():
+        total = c if total is None else total + c
+    return RowRule(
+        rule_id=rule_id,
+        violation=total > 0,
+        detail=F.concat_ws(
+            " ", *[F.concat(F.lit(f"{k}="), n[k].cast("string")) for k in cats]
+        ),
+        bind={bound: txt},
+    )
+
+
 def span_kinds_accepted(kinds: list[str], spans_col: str = "spans") -> RowRule:
     bad = F.filter(F.col(spans_col), lambda s: ~s["kind"].isin(kinds) | s["kind"].isNull())
     return RowRule(

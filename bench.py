@@ -105,7 +105,7 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
     docs = spark.read.parquet(path)
     catalog = generate_media_catalog(spark, n_media=2000)
     rules = RuleSet(
-        row_rules=builtin.default_document_rules(),
+        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),

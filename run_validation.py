@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     catalog = spark.read.parquet(args.catalog)
 
     rules = RuleSet(
-        row_rules=builtin.default_document_rules(),
+        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),
