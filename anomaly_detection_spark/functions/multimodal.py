@@ -108,3 +108,97 @@ def synth_media(spark, n: int = 200) -> DataFrame:
             "utf-8",
         ).alias("payload"),
     )
+
+
+FRAME_SCHEMA = (
+    "media_ref string, media_kind string, n_frames int, frame_idx int, "
+    "frame_sha string"
+)
+THUMB_SCHEMA = (
+    "media_ref string, media_kind string, width int, height int, "
+    "thumb_width int, thumb_height int"
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 8,
+                  fake_decode: bool = True) -> DataFrame:
+    """Frame sampling: one OUTPUT row per sampled frame (indices 0, k, 2k …
+    < n_frames) — the video-frame extraction step of a multimodal training
+    pipeline. ``mapInPandas`` is used precisely because the output is ragged
+    (rows out ≠ rows in), the contract a real ffmpeg sampler needs; the
+    decode is the deterministic fake (hash-derived frame count + per-frame
+    fingerprint), swap one function body for real codecs.
+
+    Scale shape: partition-preserving, no shuffle; output fan-out is bounded
+    by ``ceil(max_frames / every_k)`` per row, so Arrow batch memory stays
+    proportional to `maxRecordsPerBatch × fan-out`."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, kinds, nfs, idxs, shas = [], [], [], [], []
+            for ref, kind, p in zip(pdf["media_ref"], pdf["media_kind"],
+                                    pdf["payload"]):
+                if p is None:
+                    continue
+                _, _, nf = (_fake_decode(p, kind) if fake_decode
+                            else decode_image(p))
+                for i in range(0, nf, every_k):
+                    refs.append(ref)
+                    kinds.append(kind)
+                    nfs.append(nf)
+                    idxs.append(i)
+                    # fake per-frame fingerprint: content-addressed by
+                    # (payload, frame index) — replace with a real frame
+                    # pixel hash in production
+                    shas.append(hashlib.sha256(
+                        bytes(p) + str(i).encode()).hexdigest())
+            yield pd.DataFrame({
+                "media_ref": pd.array(refs, dtype="string"),
+                "media_kind": pd.array(kinds, dtype="string"),
+                "n_frames": pd.array(nfs, dtype="int32"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_sha": pd.array(shas, dtype="string"),
+            })
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def thumbnail_dims(media: DataFrame, max_side: int = 64,
+                   fake_decode: bool = True) -> DataFrame:
+    """Resize plumbing: decoded (width, height) → integer thumbnail dims
+    (longest side clamped to ``max_side``, aspect preserved, never
+    upscaled). Integer-exact math (floor division) so the DuckDB oracle
+    reproduces it bit-for-bit; the actual pixel resample is the stubbed
+    step, the Spark-side schema/batching is real."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_ref", "media_kind", "width",
+                                    "height", "thumb_width", "thumb_height")}
+            for ref, kind, p in zip(pdf["media_ref"], pdf["media_kind"],
+                                    pdf["payload"]):
+                if p is None:
+                    continue
+                w, h, _ = (_fake_decode(p, kind) if fake_decode
+                           else decode_image(p))
+                m = max(w, h)
+                tw, th = (w, h) if m <= max_side else (
+                    max(1, (w * max_side) // m), max(1, (h * max_side) // m))
+                rows["media_ref"].append(ref)
+                rows["media_kind"].append(kind)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb_width"].append(tw)
+                rows["thumb_height"].append(th)
+            yield pd.DataFrame({
+                "media_ref": pd.array(rows["media_ref"], dtype="string"),
+                "media_kind": pd.array(rows["media_kind"], dtype="string"),
+                "width": pd.array(rows["width"], dtype="int32"),
+                "height": pd.array(rows["height"], dtype="int32"),
+                "thumb_width": pd.array(rows["thumb_width"], dtype="int32"),
+                "thumb_height": pd.array(rows["thumb_height"], dtype="int32"),
+            })
+
+    return media.mapInPandas(process, schema=THUMB_SCHEMA)

@@ -1601,6 +1601,39 @@ def q_media_feature_extract(spark, sf):
     )
 
 
+def q_media_frame_sample(spark, sf):
+    """Ragged mapInPandas frame sampling (multimodal.sample_frames): one
+    output row per sampled frame index (0, 8, 16 … < n_frames), per-frame
+    content fingerprint. The oracle regenerates the fake decoder's frame
+    count from sha256 hexbytes and the per-frame sha from the same
+    byte-concatenation, row-for-row."""
+    from anomaly_detection_spark.functions.multimodal import sample_frames
+
+    media = _synth_media_from_docs(spark, sf)
+    return sample_frames(media, every_k=8, fake_decode=True).select(
+        "media_ref", "media_kind",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_sha",
+    ).orderBy("media_ref", "frame_idx")
+
+
+def q_media_thumbnail_dims(spark, sf):
+    """Resize plumbing (multimodal.thumbnail_dims): decoded dims → integer
+    thumbnail dims, longest side clamped to 64, aspect preserved via floor
+    division, never upscaled — bit-exact integer math in both engines."""
+    from anomaly_detection_spark.functions.multimodal import thumbnail_dims
+
+    media = _synth_media_from_docs(spark, sf)
+    return thumbnail_dims(media, max_side=64, fake_decode=True).select(
+        "media_ref", "media_kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("thumb_width").cast("long").alias("thumb_width"),
+        F.col("thumb_height").cast("long").alias("thumb_height"),
+    ).orderBy("media_ref")
+
+
 def _hexbyte_sql(h: str, pos: int) -> str:
     """DuckDB expression for byte ``pos`` (0-based) of a hex digest string."""
     i = 2 * pos + 1
@@ -1628,6 +1661,56 @@ SELECT media_kind, COUNT(*) AS n,
   CAST(FLOOR(SUM(height)*10000.0/COUNT(*) + 0.5) AS BIGINT) AS avg_height_x10k,
   MAX(n_frames) AS max_frames
 FROM d GROUP BY media_kind
+"""
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH m AS (
+  SELECT 'm' || doc_id AS media_ref,
+         ['image','audio','video'][CAST((doc_id % 3) + 1 AS INTEGER)] AS media_kind,
+         text, sha256(text) AS h
+  FROM documents
+), d AS (
+  SELECT media_ref, media_kind, text,
+    CASE WHEN media_kind = 'image' THEN 1
+         ELSE 1 + {_hexbyte_sql('h', 2)} % 64 END AS n_frames
+  FROM m
+), e AS (
+  SELECT media_ref, media_kind, n_frames,
+         unnest(range(0, n_frames, 8)) AS frame_idx
+  FROM d
+)
+SELECT e.media_ref, e.media_kind,
+       CAST(e.n_frames AS BIGINT) AS n_frames,
+       CAST(e.frame_idx AS BIGINT) AS frame_idx,
+       sha256(d.text || CAST(e.frame_idx AS VARCHAR)) AS frame_sha
+FROM e JOIN d ON e.media_ref = d.media_ref
+ORDER BY e.media_ref, frame_idx
+"""
+
+
+SQL_MEDIA_THUMBNAIL_DIMS = f"""
+WITH m AS (
+  SELECT 'm' || doc_id AS media_ref,
+         ['image','audio','video'][CAST((doc_id % 3) + 1 AS INTEGER)] AS media_kind,
+         sha256(text) AS h
+  FROM documents
+), d AS (
+  SELECT media_ref, media_kind,
+    16 + {_hexbyte_sql('h', 0)} % 240 AS width,
+    16 + {_hexbyte_sql('h', 1)} % 240 AS height
+  FROM m
+)
+SELECT media_ref, media_kind,
+  CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height,
+  CAST(CASE WHEN GREATEST(width, height) <= 64 THEN width
+       ELSE GREATEST(1, (width * 64) // GREATEST(width, height)) END AS BIGINT)
+    AS thumb_width,
+  CAST(CASE WHEN GREATEST(width, height) <= 64 THEN height
+       ELSE GREATEST(1, (height * 64) // GREATEST(width, height)) END AS BIGINT)
+    AS thumb_height
+FROM d ORDER BY media_ref
 """
 
 
@@ -4183,6 +4266,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # Group D — multimodal
     "media_metadata_stats": (q_media_metadata_stats, SQL_MEDIA_METADATA_STATS),
     "media_feature_extract": (q_media_feature_extract, SQL_MEDIA_FEATURE_EXTRACT),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_thumbnail_dims": (q_media_thumbnail_dims, SQL_MEDIA_THUMBNAIL_DIMS),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
