@@ -4209,6 +4209,46 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def q_zorder_codes(spark, sf):
+    """Z-order (Morton) interleaved sort key (curation.morton_code): two
+    bounded integer dimensions (length bucket × token bucket) woven into one
+    BIGINT so a range-partitioned layout prunes on EITHER dimension. The
+    unrolled shift/mask expression is pure codegen; the oracle states the
+    identical bit arithmetic."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents")
+    a = F.pmod(F.col("n_chars"), F.lit(256))
+    b = F.pmod(text.token_count("text"), F.lit(256))
+    return d.select(
+        "doc_id",
+        a.cast("long").alias("dim_a"),
+        b.cast("long").alias("dim_b"),
+        curation.morton_code(a, b, bits=8).alias("zcode"),
+    ).orderBy("doc_id")
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+SQL_ZORDER_CODES = f"""
+WITH t AS (
+  SELECT doc_id,
+         n_chars % 256 AS dim_a,
+         CAST(len({_TOKS_SQL}) AS BIGINT) % 256 AS dim_b
+  FROM documents
+)
+SELECT doc_id, CAST(dim_a AS BIGINT) AS dim_a, CAST(dim_b AS BIGINT) AS dim_b,
+       CAST({_morton_sql('dim_a', 'dim_b', 8)} AS BIGINT) AS zcode
+FROM t ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4318,4 +4358,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "pii_scan": (q_pii_scan, SQL_PII_SCAN),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "zorder_codes": (q_zorder_codes, SQL_ZORDER_CODES),
 }

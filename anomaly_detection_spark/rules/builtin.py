@@ -66,17 +66,25 @@ def no_pii(spans_col: str = "spans", kinds: list[str] | None = None,
 
     cats = kinds or list(pii.PII_PATTERNS)
     bound = "_pii_text"
-    txt = F.concat_ws(" ", F.transform(
-        F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
-        lambda s: F.coalesce(s["text"], F.lit("")),
-    ))
+    # spans.text (GetArrayStructFields) + array_join, NOT a filter/transform
+    # lambda pair: HOF lambdas are interpreted per element and block nested-
+    # schema pruning, and array_join already skips NULL text (non-text
+    # spans). Scanning every span's text is also the safer semantics — PII
+    # in a mislabeled span still gets flagged.
+    txt = F.array_join(F.col(f"{spans_col}.text"), " ")
     n = {k: F.regexp_count(F.col(bound), F.lit(pii.PII_PATTERNS[k])) for k in cats}
     total = None
     for c in n.values():
         total = c if total is None else total + c
+    # cheap prescreen implied by every pattern: email needs '@', IPv4 needs
+    # digit.digit, phone/SSN/card need digit-digit — so one scan for
+    # '@' or digit[.-]digit gates all five expensive regexes. CaseWhen
+    # branches are lazy in codegen: clean docs (the overwhelming majority)
+    # pay one simple regex instead of five with bounded repetition.
+    prescreen = F.col(bound).rlike("[0-9][.-][0-9]|@")
     return RowRule(
         rule_id=rule_id,
-        violation=total > 0,
+        violation=F.when(prescreen, total).otherwise(F.lit(0)) > 0,
         detail=F.concat_ws(
             " ", *[F.concat(F.lit(f"{k}="), n[k].cast("string")) for k in cats]
         ),

@@ -51,7 +51,8 @@ def _run_to_memory(stream_df, spark, name, ckpt, output_mode="append"):
 def test_streaming_row_rules_match_batch(spark, docs, stream_dirs):
     src, ckpt = stream_dirs
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.span_sequence_valid_row()]
+        row_rules=builtin.default_document_rules()
+        + [builtin.span_sequence_valid_row(), builtin.no_pii()]
     )
     stream = read_document_stream(spark, f"{src}/*", max_files_per_trigger=1)
     got_df = _run_to_memory(
