@@ -20,19 +20,34 @@ def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
     """1-row frame with the modal value of each column (nulls excluded;
     ties broken by smallest value so the mode is deterministic).
 
-    Per column: one hash agg for value counts, then a ``min_by`` over the
-    struct key (−count, value) — max count, then min value — so there is no
-    single-partition window even when a column has millions of distinct
-    values."""
-    out = None
-    for c in cols:
-        mode_df = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(c).agg(F.count("*").alias("_cnt"))
-            .agg(F.expr(f"min_by(`{c}`, struct(-_cnt, `{c}`))").alias(f"_mode_{c}"))
-        )
-        out = mode_df if out is None else out.crossJoin(mode_df)
-    return out
+    ONE scan for every column, not one per column: rows explode to
+    (col_name, value-as-string) pairs, a single (col, val) hash agg counts
+    them, and a ``min_by`` over the struct key (−count, val) picks max
+    count / min value per column — then a k-cell pivot rebuilds the wide
+    1-row stats frame and casts each mode back to its column's type
+    (Spark's string casts round-trip for the string/int/bool/double types a
+    categorical fill meets). No single-partition window even when a column
+    has millions of distinct values, and a 100 TB input is read once
+    instead of k times. Tie-break order for non-string columns is the
+    STRING ordering of the values (deterministic, engine-portable)."""
+    dtypes = dict(df.dtypes)
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("val"))
+        for c in cols
+    ])
+    counts = (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p.col", "_p.val")
+        .filter(F.col("val").isNotNull())
+        .groupBy("col", "val").agg(F.count("*").alias("_cnt"))
+    )
+    modes = counts.groupBy("col").agg(
+        F.expr("min_by(val, struct(-_cnt, val))").alias("_mode")
+    )
+    wide = modes.groupBy().pivot("col", cols).agg(F.first("_mode"))
+    return wide.select(*[
+        F.col(c).cast(dtypes[c]).alias(f"_mode_{c}") for c in cols
+    ])
 
 
 def fill_missing(

@@ -80,9 +80,15 @@ def domain_mixture(df: DataFrame, domain_col: str = "source",
     ppm = F.floor(
         F.lit(1_000_000.0) * F.col("_isq") / F.col("_den") + F.lit(0.5)
     ).cast("long")
+    # products in DOUBLE, not int64: isq·budget and den·domain_tokens both
+    # overflow long at production magnitudes (e.g. den ~1e8 × T_d ~1e12).
+    # Double multiply/divide/floor in a fixed order is IEEE-identical in
+    # both engines, so the oracle states the same double expression.
     epochs = F.floor(
-        F.lit(1_000_000.0) * (F.col("_isq") * F.lit(budget_tokens))
-        / (F.col("_den") * F.col("domain_tokens")) + F.lit(0.5)
+        F.lit(1_000_000.0)
+        * (F.col("_isq").cast("double") * F.lit(float(budget_tokens)))
+        / (F.col("_den").cast("double") * F.col("domain_tokens").cast("double"))
+        + F.lit(0.5)
     ).cast("long")
     return norm.select(
         domain_col, "n_docs", "domain_tokens",

@@ -208,14 +208,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     graph with a long chain that is the difference between ~40 and ~10^6
     shuffles. The adjacency is materialized once (localCheckpoint — at real
     scale a disk-persisted checkpoint) so the upstream edge build does not
-    re-execute every round; lineage truncated per round. Node ids must
-    be numeric (the Σlabel convergence witness needs a sum); hash string ids
-    to int64 (xxhash64) before calling."""
+    re-execute every round; lineage truncated per round. Works on any node
+    id type (string doc_ids included): convergence is witnessed by an exact
+    any-label-changed probe, not an arithmetic aggregate over the ids."""
     adj = _sym(edges).localCheckpoint()
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("component")
     ).localCheckpoint()
-    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             adj.join(
@@ -240,14 +239,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .select("node", F.least("component", "_cc").alias("component"))
             .localCheckpoint()
         )
-        # labels only ever decrease, so Σcomponent is a monotone convergence
-        # witness: one cheap aggregation over the checkpointed frame instead
-        # of an old⋈new join-and-count per round
-        label_sum = new.agg(F.sum("component")).collect()[0][0]
+        # exact convergence witness, valid for ANY id type: did any node's
+        # label change this round? (Σcomponent would crash on string ids
+        # under ANSI mode and NULL-out under non-ANSI.) Both sides are
+        # checkpointed, and limit(1) lets the probe short-circuit on the
+        # first changed row in the common still-converging rounds.
+        changed = (
+            new.join(labels.select("node", F.col("component").alias("_prev")),
+                     "node")
+            .filter(F.col("component") != F.col("_prev"))
+            .limit(1).count()
+        )
         labels = new
-        if label_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = label_sum
     return labels
 
 
@@ -432,17 +437,7 @@ def degree_centrality(edges: DataFrame, weight_col: str = "weight") -> DataFrame
     1-row node count; no iteration, no driver collect — the cheap win of the
     centrality family at 10^12 edges (betweenness/closeness need sampled
     shortest paths and stay out of the default suite)."""
-    # undirected view via per-row explode, NOT a union of two selects: a
-    # union re-executes the whole upstream edge-build plan twice; exploding
-    # both directions from each edge row keeps it to one execution
-    sym = edges.select(
-        F.explode(F.array(
-            F.struct(F.col("src").alias("node"), F.col("dst").alias("other"),
-                     F.col(weight_col).alias("w")),
-            F.struct(F.col("dst").alias("node"), F.col("src").alias("other"),
-                     F.col(weight_col).alias("w")),
-        )).alias("_e")
-    ).select("_e.node", "_e.other", "_e.w")
+    sym = _sym(edges, weight_col)
     deg = sym.groupBy("node").agg(
         F.countDistinct("other").alias("n_neighbors"),
         F.sum("w").alias("weighted_degree"),

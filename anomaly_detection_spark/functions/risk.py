@@ -161,7 +161,11 @@ def branched_forecast(
     lin = (sy * den - num * sx + num * k * x_target) / (k * den).cast("double")
     lo, hi = clamp
     branch = (
-        F.when((k >= 2) & (F.lit(10) * F.abs(num) >= den), F.lit("linear"))
+        # den > 0 is required, not just k >= 2: duplicate-x series have
+        # den = num = 0 and would otherwise take the linear branch with a
+        # 0/0 slope (NaN -> clamped to max risk — a fabricated forecast)
+        F.when((k >= 2) & (den > 0) & (F.lit(10) * F.abs(num) >= den),
+               F.lit("linear"))
         .when(F.col("_season_y").isNotNull(), F.lit("seasonal"))
         .otherwise(F.lit("last"))
     )

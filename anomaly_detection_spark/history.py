@@ -70,7 +70,13 @@ def violation_trends(metrics: DataFrame, min_snapshots: int = 3) -> DataFrame:
     )
     den = g["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
     num = g["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope_e6 = F.when(den != 0, (num * 1_000_000) / den).otherwise(F.lit(0.0))
+    # num is scaled in DOUBLE: num ~ rate_ppm·k³/12 so num·1e6 passes 2^63
+    # within a few hundred retained snapshots (ANSI overflow error / silent
+    # wrap). Doubles are exact here until num itself exceeds 2^53 — far
+    # beyond the 180-day retention at any commit cadence.
+    slope_e6 = F.when(
+        den != 0, (num.cast("double") * 1_000_000.0) / den.cast("double")
+    ).otherwise(F.lit(0.0))
     last = F.col("_last.rate_ppm")
     pred = F.greatest(
         F.lit(0.0),

@@ -2318,7 +2318,7 @@ WITH daily AS (
 ), calc AS (
   SELECT *, n_days*sxy - sx*sy AS num, n_days*sxx - sx*sx AS den FROM agg
 ), br AS (
-  SELECT *, CASE WHEN n_days >= 2 AND 10 * ABS(num) >= den THEN 'linear'
+  SELECT *, CASE WHEN n_days >= 2 AND den > 0 AND 10 * ABS(num) >= den THEN 'linear'
                  WHEN season_y IS NOT NULL THEN 'seasonal'
                  ELSE 'last' END AS branch
   FROM calc
@@ -3566,7 +3566,7 @@ WITH t AS (
 )
 SELECT source, n_docs, domain_tokens,
   CAST(FLOOR(CAST(1000000 AS DOUBLE) * isq / den + 0.5) AS BIGINT) AS weight_ppm,
-  CAST(FLOOR(CAST(1000000 AS DOUBLE) * (isq * 1000000) / (den * domain_tokens) + 0.5) AS BIGINT)
+  CAST(FLOOR(CAST(1000000 AS DOUBLE) * (CAST(isq AS DOUBLE) * CAST(1000000 AS DOUBLE)) / (CAST(den AS DOUBLE) * CAST(domain_tokens AS DOUBLE)) + 0.5) AS BIGINT)
     AS epochs_micro
 FROM d ORDER BY source
 """

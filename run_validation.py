@@ -65,6 +65,26 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
+def append_missing_pairs(spark, df, path: str,
+                         keys: tuple[str, ...] = ("partition", "rule_id")) -> None:
+    """Append ``df`` to the parquet sink at ``path``, skipping rows whose
+    (partition, rule_id) the sink ALREADY holds — the idempotent half of the
+    data-first/manifest-last resume contract. A crash between sink writes
+    and the manifest commit leaves pairs pending; the retry recomputes them,
+    and without this filter would append their rows a second time (some
+    sinks, not others, depending on where the crash landed). Exactly-once
+    per pair holds as long as each parquet job commit is atomic; a torn job
+    commit (partial pair) needs a transactional (Iceberg/Delta) sink, where
+    the whole run is one atomic commit instead."""
+    try:
+        existing = spark.read.parquet(path).select(*keys).distinct()
+    except Exception:
+        existing = None  # first increment: sink doesn't exist yet
+    if existing is not None:
+        df = df.join(existing, list(keys), "left_anti")
+    df.write.mode("append").parquet(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -135,14 +155,23 @@ def main(argv: list[str] | None = None) -> int:
     # between the sink writes and the commit re-evaluates, never skips.
     # Mode: a resumed run with prior commits only computes NEW pairs, so it
     # appends to the previous outputs; a fresh (or fully re-evaluated) run
-    # overwrites. With Iceberg/Delta sinks both become one atomic commit.
+    # overwrites. Appends are IDEMPOTENT per (partition, rule_id): a crash
+    # after some sink writes but before the manifest commit leaves those
+    # pairs pending, and the retry must not append their rows a second time
+    # — each sink drops pairs it already holds (see append_missing_pairs).
+    # With Iceberg/Delta sinks all of this becomes one atomic commit.
     mode = "overwrite"
     if args.resume and manifest is not None:
         if manifest.completed_pairs(args.snapshot_id).limit(1).count() > 0:
             mode = "append"
-    result.violations.write.mode(mode).parquet(f"{args.output}/violations")
-    result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
-    result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
+    if mode == "append":
+        append_missing_pairs(spark, result.violations, f"{args.output}/violations")
+        append_missing_pairs(spark, result.verdicts, f"{args.output}/verdicts")
+        append_missing_pairs(spark, result.metrics, f"{args.output}/metrics")
+    else:
+        result.violations.write.mode(mode).parquet(f"{args.output}/violations")
+        result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
+        result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
     if args.export_csv:
         # S5: distributed CSV sink of the violation rows
         result.violations.write.mode(mode).option("header", True).csv(args.export_csv)

@@ -139,3 +139,43 @@ def test_no_pii_rule_in_fused_engine_pass(spark):
     # d2: the text spans concatenate ('exfil to 10.0.0.5 now') — the IP is
     # detected across the span boundary join
     assert "ipv4=1" in v[("p1", "no_pii", "d2")]
+
+
+def test_chunk_windows_coverage_sweep(spark):
+    """For every doc length 1..300 and overlap in {0, 4, 8} (chunk=16):
+    chunk starts advance by exactly step, the last chunk reaches the final
+    token, every chunk is full-size except possibly the last, and total
+    emitted tokens equal n + overlap*(n_chunks-1) — the exact coverage
+    algebra of sliding windows. One Spark job per overlap, no per-case
+    round trips."""
+    docs = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.col("id") - 1),
+                        lambda i: F.concat(F.lit("t"), i.cast("string"))),
+            " ").alias("text"),
+    )
+    for ov in (0, 4, 8):
+        step = 16 - ov
+        agg = (
+            curation.chunk_token_windows(docs, chunk_tokens=16, overlap=ov)
+            .groupBy("doc_id", "doc_tokens")
+            .agg(F.count("*").alias("nc"),
+                 F.sum("chunk_tokens").alias("emitted"),
+                 F.max("chunk_id").alias("last_id"),
+                 F.min("chunk_tokens").alias("min_ct"),
+                 F.max("chunk_tokens").alias("max_ct"))
+            .collect()
+        )
+        assert len(agg) == 300
+        for r in agg:
+            n = r["doc_tokens"]
+            expect_nc = 1 if n <= 16 else 1 + -(-(n - 16) // step)
+            assert r["nc"] == expect_nc, (n, ov)
+            assert r["last_id"] == expect_nc - 1
+            # total tokens emitted = n + overlap re-emissions
+            assert r["emitted"] == n + ov * (expect_nc - 1), (n, ov)
+            assert r["max_ct"] <= 16
+            # last chunk always reaches the final token
+            last_start = (expect_nc - 1) * step
+            assert r["min_ct"] >= min(16, n - last_start)
