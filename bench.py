@@ -52,6 +52,10 @@ HEADLINE = [
     "span_kind_transitions",
     "risk_forecast_branches",
     "quantile_shift_drift",
+    "pii_scan",
+    "doc_chunks",
+    "media_frame_sample",
+    "zorder_codes",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
