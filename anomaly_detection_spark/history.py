@@ -93,3 +93,45 @@ def violation_trends(metrics: DataFrame, min_snapshots: int = 3) -> DataFrame:
             (slope_e6 > 0).alias("rising"),
         )
     )
+
+
+def verdict_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Snapshot-over-snapshot diff of two verdict matrices — the ops view
+    the reference's history tracker answers ("what broke since last run?",
+    ``risk_history_tracker.py:103-131`` score-change detection), recast as
+    one full-outer join of two (partition, rule_id, pass, violation_count)
+    grids.
+
+    Status per pair: ``new_failure`` (pass→fail or newly planned and
+    failing), ``resolved`` (fail→pass or failing pair no longer planned),
+    ``still_failing``, ``still_passing``, plus the violation-count delta
+    (counts NULL-coalesced to 0 for unplanned sides).
+
+    Scale shape: verdict grids are (partitions × rules) rows — metadata, not
+    data — so the join is broadcast-sized no matter how big the corpus was.
+    """
+    c = cur.select(
+        "partition", "rule_id",
+        F.col("pass").alias("_cp"),
+        F.col("violation_count").alias("_cv"),
+    )
+    p = prev.select(
+        "partition", "rule_id",
+        F.col("pass").alias("_pp"),
+        F.col("violation_count").alias("_pv"),
+    )
+    j = c.join(p, ["partition", "rule_id"], "full_outer")
+    cur_fail = F.coalesce(~F.col("_cp"), F.lit(False))   # absent ⇒ not failing
+    prev_fail = F.coalesce(~F.col("_pp"), F.lit(False))
+    status = (
+        F.when(cur_fail & ~prev_fail, F.lit("new_failure"))
+        .when(~cur_fail & prev_fail, F.lit("resolved"))
+        .when(cur_fail & prev_fail, F.lit("still_failing"))
+        .otherwise(F.lit("still_passing"))
+    )
+    return j.select(
+        "partition", "rule_id",
+        status.alias("status"),
+        (F.coalesce(F.col("_cv"), F.lit(0)) - F.coalesce(F.col("_pv"), F.lit(0))
+         ).cast("long").alias("violation_delta"),
+    )

@@ -4249,6 +4249,66 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_token_familiarity(spark, sf):
+    """Corpus-familiarity quality score: mean corpus-frequency share of a
+    document's tokens — the unigram-LM quality signal (rare-token-heavy docs
+    score low) computed with EXACT integer sums: familiarity_ppm =
+    floor(1e6 · Σ cnt(tok) / (n_doc_tokens · total_tokens)), one double
+    divide at the end, no log-of-double accumulation whose order differs
+    per engine.
+
+    Plan: explode → one map-side-combined token-count agg → shuffle join of
+    tokens to frequencies on the token key (vocab-sized build side) → per-doc
+    agg. Three shuffles, each on a key that exists; no broadcast of the
+    vocabulary needed, so it scales to open-vocab corpora."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    total = toks.agg(F.count("*").alias("_total"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+            F.sum("_cnt").alias("_s"),
+        )
+    )
+    fam = F.floor(
+        F.lit(1_000_000.0) * F.col("_s")
+        / (F.col("n_tokens").cast("double") * F.col("_total").cast("double"))
+    ).cast("long")
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id", "n_tokens", "distinct_tokens",
+        fam.alias("familiarity_ppm"),
+    ).orderBy("doc_id")
+
+
+_TOKS_LOWER_SQL = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+SQL_TOKEN_FAMILIARITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_LOWER_SQL}) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1
+), total AS (
+  SELECT COUNT(*) AS total FROM tok
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS distinct_tokens,
+       CAST(FLOOR(CAST(1000000 AS DOUBLE) * CAST(SUM(f.cnt) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(total.total) AS DOUBLE)))
+         AS BIGINT) AS familiarity_ppm
+FROM tok t JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4359,4 +4419,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scan": (q_pii_scan, SQL_PII_SCAN),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "zorder_codes": (q_zorder_codes, SQL_ZORDER_CODES),
+    "token_familiarity": (q_token_familiarity, SQL_TOKEN_FAMILIARITY),
 }

@@ -69,3 +69,30 @@ def test_prune_history_retention(spark):
     kept = prune_history(m, max_age_days=5, now=now)
     assert kept.count() == 6  # days 4..9 inclusive
     assert prune_history(m, max_age_days=365, now=now).count() == 10
+
+
+def test_verdict_diff_statuses(spark):
+    from anomaly_detection_spark.history import verdict_diff
+
+    cols = ["partition", "rule_id", "pass", "violation_count"]
+    prev = spark.createDataFrame([
+        ("p0", "rA", True, 0),    # stays passing
+        ("p0", "rB", False, 5),   # gets fixed
+        ("p1", "rA", False, 2),   # keeps failing, count moves
+        ("p1", "rC", False, 9),   # rule removed from the plan
+    ], cols)
+    cur = spark.createDataFrame([
+        ("p0", "rA", True, 0),
+        ("p0", "rB", True, 0),
+        ("p1", "rA", False, 7),
+        ("p2", "rA", False, 3),   # new partition, failing at once
+    ], cols)
+    got = {(r["partition"], r["rule_id"]): (r["status"], r["violation_delta"])
+           for r in verdict_diff(cur, prev).collect()}
+    assert got == {
+        ("p0", "rA"): ("still_passing", 0),
+        ("p0", "rB"): ("resolved", -5),
+        ("p1", "rA"): ("still_failing", 5),
+        ("p1", "rC"): ("resolved", -9),
+        ("p2", "rA"): ("new_failure", 3),
+    }
