@@ -59,6 +59,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--report-json", default=None,
                     help="also write a driver-side JSON summary report "
                          "(per-rule totals; ≈ the reference's summary report)")
+    ap.add_argument("--diff-prev", default=None,
+                    help="previous run's verdicts parquet dir; writes the "
+                         "snapshot-over-snapshot verdict diff (new_failure / "
+                         "resolved / still_failing) to {output}/verdict_diff")
     ap.add_argument("--export-csv", default=None,
                     help="also export the violation rows as headered CSV "
                          "(≈ the reference's export_all_anomalies_csv)")
@@ -160,6 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     # pairs pending, and the retry must not append their rows a second time
     # — each sink drops pairs it already holds (see append_missing_pairs).
     # With Iceberg/Delta sinks all of this becomes one atomic commit.
+    prev_verdicts = None
+    if args.diff_prev:
+        # materialize BEFORE the sink writes: --diff-prev may name this
+        # run's own verdicts dir, which mode=overwrite is about to replace
+        prev_verdicts = spark.read.parquet(args.diff_prev).localCheckpoint()
+
     mode = "overwrite"
     if args.resume and manifest is not None:
         if manifest.completed_pairs(args.snapshot_id).limit(1).count() > 0:
@@ -172,6 +182,11 @@ def main(argv: list[str] | None = None) -> int:
         result.violations.write.mode(mode).parquet(f"{args.output}/violations")
         result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
         result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
+    if prev_verdicts is not None:
+        from anomaly_detection_spark.history import verdict_diff
+
+        verdict_diff(result.verdicts, prev_verdicts).write.mode(
+            "overwrite").parquet(f"{args.output}/verdict_diff")
     if args.export_csv:
         # S5: distributed CSV sink of the violation rows
         result.violations.write.mode(mode).option("header", True).csv(args.export_csv)

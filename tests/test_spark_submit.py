@@ -136,10 +136,24 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
         third = subprocess.run(
             args[:-1] + ["s_drift", "--baseline", f"{base}/docs",
                          "--expect-schema", f"{base}/contract.json",
-                         "--output", f"{base}/out_drift"],
+                         "--output", f"{base}/out_drift",
+                         "--diff-prev", f"{base}/out/verdicts"],
             capture_output=True, text=True, timeout=600, env=env, cwd=base,
         )
         assert third.returncode == 0, third.stderr[-2000:]
+        # --diff-prev: drift/schema rules weren't in run 1's grid — failing
+        # ones surface as new_failure; a rule failing in both runs stays
+        # still_failing; run-1 failing pairs keep their status even though
+        # this run reused the same corpus
+        diffs = dict(duckdb.sql(
+            f"SELECT status, COUNT(*) FROM '{base}/out_drift/verdict_diff/*.parquet' "
+            "GROUP BY status"
+        ).fetchall())
+        assert duckdb.sql(
+            f"SELECT COUNT(*) FROM '{base}/out_drift/verdict_diff/*.parquet' "
+            "WHERE rule_id = 'schema_match' AND status = 'new_failure'"
+        ).fetchone()[0] > 0
+        assert diffs.get("still_failing", 0) > 0  # planted defects fail in both
         verd = duckdb.sql(
             f"SELECT rule_id, bool_and(pass) FROM '{base}/out_drift/verdicts/*.parquet' "
             "WHERE rule_id LIKE 'drift%' GROUP BY rule_id"
