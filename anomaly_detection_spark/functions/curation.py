@@ -293,9 +293,13 @@ def zorder_layout(df: DataFrame, a_col: str, b_col: str, bits: int = 16,
     shape that gives every output file a TIGHT min/max envelope in both
     dimensions. At 100 TB this is how point/range predicates on either
     column prune most files at scan time without a second sort column."""
+    if n_files is not None and n_files < 1:
+        raise ValueError("n_files must be >= 1")
     key = morton_code(a_col, b_col, bits).alias("_z")
-    parted = (
-        df.select("*", key).repartitionByRange(n_files, "_z")
-        if n_files else df.select("*", key).repartitionByRange("_z")
+    parts = [n_files] if n_files is not None else []
+    return (
+        df.select("*", key)
+        .repartitionByRange(*parts, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
     )
-    return parted.sortWithinPartitions("_z").drop("_z")

@@ -4266,7 +4266,10 @@ def q_token_familiarity(spark, sf):
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
-    total = toks.agg(F.count("*").alias("_total"))
+    # total from the vocab-sized freq frame, NOT another full tokenize+
+    # explode scan of the corpus (Σ cnt over the vocabulary is the same
+    # number, computed from rows that already exist)
+    total = freq.agg(F.sum("_cnt").alias("_total"))
     per_doc = (
         toks.join(freq, "tok")
         .groupBy("doc_id")

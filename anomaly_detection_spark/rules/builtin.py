@@ -73,18 +73,18 @@ def no_pii(spans_col: str = "spans", kinds: list[str] | None = None,
     # in a mislabeled span still gets flagged.
     txt = F.array_join(F.col(f"{spans_col}.text"), " ")
     n = {k: F.regexp_count(F.col(bound), F.lit(pii.PII_PATTERNS[k])) for k in cats}
-    total = None
-    for c in n.values():
-        total = c if total is None else total + c
-    # cheap prescreen implied by every pattern: email needs '@', IPv4 needs
-    # digit.digit, phone/SSN/card need digit-digit — so one scan for
-    # '@' or digit[.-]digit gates all five expensive regexes. CaseWhen
-    # branches are lazy in codegen: clean docs (the overwhelming majority)
-    # pay one simple regex instead of five with bounded repetition.
+    # Hot path = existence only, two regexes total: a cheap prescreen
+    # implied by every pattern (email needs '@', IPv4 digit.digit,
+    # phone/SSN/card digit-digit), then ONE alternation of the category
+    # patterns. The five per-category counts appear only in the detail,
+    # which the engine evaluates lazily for violating rows (CaseWhen
+    # branches are lazy in codegen) — clean corpora never pay them.
     prescreen = F.col(bound).rlike("[0-9][.-][0-9]|@")
+    combined = "|".join(f"(?:{pii.PII_PATTERNS[k]})" for k in cats)
     return RowRule(
         rule_id=rule_id,
-        violation=F.when(prescreen, total).otherwise(F.lit(0)) > 0,
+        violation=F.when(prescreen, F.col(bound).rlike(combined)
+                         ).otherwise(F.lit(False)),
         detail=F.concat_ws(
             " ", *[F.concat(F.lit(f"{k}="), n[k].cast("string")) for k in cats]
         ),

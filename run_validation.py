@@ -80,10 +80,15 @@ def append_missing_pairs(spark, df, path: str,
     per pair holds as long as each parquet job commit is atomic; a torn job
     commit (partial pair) needs a transactional (Iceberg/Delta) sink, where
     the whole run is one atomic commit instead."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path).select(*keys).distinct()
-    except Exception:
-        existing = None  # first increment: sink doesn't exist yet
+    except AnalysisException:
+        # first increment: sink doesn't exist yet. ONLY this narrow case may
+        # skip the dedup — a transient read error (listing failure, corrupt
+        # footer) must propagate, or the retry would silently double-append.
+        existing = None
     if existing is not None:
         df = df.join(existing, list(keys), "left_anti")
     df.write.mode("append").parquet(path)
@@ -146,10 +151,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     result = run.run(resume=args.resume, commit_manifest=False)
 
+    def write_verdict_diff(prev) -> None:
+        """Diff the FULL current verdict sink (not just this run's pending
+        increment — a resumed increment would falsely mark every
+        already-committed failing pair 'resolved') against --diff-prev.
+        ``prev`` must be materialized BEFORE the sink writes: --diff-prev
+        may name this run's own verdicts dir."""
+        from anomaly_detection_spark.history import verdict_diff
+
+        cur = spark.read.parquet(f"{args.output}/verdicts")
+        verdict_diff(cur, prev).write.mode("overwrite").parquet(
+            f"{args.output}/verdict_diff")
+
     if result.nothing_pending:
         # every planned pair is already committed: leave the existing sink
         # outputs untouched (overwriting them with the empty frames would
-        # clobber the previous run's real results)
+        # clobber the previous run's real results) — but still refresh the
+        # requested diff, or a stale one from an earlier run would linger
+        if args.diff_prev:
+            write_verdict_diff(spark.read.parquet(args.diff_prev).localCheckpoint())
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
               "(resume: nothing pending, outputs unchanged)")
         spark.stop()
@@ -183,13 +203,13 @@ def main(argv: list[str] | None = None) -> int:
         result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
         result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
     if prev_verdicts is not None:
-        from anomaly_detection_spark.history import verdict_diff
-
-        verdict_diff(result.verdicts, prev_verdicts).write.mode(
-            "overwrite").parquet(f"{args.output}/verdict_diff")
+        write_verdict_diff(prev_verdicts)
     if args.export_csv:
-        # S5: distributed CSV sink of the violation rows
-        result.violations.write.mode(mode).option("header", True).csv(args.export_csv)
+        # S5: CSV export is a projection of the (pair-deduped) parquet sink,
+        # not a second independent append — so a crash-retried increment
+        # can never double-write rows into the CSV either
+        spark.read.parquet(f"{args.output}/violations").write.mode(
+            "overwrite").option("header", True).csv(args.export_csv)
     if manifest is not None:
         manifest.commit(result.metrics)
 
