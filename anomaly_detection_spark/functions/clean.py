@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
     """1-row frame with the modal value of each column (nulls excluded;
-    ties broken by smallest value so the mode is deterministic).
+    ties broken by the smallest value in STRING ordering — so a tie
+    between 2 and 10 picks "10"; deterministic and engine-portable).
 
     ONE scan for every column, not one per column: rows explode to
     (col_name, value-as-string) pairs, a single (col, val) hash agg counts
@@ -45,8 +46,10 @@ def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
         F.expr("min_by(val, struct(-_cnt, val))").alias("_mode")
     )
     wide = modes.groupBy().pivot("col", cols).agg(F.first("_mode"))
+    # wide[c], not F.col(c): a column name containing a dot or backtick
+    # would misparse as a struct path under the string form
     return wide.select(*[
-        F.col(c).cast(dtypes[c]).alias(f"_mode_{c}") for c in cols
+        wide[c].cast(dtypes[c]).alias(f"_mode_{c}") for c in cols
     ])
 
 

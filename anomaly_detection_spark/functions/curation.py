@@ -181,7 +181,8 @@ def pack_sequences(df: DataFrame, token_col: str = "n_tokens",
 def token_budget_selection(df: DataFrame, budget_tokens: int,
                            token_col: str = "n_tokens",
                            quality_col: str = "quality",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           quantize_dp: int | None = 6) -> DataFrame:
     """Select the best documents until a cumulative token budget is filled:
     rank by (quality desc, id) and keep every document whose RUNNING token
     total (inclusive) stays within the budget — the data-mixing primitive of
@@ -189,26 +190,40 @@ def token_budget_selection(df: DataFrame, budget_tokens: int,
 
     Scale shape: a naive global running sum would funnel the corpus through
     ONE partition. Instead the only unpartitioned window runs over the
-    DISTINCT quality values (bounded — quality is quantized, e.g. ≤1e6+1
-    values at 6 dp): per-quality token totals → running offset of all
-    strictly-better quality → join back → per-quality partitioned running
-    sum over ids. offset + within-quality cumsum ≤ budget is EXACTLY the
-    global (quality desc, id asc) inclusive prefix — same rows, no global
-    data sort."""
-    q, t = F.col(quality_col), F.col(token_col)
-    per_q = df.groupBy(quality_col).agg(F.sum(t).alias("_qt"))
-    wq = Window.orderBy(F.desc(quality_col)) \
+    DISTINCT quality values (bounded): per-quality token totals → running
+    offset of all strictly-better quality → join back → per-quality
+    partitioned running sum over ids. offset + within-quality cumsum ≤
+    budget is EXACTLY the global (quality desc, id asc) inclusive prefix —
+    same rows, no global data sort.
+
+    That guarantee holds only while the distinct-quality count is bounded.
+    A raw continuous quality column (every value distinct) would silently
+    degrade the offsets window to a corpus-sized single task — so quality
+    is QUANTIZED internally to ``quantize_dp`` decimal places (default 6,
+    scores in [0, 1] give ≤ 10^6+1 distinct window rows). Ranking then
+    uses the quantized key, which changes only the tie-break set: docs
+    whose qualities differ past 6 dp order by id within the rounded
+    bucket. The returned rows keep the ORIGINAL quality values. Pass
+    ``quantize_dp=None`` only when the column is already discrete."""
+    t = F.col(token_col)
+    qkey = (
+        F.round(F.col(quality_col), quantize_dp) if quantize_dp is not None
+        else F.col(quality_col)
+    )
+    keyed = df.withColumn("_qkey", qkey)
+    per_q = keyed.groupBy("_qkey").agg(F.sum(t).alias("_qt"))
+    wq = Window.orderBy(F.desc("_qkey")) \
         .rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_q.select(
-        quality_col, F.coalesce(F.sum("_qt").over(wq), F.lit(0)).alias("_off")
+        "_qkey", F.coalesce(F.sum("_qt").over(wq), F.lit(0)).alias("_off")
     )
-    wp = Window.partitionBy(quality_col).orderBy(F.asc(id_col)) \
+    wp = Window.partitionBy("_qkey").orderBy(F.asc(id_col)) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        df.join(offsets, quality_col)
+        keyed.join(offsets, "_qkey")
         .withColumn("_cum", F.col("_off") + F.sum(t).over(wp))
         .filter(F.col("_cum") <= budget_tokens)
-        .drop("_cum", "_off")
+        .drop("_cum", "_off", "_qkey")
     )
 
 

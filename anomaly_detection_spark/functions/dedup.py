@@ -259,12 +259,19 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_block: int = 1000) -> DataFrame:
     """Jaccard similarity of n-gram shingle sets for candidate pairs.
 
-    ``candidates`` (id_a, id_b) bounds the join — feed LSH output here; when
-    None, a conservative blocking key (same token-count bucket) is used so
-    the pair space stays near-linear."""
+    ``candidates`` (id_a, id_b) bounds the join — feed LSH output here
+    (the registry path does). When None, a conservative blocking key (same
+    token-count bucket) is used, and blocks larger than ``max_block`` docs
+    are DROPPED via a count + broadcast anti-join before the self-join —
+    the same discipline as ``lsh_candidate_pairs`` / ``co_activity_pairs``.
+    Without the cap, one common document-length bucket at corpus scale is
+    an all-pairs join (Σ|block|² quadratic trap); with it, worst-case pair
+    expansion is bounded at max_block²·n_blocks. Pass a larger cap (or
+    candidates) when exactness over degenerate length buckets matters."""
     base = with_shingles(df, text_col, id_col, n=n, distinct=True,
                          keep_token_count=True)
     sets = base.select(
@@ -273,8 +280,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         (F.col("_n_toks") / 10).cast("long").alias("_blk"),
     )
     if candidates is None:
-        a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_blk")
-        b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_blk")
+        oversize = (
+            sets.groupBy("_blk").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("_blk")
+        )
+        kept = sets.join(F.broadcast(oversize), "_blk", "left_anti")
+        a = kept.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_blk")
+        b = kept.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_blk")
         pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = (

@@ -45,8 +45,14 @@ def _c(col: Column | str) -> Column:
 
 
 def pii_count(col: Column | str, kind: str) -> Column:
-    """Number of non-overlapping matches of one PII category (BIGINT)."""
-    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind])).cast("long")
+    """Number of non-overlapping matches of one PII category (BIGINT).
+
+    NULL text counts as 0 matches (not NULL) so aggregates over the counts
+    never silently drop null-text documents."""
+    return F.coalesce(
+        F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind])).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def pii_counts(col: Column | str) -> list[Column]:
@@ -68,9 +74,14 @@ def redact(col: Column | str, kinds: list[str] | None = None) -> Column:
 
 def has_pii(col: Column | str) -> Column:
     """True if any category matches — the cheap pre-filter for routing
-    documents to the redaction writer vs the pass-through writer."""
+    documents to the redaction writer vs the pass-through writer.
+
+    NULL text yields False (not NULL): without the coalesce,
+    ``lit(False) | NULL`` is NULL, so the routing pair
+    ``filter(has_pii)`` / ``filter(~has_pii)`` would drop null-text rows
+    from BOTH writers and documents would silently vanish from the split."""
     c = _c(col)
     flag = F.lit(False)
     for k in PII_PATTERNS:
         flag = flag | (F.regexp_count(c, F.lit(PII_PATTERNS[k])) > 0)
-    return flag
+    return F.coalesce(flag, F.lit(False))

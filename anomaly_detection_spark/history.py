@@ -103,9 +103,11 @@ def verdict_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
     grids.
 
     Status per pair: ``new_failure`` (pass→fail or newly planned and
-    failing), ``resolved`` (fail→pass or failing pair no longer planned),
-    ``still_failing``, ``still_passing``, plus the violation-count delta
-    (counts NULL-coalesced to 0 for unplanned sides).
+    failing), ``resolved`` (fail→pass), ``still_failing``,
+    ``still_passing``, and ``unplanned`` for pairs present in the previous
+    grid but absent from the current plan — nothing evaluated them this
+    run, so neither "resolved" nor "still_passing" would be honest. The
+    violation-count delta NULL-coalesces absent sides to 0.
 
     Scale shape: verdict grids are (partitions × rules) rows — metadata, not
     data — so the join is broadcast-sized no matter how big the corpus was.
@@ -124,7 +126,8 @@ def verdict_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
     cur_fail = F.coalesce(~F.col("_cp"), F.lit(False))   # absent ⇒ not failing
     prev_fail = F.coalesce(~F.col("_pp"), F.lit(False))
     status = (
-        F.when(cur_fail & ~prev_fail, F.lit("new_failure"))
+        F.when(F.col("_cp").isNull(), F.lit("unplanned"))
+        .when(cur_fail & ~prev_fail, F.lit("new_failure"))
         .when(~cur_fail & prev_fail, F.lit("resolved"))
         .when(cur_fail & prev_fail, F.lit("still_failing"))
         .otherwise(F.lit("still_passing"))

@@ -53,6 +53,40 @@ def test_lsh_bucket_stats_reports_drops(spark):
     assert stats["pairs_dropped"] >= 6
 
 
+def test_ngram_fallback_cap_bounds_degenerate_length_block(spark):
+    """With candidates=None the blocking key is the token-count bucket; a
+    planted degenerate bucket (many docs of one common length) must be
+    dropped by the default cap while small blocks stay exact — and the
+    registry/candidates path is untouched by the cap."""
+    # 8 docs of identical token count (one degenerate length block, all
+    # mutually similar) + 2 near-dup docs in their own small block
+    rows = [(f"d{i}", "alpha beta gamma delta epsilon zeta") for i in range(8)]
+    rows += [
+        ("x1", "one two three four five six seven eight nine ten eleven"),
+        ("x2", "one two three four five six seven eight nine ten twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_block=10_000).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                           max_block=4).collect()
+    }
+    degen = {p for p in uncapped if p[0].startswith("d")}
+    assert len(degen) == 28  # C(8,2) all-pairs inside the hot block
+    assert capped == uncapped - degen  # ONLY the oversize block is dropped
+    assert ("x1", "x2") in capped      # the small block survives exactly
+    # the candidates path ignores the cap entirely (LSH already bounded it)
+    cand = spark.createDataFrame([("d0", "d1")], "id_a string, id_b string")
+    via_cand = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                         candidates=cand, max_block=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in via_cand] == [("d0", "d1")]
+
+
 def test_co_activity_cap_drops_only_degenerate_key(spark):
     rows = [(f"u{i}", "k_hot") for i in range(5)]  # 5 entities on one key
     rows += [("u0", "k_a"), ("u1", "k_a"), ("u2", "k_b"), ("u3", "k_b")]

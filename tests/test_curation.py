@@ -62,6 +62,42 @@ def test_token_budget_matches_naive_global_prefix(spark):
     assert got == naive and len(naive) > 10
 
 
+def test_token_budget_quantizes_continuous_quality(spark):
+    """A raw continuous quality column (every value distinct) must not
+    degrade the offsets window to a corpus-sized single task: the function
+    quantizes internally, so the unpartitioned window's input is bounded
+    by the distinct ROUNDED values, not the row count — and the selected
+    set still equals the naive global prefix under the quantized order."""
+    n = 20_000
+    # ~20k distinct raw doubles that collapse to ≤ 101 values at 6 dp
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(3).alias("n_tokens"),
+        ((F.col("id") % 101) * 1e-6 + F.col("id") * 1e-13).alias("q"),
+    )
+    assert df.select("q").distinct().count() == n  # genuinely continuous
+    out = curation.token_budget_selection(df, 3 * 500, "n_tokens", "q",
+                                          "doc_id")
+    w = Window.orderBy(F.desc(F.round("q", 6)), F.asc("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = sorted(
+        r["doc_id"] for r in
+        df.withColumn("_c", F.sum("n_tokens").over(w))
+        .filter(F.col("_c") <= 3 * 500).collect()
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == naive
+    assert len(naive) == 500
+    # original quality values survive (not the rounded key)
+    q_out = {r["doc_id"]: r["q"] for r in out.collect()}
+    q_in = {r["doc_id"]: r["q"] for r in df.collect()}
+    assert all(q_out[k] == q_in[k] for k in q_out)
+    # the only unpartitioned window runs over the per-quality aggregate:
+    # its input is one row per DISTINCT rounded value (≤ 101 here), which
+    # is what keeps the single-task window metadata-sized at 10^12 docs
+    kdist = df.select(F.round("q", 6).alias("k")).distinct().count()
+    assert kdist <= 101
+
+
 def test_shuffle_rank_is_permutation_and_deterministic(spark):
     df = spark.range(0, 337).withColumnRenamed("id", "doc_id")
     a = {r["doc_id"]: r["shuffle_pos"]

@@ -79,7 +79,8 @@ def test_verdict_diff_statuses(spark):
         ("p0", "rA", True, 0),    # stays passing
         ("p0", "rB", False, 5),   # gets fixed
         ("p1", "rA", False, 2),   # keeps failing, count moves
-        ("p1", "rC", False, 9),   # rule removed from the plan
+        ("p1", "rC", False, 9),   # rule removed from the plan (was failing)
+        ("p1", "rD", True, 0),    # rule removed from the plan (was passing)
     ], cols)
     cur = spark.createDataFrame([
         ("p0", "rA", True, 0),
@@ -93,6 +94,7 @@ def test_verdict_diff_statuses(spark):
         ("p0", "rA"): ("still_passing", 0),
         ("p0", "rB"): ("resolved", -5),
         ("p1", "rA"): ("still_failing", 5),
-        ("p1", "rC"): ("resolved", -9),
+        ("p1", "rC"): ("unplanned", -9),
+        ("p1", "rD"): ("unplanned", 0),
         ("p2", "rA"): ("new_failure", 3),
     }

@@ -58,6 +58,22 @@ def test_has_pii_routing(pii_df):
     assert flags == {1: True, 2: True, 3: True, 4: False, 5: True}
 
 
+def test_null_text_routes_to_exactly_one_writer(spark):
+    """NULL text must be False (not NULL): otherwise filter(has_pii) and
+    filter(~has_pii) BOTH drop the row and it vanishes from the split."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([StructField("id", IntegerType()),
+                         StructField("text", StringType())])
+    df = spark.createDataFrame(
+        [(1, "mail x@y.io"), (2, None), (3, "clean")], schema)
+    flag = pii.has_pii("text")
+    routed = df.filter(flag).count() + df.filter(~flag).count()
+    assert routed == 3
+    counts = df.select(*pii.pii_counts("text")).collect()
+    assert all(r[f"n_{k}"] is not None for r in counts for k in pii.PII_PATTERNS)
+
+
 def test_chunk_windows_cover_and_overlap(spark):
     # 10 tokens, chunk 4, overlap 1 → step 3 → chunks at 0,3,6 cover 0..9
     # with n_chunks = 1 + ceil((10-4)/3) = 3
