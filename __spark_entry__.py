@@ -57,11 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref")
     )
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
+        # span_sequence_valid rides the fused single-scan row pass (one
+        # ArrowEvalPython node) — the dataset-rule form would cost an
+        # extra scan topology per run and is kept only for topology tests
+        row_rules=builtin.default_document_rules()
+        + [builtin.no_pii(), builtin.span_sequence_valid_row()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),
-            builtin.span_sequence_valid(prescreen=True),
         ],
     )
     run = ValidationRun(spark, docs, rules, media_catalog=catalog)

@@ -109,12 +109,14 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
     docs = spark.read.parquet(path)
     catalog = generate_media_catalog(spark, n_media=2000)
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
+        # span check fused into the single row-rule scan (one
+        # ArrowEvalPython node in the same pass) — one fewer scan topology
+        # than the dataset-rule form the suite used through r2
+        row_rules=builtin.default_document_rules()
+        + [builtin.no_pii(), builtin.span_sequence_valid_row()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),
-            # JVM prescreen + Arrow authoritative check on suspect rows only
-            builtin.span_sequence_valid(prescreen=True),
         ],
     )
 

@@ -119,11 +119,13 @@ def main(argv: list[str] | None = None) -> int:
     catalog = spark.read.parquet(args.catalog)
 
     rules = RuleSet(
-        row_rules=builtin.default_document_rules() + [builtin.no_pii()],
+        # span check fused into the single row-rule scan; the dataset-rule
+        # form (span_sequence_valid) stays available for topology tests
+        row_rules=builtin.default_document_rules()
+        + [builtin.no_pii(), builtin.span_sequence_valid_row()],
         dataset_rules=[
             builtin.unique("doc_id"),
             builtin.referential(),
-            builtin.span_sequence_valid(prescreen=True),
         ],
     )
     if args.baseline:
