@@ -71,6 +71,23 @@ def _force(df) -> int:
     return 0
 
 
+# a shared-host 1-min load above this at measurement start means another
+# tenant is competing for the same cores — the numbers would grade the
+# neighbor, not the plan (the r2 driver bench was 4x off for this reason)
+LOAD_WARN_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "4.0"))
+
+
+def _loadavg() -> list[float]:
+    """[1-min, 5-min, 15-min] system load — the measurement-window context
+    every bench artifact self-describes so a slow number can be adjudicated
+    as contention vs plan regression without re-running the suite."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def _get_spark(cores: str):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from anomaly_detection_spark.session import get_spark
@@ -97,6 +114,10 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
     from anomaly_detection_spark.profiler import span_kind_counts
     from anomaly_detection_spark.rules import builtin
     from anomaly_detection_spark.rules.core import RuleSet
+
+    # sample BEFORE any of our own work runs: this is the external-contention
+    # signal (our warmup/datagen would inflate the 1-min figure)
+    load_before = _loadavg()
 
     path = f"/tmp/spark_graft_valdocs_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -156,7 +177,8 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
     wall = min(walls)
     return {"docs": n_docs, "sec": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1),
-            "all_passes_sec": [round(w, 3) for w in walls]}
+            "all_passes_sec": [round(w, 3) for w in walls],
+            "load_before": load_before, "load_after": _loadavg()}
 
 
 def main() -> None:
@@ -207,6 +229,19 @@ def main() -> None:
             for c in cores_needed:
                 r = by_cores[c]
                 f.write(f"| local[{c}] | {r['sec']} | {r['docs_per_sec']:,} |\n")
+            f.write(
+                "\nLoad context (1/5/15-min system load at each worker's "
+                "start, before its own warmup):\n\n"
+            )
+            for c in cores_needed:
+                lb = by_cores[c].get("load_before") or ["?"]
+                flag = (
+                    "  ← CONTENDED: measured under external load, numbers "
+                    "not comparable"
+                    if lb and lb != ["?"] and lb[0] > LOAD_WARN_THRESHOLD
+                    else ""
+                )
+                f.write(f"- local[{c}]: load {lb}{flag}\n")
             f.write("\n| N → 4N | speedup | scaling efficiency |\n|---|---|---|\n")
             for n, n4, rn, r4, eff in rows:
                 sp = round(r4["docs_per_sec"] / rn["docs_per_sec"], 2)
@@ -219,12 +254,22 @@ def main() -> None:
                 "closest sandbox analogue of adding executors; the 8→32 pair\n"
                 "additionally measures single-box resource saturation.\n"
             )
-        print(json.dumps({"docs": docs, "efficiency": effs,
-                          "docs_per_sec": {c: by_cores[c]["docs_per_sec"] for c in cores_needed}}))
+        contended = [
+            c for c in cores_needed
+            if (by_cores[c].get("load_before") or [0.0])[:1]
+            and by_cores[c]["load_before"][0] > LOAD_WARN_THRESHOLD
+        ]
+        print(json.dumps({
+            "docs": docs, "efficiency": effs,
+            "docs_per_sec": {c: by_cores[c]["docs_per_sec"] for c in cores_needed},
+            "load_before": {c: by_cores[c].get("load_before") for c in cores_needed},
+            "contended_runs": contended,
+        }))
         return
 
     from anomaly_detection_spark.queries import QUERIES, load
 
+    load_start = _loadavg()
     spark = _get_spark(CPUS)
     # session warmup: touch the input tables so the first measured query
     # isn't paying file-index + codegen cold start
@@ -255,6 +300,12 @@ def main() -> None:
         "docs_per_sec": vstats["docs_per_sec"],
         "validation_docs": vstats["docs"],
         "cores": int(CPUS),
+        # measurement-window context: 1/5/15-min load at process start and
+        # end; contended=true means another tenant held >LOAD_WARN cores
+        # when we began and walls grade the host, not the plans
+        "load_start": load_start,
+        "load_end": _loadavg(),
+        "contended": bool(load_start) and load_start[0] > LOAD_WARN_THRESHOLD,
     }))
     spark.stop()
 

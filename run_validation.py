@@ -38,16 +38,25 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--snapshot-id", default="s0")
     ap.add_argument("--resume", action="store_true",
                     help="skip (partition, rule_id) pairs already committed for this snapshot")
-    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "snaplog"],
+                    help="input format: plain parquet path, Iceberg table "
+                         "(needs the runtime jar on the cluster classpath), "
+                         "or the engine's parquet-backed snapshot log "
+                         "(identical snapshot semantics, jar-free)")
     ap.add_argument("--iceberg-snapshot-id", default=None,
-                    help="pin the Iceberg snapshot to validate (time travel); "
-                         "default = current table state")
+                    help="pin the snapshot to validate (time travel); "
+                         "default = current table state (iceberg/snaplog)")
     ap.add_argument("--incremental-from", default=None,
-                    help="Iceberg incremental read: validate only rows APPENDED "
+                    help="incremental read: validate only rows APPENDED "
                          "after this snapshot id (up to --iceberg-snapshot-id if "
                          "given) — the per-snapshot revalidation shape; composes "
                          "with the manifest, which already skips committed "
-                         "(partition, rule) pairs")
+                         "(partition, rule) pairs (iceberg/snaplog)")
+    ap.add_argument("--baseline-snapshot-id", default=None,
+                    help="pin the --baseline read to a snapshot (iceberg/"
+                         "snaplog); the natural drift baseline is an earlier "
+                         "snapshot of the same table")
     ap.add_argument("--expect-schema", default=None,
                     help="JSON file of {column: simple_type_string} (or a list "
                          "of [name, type] pairs); enables the schema_match "
@@ -103,19 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     from anomaly_detection_spark.rules.core import RuleSet
     from anomaly_detection_spark.session import get_spark
 
+    from anomaly_detection_spark.snapshots import read_table
+
     spark = get_spark(app_name=f"validate:{args.snapshot_id}")
-    if args.format == "iceberg":
-        reader = spark.read
-        if args.incremental_from:
-            # appends-only incremental scan between two snapshots
-            reader = reader.option("start-snapshot-id", args.incremental_from)
-            if args.iceberg_snapshot_id:
-                reader = reader.option("end-snapshot-id", args.iceberg_snapshot_id)
-        elif args.iceberg_snapshot_id:
-            reader = reader.option("snapshot-id", args.iceberg_snapshot_id)
-        docs = reader.table(args.input)
-    else:
-        docs = spark.read.parquet(args.input)
+    docs = read_table(
+        spark, args.input, fmt=args.format,
+        snapshot_id=args.iceberg_snapshot_id,
+        incremental_from=args.incremental_from,
+    )
     catalog = spark.read.parquet(args.catalog)
 
     rules = RuleSet(
@@ -129,9 +133,9 @@ def main(argv: list[str] | None = None) -> int:
         ],
     )
     if args.baseline:
-        base_docs = (
-            spark.read.table(args.baseline) if args.format == "iceberg"
-            else spark.read.parquet(args.baseline)
+        base_docs = read_table(
+            spark, args.baseline, fmt=args.format,
+            snapshot_id=args.baseline_snapshot_id,
         )
         rules.add(builtin.psi_drift(base_docs)).add(builtin.ks_drift(base_docs))
         rules.add(builtin.quantile_drift(base_docs))
