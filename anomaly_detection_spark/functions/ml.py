@@ -27,7 +27,7 @@ sklearn model never is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAD_CONSISTENCY = 1.4826  # scales MAD to σ under normality (standard constant)
@@ -111,4 +111,112 @@ def outlier_scores(
         F.round(score_iqr, 6).alias("score_iqr"),
         F.round(ensemble, 6).alias("ensemble_score"),
         (ensemble > threshold).alias("is_outlier"),
+    )
+
+
+def local_outlier_scores(
+    features: DataFrame,
+    cols: list[str],
+    id_col: str = "user_id",
+    bucket_col: str = "bucket",
+    k: int = 3,
+    max_bucket: int = 2_000,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Exact LOF (local outlier factor) within neighborhood buckets — the
+    density-based member the global robust-z/IQR ensemble cannot express
+    (reference: ``/root/reference/anomaly_detection/ml_models/
+    lof_model.py:31-128``). A point that is *normal globally* but sits apart
+    from its own dense neighborhood scores > 1; global z/IQR scores are
+    blind to it.
+
+    Semantics are textbook Breunig-et-al LOF, restricted to each bucket:
+    kNN by euclidean distance (ties broken by neighbor id — deterministic),
+    ``k_dist`` = distance to the k-th neighbor, reachability distance
+    ``max(k_dist(o), d(p, o))``, ``lrd = 1 / avg(reach)``, ``lof =
+    avg(lrd(neighbor)) / lrd(self)``. Points with no same-bucket neighbor
+    (singletons, dropped buckets) return the neutral score 1.0 with
+    ``n_neighbors = 0`` rather than vanishing.
+
+    Scale shape: the all-pairs step is Σ|bucket|² — never corpus-quadratic
+    because buckets larger than ``max_bucket`` are DROPPED via a map-side-
+    combinable count + broadcast anti-join before the self-join (the
+    ``lsh_candidate_pairs`` / ``co_activity_pairs`` discipline). The caller
+    supplies the bucket column (an IVF/LSH bucket, a feature-grid cell) —
+    LOF is a *local* notion, so restricting neighbor search to a bucket is
+    the approximation that makes it distributable; boundary points lose
+    cross-bucket neighbors, the standard blocked-kNN trade. Everything
+    downstream of the bounded pair join is hash-agg over ≤ k rows per point.
+
+    Determinism: distances are ``sqrt`` of exact integer sums (IEEE
+    correctly-rounded in every engine), tie-breaks are total, and the final
+    score is rounded to 6 dp — DuckDB-oracle-checkable, unlike a fitted
+    sklearn LOF."""
+    pts = features.select(
+        F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bkt"), *cols
+    )
+    oversize = (
+        pts.groupBy("_bkt").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("_bkt")
+    )
+    kept = pts.join(F.broadcast(oversize), "_bkt", "left_anti")
+    a = kept.select(
+        F.col("_id").alias("_pa"), "_bkt",
+        *[F.col(c).alias(f"_a_{c}") for c in cols],
+    )
+    b = kept.select(
+        F.col("_id").alias("_pb"), "_bkt",
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+    )
+    d2 = None
+    for c in cols:
+        t = (F.col(f"_a_{c}") - F.col(f"_b_{c}")) * (
+            F.col(f"_a_{c}") - F.col(f"_b_{c}")
+        )
+        d2 = t if d2 is None else d2 + t
+    pairs = (
+        a.join(b, "_bkt")
+        .filter(F.col("_pa") != F.col("_pb"))
+        .select("_pa", "_pb", F.sqrt(d2.cast("double")).alias("_d"))
+    )
+    wk = Window.partitionBy("_pa").orderBy("_d", "_pb")
+    knn = pairs.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= k
+    ).select("_pa", "_pb", "_d")
+    kdist = knn.groupBy("_pa").agg(
+        F.max("_d").alias("_kdist"), F.count("*").alias("_nn")
+    )
+    reach = knn.join(
+        kdist.select(F.col("_pa").alias("_pb"), F.col("_kdist").alias("_kd_o")),
+        "_pb",
+    ).select("_pa", "_pb", F.greatest("_kd_o", F.col("_d")).alias("_reach"))
+    # duplicate-point guard: an all-zero neighborhood would make lrd infinite
+    lrd = reach.groupBy("_pa").agg(
+        (F.lit(1.0) / F.greatest(F.avg("_reach"), F.lit(1e-6))).alias("_lrd")
+    )
+    lof = (
+        knn.select("_pa", "_pb")
+        .join(lrd.select(F.col("_pa").alias("_pb"), F.col("_lrd").alias("_lrd_o")), "_pb")
+        .groupBy("_pa")
+        .agg(F.avg("_lrd_o").alias("_avg_lrd_o"))
+        .join(lrd, "_pa")
+        .select(
+            "_pa",
+            (F.col("_avg_lrd_o") / F.col("_lrd")).alias("_lof"),
+        )
+    )
+    scored = lof.join(kdist.select("_pa", "_kdist", "_nn"), "_pa")
+    return (
+        features.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_pa", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(F.col("_lof"), F.lit(1.0)), 6).alias("lof_score"),
+            F.round(F.coalesce(F.col("_kdist"), F.lit(0.0)), 6).alias("k_dist"),
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("long").alias("n_neighbors"),
+            (F.coalesce(F.col("_lof"), F.lit(1.0)) > threshold).alias(
+                "is_local_outlier"
+            ),
+        )
     )

@@ -2124,6 +2124,69 @@ FROM scored
 
 SQL_ML_OUTLIER_ENSEMBLE = _ml_oracle_sql()
 
+# LOF distance dims: counts only (cents magnitudes would dominate the metric)
+_LOF_COLS = ["n_events", "n_offhours", "n_errors"]
+_LOF_K, _LOF_MAX_BUCKET, _LOF_THRESHOLD = 3, 2_000, 1.5
+
+
+def q_local_outlier_scores(spark, sf):
+    """§2.9c density member: exact per-bucket LOF over the entity feature
+    vectors — the local-density semantics the global robust-z/IQR ensemble
+    cannot see (reference lof_model.py:31-128). Buckets = n_types (a feature-
+    grid cell); inside each bucket textbook Breunig LOF with deterministic
+    tie-breaks, oracle-checked bit-for-bit at 6 dp."""
+    from anomaly_detection_spark.functions import ml
+
+    feats = ml.entity_activity_features(load(spark, sf, "events"))
+    return ml.local_outlier_scores(
+        feats.withColumn("bucket", F.col("n_types")),
+        _LOF_COLS, k=_LOF_K, max_bucket=_LOF_MAX_BUCKET,
+        threshold=_LOF_THRESHOLD,
+    )
+
+
+def _lof_oracle_sql() -> str:
+    d2 = " + ".join(
+        f"(a.{c} - b.{c}) * (a.{c} - b.{c})" for c in _LOF_COLS
+    )
+    return f"""
+WITH f AS ({_FEATS_SQL}),
+bk AS (SELECT user_id, {', '.join(_LOF_COLS)}, n_types AS bkt FROM f),
+sz AS (SELECT bkt FROM bk GROUP BY bkt HAVING COUNT(*) <= {_LOF_MAX_BUCKET}),
+kept AS (SELECT bk.* FROM bk JOIN sz USING (bkt)),
+pairs AS (
+  SELECT a.user_id AS pa, b.user_id AS pb,
+         sqrt(CAST({d2} AS DOUBLE)) AS d
+  FROM kept a JOIN kept b ON a.bkt = b.bkt AND a.user_id <> b.user_id),
+knn AS (
+  SELECT pa, pb, d FROM (
+    SELECT pa, pb, d,
+           row_number() OVER (PARTITION BY pa ORDER BY d, pb) AS rn
+    FROM pairs) t
+  WHERE rn <= {_LOF_K}),
+kdist AS (SELECT pa, max(d) AS kdist, count(*) AS nn FROM knn GROUP BY pa),
+reach AS (
+  SELECT k.pa, k.pb, GREATEST(ko.kdist, k.d) AS reach
+  FROM knn k JOIN kdist ko ON ko.pa = k.pb),
+lrd AS (SELECT pa, 1.0 / GREATEST(avg(reach), 1e-6) AS lrd
+        FROM reach GROUP BY pa),
+lofs AS (SELECT k.pa, avg(lo.lrd) AS avg_lrd_o
+         FROM knn k JOIN lrd lo ON lo.pa = k.pb GROUP BY k.pa),
+lof AS (SELECT lofs.pa, lofs.avg_lrd_o / lrd.lrd AS lof
+        FROM lofs JOIN lrd ON lrd.pa = lofs.pa)
+SELECT f.user_id,
+       ROUND(COALESCE(lof.lof, 1.0), 6) AS lof_score,
+       ROUND(COALESCE(kdist.kdist, 0.0), 6) AS k_dist,
+       CAST(COALESCE(kdist.nn, 0) AS BIGINT) AS n_neighbors,
+       COALESCE(lof.lof, 1.0) > {_LOF_THRESHOLD} AS is_local_outlier
+FROM f
+LEFT JOIN lof ON lof.pa = f.user_id
+LEFT JOIN kdist ON kdist.pa = f.user_id
+"""
+
+
+SQL_LOCAL_OUTLIER_SCORES = _lof_oracle_sql()
+
 
 def q_entity_risk_scores(spark, sf):
     """Risk aggregation + tiers (risk_calculator.py:47-50,132; config.py:19-21):
@@ -4384,6 +4447,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "props_json_stats": (q_props_json_stats, SQL_PROPS_JSON_STATS),
     # Group F — ML ensemble analogue, risk, graph, seasonality, profile join
     "ml_outlier_ensemble": (q_ml_outlier_ensemble, SQL_ML_OUTLIER_ENSEMBLE),
+    "local_outlier_scores": (q_local_outlier_scores, SQL_LOCAL_OUTLIER_SCORES),
     "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),

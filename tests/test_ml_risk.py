@@ -54,6 +54,64 @@ def test_outlier_scores_match_python_oracle(spark):
         assert got[uid]["ensemble_score"] == pytest.approx(want, abs=1e-6)
 
 
+def test_local_outlier_flags_planted_local_cluster(spark):
+    """The density case the global ensemble is blind to: a point whose
+    coordinates are GLOBALLY unremarkable (inside the overall spread) but
+    sit apart from its own dense neighborhood. LOF > threshold flags it;
+    the dense-cluster members stay ~1.0; robust-z/IQR does NOT flag it —
+    the gap reference lof_model.py:31-128 exists to close."""
+    # bucket 1: tight cluster at x≈100 plus one point at 140 (locally far);
+    # bucket 2: wide spread 0..400 so 140 is globally mid-range
+    rows = [(f"c{i}", 1, 100 + i, 0) for i in range(6)]
+    rows.append(("local_out", 1, 140, 0))
+    rows += [(f"w{i}", 2, i * 80, 0) for i in range(6)]  # 0..400
+    feats = spark.createDataFrame(
+        rows, "user_id string, bucket long, x long, y long"
+    )
+    scored = {r["user_id"]: r for r in ml.local_outlier_scores(
+        feats, ["x", "y"], bucket_col="bucket", k=3
+    ).collect()}
+    assert scored["local_out"]["is_local_outlier"]
+    assert scored["local_out"]["lof_score"] > 1.5
+    for i in range(6):  # dense members are inliers with LOF ≈ 1
+        assert not scored[f"c{i}"]["is_local_outlier"]
+        assert scored[f"c{i}"]["lof_score"] < 1.3
+    # the global ensemble does NOT see it (x=140 is mid-range globally)
+    global_scores = ml.outlier_scores(feats, ["x", "y"], threshold=3.5)
+    assert global_scores.filter(
+        "user_id = 'local_out' AND is_outlier"
+    ).count() == 0
+
+
+def test_local_outlier_singleton_and_oversize_buckets_neutral(spark):
+    """No same-bucket neighbor (singleton, or bucket dropped by the size
+    cap) ⇒ neutral 1.0 / n_neighbors=0 — rows never vanish."""
+    rows = [("solo", 9, 5, 0)] + [(f"b{i}", 1, i, 0) for i in range(4)]
+    feats = spark.createDataFrame(
+        rows, "user_id string, bucket long, x long, y long"
+    )
+    got = {r["user_id"]: r for r in ml.local_outlier_scores(
+        feats, ["x", "y"], bucket_col="bucket", k=2, max_bucket=3
+    ).collect()}
+    assert len(got) == 5  # every input id present
+    assert got["solo"]["lof_score"] == 1.0 and got["solo"]["n_neighbors"] == 0
+    # bucket 1 has 4 members > max_bucket=3 ⇒ dropped ⇒ neutral too
+    assert all(got[f"b{i}"]["n_neighbors"] == 0 for i in range(4))
+
+
+def test_local_outlier_duplicate_points_no_infinity(spark):
+    """All-identical neighborhoods have zero reach distance; the epsilon
+    guard must keep lrd finite and scores well-defined."""
+    rows = [(f"d{i}", 1, 50, 50) for i in range(5)]
+    feats = spark.createDataFrame(
+        rows, "user_id string, bucket long, x long, y long"
+    )
+    out = ml.local_outlier_scores(feats, ["x", "y"], bucket_col="bucket", k=2)
+    vals = [r["lof_score"] for r in out.collect()]
+    assert all(v is not None and math.isfinite(v) for v in vals)
+    assert all(v == 1.0 for v in vals)  # identical points: perfectly local
+
+
 # ------------------------------------------------------------------ risk
 
 def test_entity_risk_scores_formula_and_tiers(spark):
