@@ -201,3 +201,41 @@ def test_pagerank_fixed_matches_integer_reference(spark):
     got = {r["node"]: r["pagerank_nanos"] for r in
            graph.pagerank_fixed(edge_df(spark, PAIRS)).collect()}
     assert got[2] > got[6]
+
+
+# --------------------------------------------------------- exact Brandes
+
+
+def test_exact_betweenness_analytic_path_and_cycle(spark):
+    # P5: betweenness of v_i = pairs separated by it = [0, 3, 4, 3, 0]
+    p5 = [(i, i + 1) for i in range(4)]
+    got = {r["node"]: r["betweenness"] for r in
+           graph.exact_betweenness(edge_df(spark, p5)).collect()}
+    assert got == {"0": 0.0, "1": 3.0, "2": 4.0, "3": 3.0, "4": 0.0}
+    # C4: every opposite pair splits over two equal paths -> 0.5 each
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {r["node"]: r["betweenness"] for r in
+           graph.exact_betweenness(edge_df(spark, c4)).collect()}
+    assert got == {"0": 0.5, "1": 0.5, "2": 0.5, "3": 0.5}
+
+
+def test_exact_betweenness_stress_parity_with_landmarks(spark):
+    """VERDICT r2 #6: the exact-Brandes twin must agree with the landmark
+    approximation wherever the landmark set is complete — full coverage +
+    ample depth makes landmark_stress exact, so the two independent
+    implementations (join-loop DAG vs per-component Python Brandes) must
+    produce identical integer stress on the asymmetric fixture."""
+    for pairs in ([(i, i + 1) for i in range(6)], PAIRS):
+        exact = {r["node"]: r["stress"] for r in
+                 graph.exact_betweenness(edge_df(spark, pairs)).collect()}
+        lm = {str(r["node"]): r["stress"] for r in
+              graph.landmark_stress(edge_df(spark, pairs),
+                                    n_landmarks=100, max_depth=10).collect()}
+        assert exact == lm, pairs
+
+
+def test_exact_betweenness_component_cap_excludes_not_crashes(spark):
+    # triangle (3 nodes) + P5 (5 nodes): cap=4 keeps only the triangle
+    pairs = [(0, 1), (1, 2), (0, 2)] + [(i, i + 1) for i in range(10, 14)]
+    out = graph.exact_betweenness(edge_df(spark, pairs), max_component=4)
+    assert {r["node"] for r in out.collect()} == {"0", "1", "2"}
