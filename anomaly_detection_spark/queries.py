@@ -2292,6 +2292,156 @@ FROM ranked GROUP BY risk_tier ORDER BY risk_tier
 """
 
 
+def q_user_entity_report(spark, sf):
+    """Per-entity narrative report (report_generator.py:358-409
+    generate_user_report: per-user risk score + tier, per-category anomaly
+    rollup, narrative line): one row per active user with the risk ensemble,
+    the user's top-3 event types (count desc, name asc — the reference's
+    most-common categories), a trend direction from exact integer window
+    counts (last 7 days of the corpus vs the 7 before — the monotone
+    stand-in for the scipy trend test, no float slope in the hash), and a
+    composed report string.
+
+    Scale shape: one groupBy(user) for features + one groupBy(user, type) →
+    per-user window (partitioned by user — millions of tiny partitions, not
+    a single-reducer) → one agg back. The only global piece is the 1-row
+    max(ts) broadcast."""
+    e = load(spark, sf, "events")
+    ends = e.agg(F.max("ts").alias("_maxts"))
+    base = e.crossJoin(F.broadcast(ends))
+    recent = (F.col("ts") > F.expr("_maxts - INTERVAL 7 DAYS")).cast("long")
+    prior = (
+        (F.col("ts") > F.expr("_maxts - INTERVAL 14 DAYS"))
+        & (F.col("ts") <= F.expr("_maxts - INTERVAL 7 DAYS"))
+    ).cast("long")
+    per_user = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_anomalies"),
+        F.sum(recent).alias("_recent"),
+        F.sum(prior).alias("_prior"),
+    )
+    trend = (
+        F.when(F.col("_recent") > F.col("_prior"), F.lit("rising"))
+        .when(F.col("_recent") < F.col("_prior"), F.lit("falling"))
+        .otherwise(F.lit("flat"))
+    )
+    # risk score/tier: the entity_risk_scores formula over error anomalies;
+    # users without anomalies report score 0 / tier 'low' (reference
+    # get_user_anomalies returns empty → risk_scores.get(uid, 0))
+    from anomaly_detection_spark.functions import risk
+
+    scores = risk.entity_risk_scores(
+        e.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("value").alias("severity")
+        ),
+        micros=True,
+    ).select("user_id", "risk_score_micros", "risk_tier")
+    # top-3 event types per user (count desc, type asc), as one string
+    by_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("_c"), F.asc("event_type"))
+    top3 = (
+        by_type.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("top_types")
+        )
+    )
+    out = (
+        per_user.join(scores, "user_id", "left")
+        .join(top3, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_anomalies",
+            F.coalesce("risk_score_micros", F.lit(0)).cast("long").alias(
+                "risk_score_micros"
+            ),
+            F.coalesce("risk_tier", F.lit("low")).alias("risk_tier"),
+            F.coalesce("top_types", F.lit("")).alias("top_types"),
+            trend.alias("trend"),
+        )
+    )
+    report = F.concat(
+        F.lit("user "), F.col("user_id").cast("string"),
+        F.lit(": risk="), F.col("risk_tier"),
+        F.lit(" anomalies="), F.col("n_anomalies").cast("string"),
+        F.lit(" trend="), F.col("trend"),
+        F.lit(" top="), F.col("top_types"),
+    )
+    return out.withColumn("report", report)
+
+
+SQL_USER_ENTITY_REPORT = """
+WITH ends AS (SELECT max(ts) AS maxts FROM events),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies,
+         CAST(SUM(CASE WHEN ts > maxts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+           AS BIGINT) AS recent,
+         CAST(SUM(CASE WHEN ts > maxts - INTERVAL 14 DAY
+                        AND ts <= maxts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+           AS BIGINT) AS prior
+  FROM events, ends GROUP BY user_id
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n_anomalies,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sev_cents
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+),
+s AS (
+  SELECT user_id,
+         LEAST(100.0, 30.0 + 10.0 * n_anomalies
+               + (sev_cents / (100.0 * n_anomalies)) / 3.0) AS score
+  FROM a
+),
+sc AS (
+  SELECT user_id, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS risk_score_micros,
+         CASE WHEN score >= 70.0 THEN 'high'
+              WHEN score >= 40.0 THEN 'medium' ELSE 'low' END AS risk_tier
+  FROM s
+),
+by_type AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rn
+  FROM by_type
+),
+top3 AS (
+  SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top_types
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+),
+rep AS (
+  SELECT p.user_id, p.n_events, p.n_anomalies,
+         COALESCE(sc.risk_score_micros, 0) AS risk_score_micros,
+         COALESCE(sc.risk_tier, 'low') AS risk_tier,
+         COALESCE(t.top_types, '') AS top_types,
+         CASE WHEN p.recent > p.prior THEN 'rising'
+              WHEN p.recent < p.prior THEN 'falling'
+              ELSE 'flat' END AS trend
+  FROM per_user p
+  LEFT JOIN sc ON sc.user_id = p.user_id
+  LEFT JOIN top3 t ON t.user_id = p.user_id
+)
+SELECT user_id, n_events, n_anomalies, risk_score_micros, risk_tier,
+       top_types, trend,
+       'user ' || CAST(user_id AS VARCHAR) || ': risk=' || risk_tier ||
+       ' anomalies=' || CAST(n_anomalies AS VARCHAR) || ' trend=' || trend ||
+       ' top=' || top_types AS report
+FROM rep
+"""
+
+
 def q_risk_forecast(spark, sf):
     """Risk forecast (trend_detector.py:224-279): per-user daily risk points
     (10·errors + off-hours count, exact ints) → least-squares extrapolation
@@ -4452,6 +4602,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),
     "risk_report_summary": (q_risk_report_summary, SQL_RISK_REPORT_SUMMARY),
+    "user_entity_report": (q_user_entity_report, SQL_USER_ENTITY_REPORT),
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),

@@ -235,12 +235,62 @@ def main(argv: list[str] | None = None) -> int:
                 F.sum("violation_count").alias("violations"),
             ).orderBy("rule_id").collect()
         ]
+        # per-partition narrative rollup (≈ report_generator.py:358-482
+        # generate_user_report/generate_department_report recast per
+        # partition): top-3 failing rules by violations, totals, verdict
+        # line — still the metadata-sized verdict grid, never row data
+        top_fail = F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("pass"),
+                        F.struct(
+                            (-F.col("violation_count")).alias("_neg"),
+                            F.col("rule_id"),
+                            F.col("violation_count").alias("violations"),
+                        ),
+                    )
+                )
+            ),
+            1, 3,
+        )
+        per_part = [
+            {
+                "partition": r["partition"],
+                "rules_failing": r["rules_failing"],
+                "violations": r["violations"],
+                "top_failing_rules": [
+                    {"rule_id": t["rule_id"], "violations": t["violations"]}
+                    for t in (r["top"] or [])
+                ],
+            }
+            for r in result.verdicts.groupBy("partition").agg(
+                F.sum((~F.col("pass")).cast("long")).alias("rules_failing"),
+                F.sum("violation_count").alias("violations"),
+                top_fail.alias("top"),
+            ).orderBy("partition").collect()
+        ]
+        report = {"snapshot_id": args.snapshot_id, "failing_pairs": n_fail,
+                  "rules": per_rule, "partitions": per_part}
+        if manifest is not None:
+            # trend direction over the manifest's snapshot history (needs
+            # ≥3 committed snapshots per pair; empty until then)
+            from anomaly_detection_spark.history import violation_trends
+
+            report["trends"] = [
+                r.asDict()
+                for r in violation_trends(manifest.read())
+                .orderBy("partition", "rule_id").collect()
+            ]
+        if args.diff_prev:
+            diff = spark.read.parquet(f"{args.output}/verdict_diff")
+            report["verdict_diff"] = {
+                r["status"]: r["n"]
+                for r in diff.groupBy("status").agg(
+                    F.count("*").alias("n")).collect()
+            }
         with open(args.report_json, "w") as fh:
-            json.dump(
-                {"snapshot_id": args.snapshot_id, "failing_pairs": n_fail,
-                 "rules": per_rule},
-                fh, indent=2,
-            )
+            json.dump(report, fh, indent=2)
     print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs={n_fail}")
     spark.stop()
     return 0

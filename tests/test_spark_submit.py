@@ -137,10 +137,33 @@ def test_spark_submit_py_files_end_to_end(spark, docs, catalog):
             args[:-1] + ["s_drift", "--baseline", f"{base}/docs",
                          "--expect-schema", f"{base}/contract.json",
                          "--output", f"{base}/out_drift",
-                         "--diff-prev", f"{base}/out/verdicts"],
+                         "--diff-prev", f"{base}/out/verdicts",
+                         "--report-json", f"{base}/report_drift.json"],
             capture_output=True, text=True, timeout=600, env=env, cwd=base,
         )
         assert third.returncode == 0, third.stderr[-2000:]
+
+        # per-partition narrative rollup + diff summary in the report
+        with open(f"{base}/report_drift.json") as fh:
+            rep3 = _json.load(fh)
+        assert rep3["partitions"], "per-partition section missing"
+        p0 = {p["partition"]: p for p in rep3["partitions"]}
+        assert all(
+            len(p["top_failing_rules"]) <= 3 for p in rep3["partitions"]
+        )
+        # planted defects ⇒ some partition names a failing rule with counts
+        assert any(
+            t["violations"] > 0
+            for p in rep3["partitions"] for t in p["top_failing_rules"]
+        )
+        # top list is sorted by violations desc within each partition
+        for p in rep3["partitions"]:
+            vs = [t["violations"] for t in p["top_failing_rules"]]
+            assert vs == sorted(vs, reverse=True)
+        assert p0  # grid is non-empty
+        assert rep3["verdict_diff"].get("new_failure", 0) > 0
+        # trends section present (manifest attached), empty until 3 commits
+        assert "trends" in rep3
         # --diff-prev: drift/schema rules weren't in run 1's grid — failing
         # ones surface as new_failure; a rule failing in both runs stays
         # still_failing; run-1 failing pairs keep their status even though
