@@ -2441,6 +2441,97 @@ SELECT user_id, n_events, n_anomalies, risk_score_micros, risk_tier,
 FROM rep
 """
 
+_OCEAN = ["o", "c", "e", "a", "n"]
+
+
+def q_psychometric_profile(spark, sf):
+    """Psychometric (OCEAN) dimension ingestion (user_profile_builder.py:78:
+    psychometric table joined into per-user profiles, FIRST row per user —
+    the W5 ordered-dedup + dimension-join shape). The dimension is
+    synthesized deterministically from the user key (md5, bit-identical in
+    every engine; two survey waves per user so the first-row dedup is real
+    work), then joined to the per-user activity profile; the mismatch flag
+    pairs high conscientiousness with heavy after-hours activity — the
+    trait-vs-behavior deviation the reference feeds into risk.
+
+    Scale shape: dimension build is groupBy(user).distinct + a per-user
+    window (millions of tiny partitions, no single reducer); the profile
+    join is key-co-partitioned user⋈user. Everything integer-exact."""
+    e = load(spark, sf, "events")
+    users = e.select("user_id").distinct()
+    waves = users.select(
+        "user_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("wave"),
+    )
+
+    def trait(t: str):
+        key = F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(f":{t.upper()}"),
+            F.col("wave").cast("string"),
+        )
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 101
+        ).alias(f"{t}_score")
+
+    psych = waves.select("user_id", "wave", *[trait(t) for t in _OCEAN])
+    w = Window.partitionBy("user_id").orderBy("wave")
+    first = (
+        psych.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "wave")
+    )
+    off = (F.hour("ts") < 8) | (F.hour("ts") >= 18)
+    act = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(off.cast("long")).alias("_n_off"),
+    ).select(
+        "user_id", "n_events",
+        F.expr("(_n_off * 1000000L) div n_events").alias("afterhours_ppm"),
+    )
+    joined = act.join(first, "user_id")
+    mismatch = (F.col("c_score") >= 70) & (F.col("afterhours_ppm") > 300000)
+    return joined.select(
+        "user_id", "n_events", "afterhours_ppm",
+        *[f"{t}_score" for t in _OCEAN],
+        mismatch.alias("profile_mismatch"),
+    )
+
+
+def _psych_oracle_sql() -> str:
+    traits = ",\n".join(
+        "  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)||"
+        f"':{t.upper()}'||CAST(wave AS VARCHAR)),1,8)) AS BIGINT) % 101 "
+        f"AS {t}_score"
+        for t in _OCEAN
+    )
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+waves AS (SELECT user_id, unnest([1, 2]) AS wave FROM users),
+psych AS (SELECT user_id, wave,
+{traits}
+FROM waves),
+first AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY wave) AS rn
+    FROM psych) t
+  WHERE rn = 1),
+act AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         (CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                         OR EXTRACT(hour FROM ts) >= 18
+                        THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+           // COUNT(*) AS afterhours_ppm
+  FROM events GROUP BY user_id)
+SELECT a.user_id, a.n_events, a.afterhours_ppm,
+       {', '.join(f'f.{t}_score' for t in _OCEAN)},
+       (f.c_score >= 70 AND a.afterhours_ppm > 300000) AS profile_mismatch
+FROM act a JOIN first f ON f.user_id = a.user_id
+"""
+
+
+SQL_PSYCHOMETRIC_PROFILE = _psych_oracle_sql()
+
 
 def q_risk_forecast(spark, sf):
     """Risk forecast (trend_detector.py:224-279): per-user daily risk points
@@ -4603,6 +4694,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),
     "risk_report_summary": (q_risk_report_summary, SQL_RISK_REPORT_SUMMARY),
     "user_entity_report": (q_user_entity_report, SQL_USER_ENTITY_REPORT),
+    "psychometric_profile": (q_psychometric_profile, SQL_PSYCHOMETRIC_PROFILE),
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "seasonality_periods": (q_seasonality_periods, SQL_SEASONALITY_PERIODS),
     "user_profile_deviation": (q_user_profile_deviation, SQL_USER_PROFILE_DEVIATION),
