@@ -56,6 +56,9 @@ HEADLINE = [
     "doc_chunks",
     "media_frame_sample",
     "zorder_codes",
+    "local_outlier_scores",
+    "user_entity_report",
+    "psychometric_profile",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -369,3 +369,70 @@ def test_risk_report_summary_no_window(spark):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert "HashAggregate" in tree
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window detail blocks whose partition spec is empty — i.e. windows
+    that would funnel the whole input through ONE task. In formatted
+    explain a partitioned window's Arguments carry three bracket groups
+    (functions, partition spec, order spec): ``[...], [keys], [order]``;
+    a global window has only ``[...], [order]``."""
+    hits = []
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        # exactly "Window" — WindowGroupLimit (the pushed-down top-k
+        # evaluator) lists its partition keys FIRST and would false-positive
+        if lines and lines[0].rstrip().endswith(") Window"):
+            args = [ln for ln in lines if "Arguments" in ln]
+            if args and args[0].count("], [") < 2:
+                hits.append(lines[0])
+    return hits
+
+
+def test_global_window_detector_is_not_vacuous(spark):
+    """The helper must actually fire on a global window, or every
+    assertion built on it silently passes."""
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert _global_windows(plan_of(df))
+
+
+def test_local_outlier_bucket_cap_is_broadcast_anti(spark):
+    """LOF's pair join must be gated by the oversized-bucket drop (broadcast
+    anti-join) and the bucket self-join must be an equi-join on the bucket
+    key — no CartesianProduct anywhere, or one degenerate bucket at corpus
+    scale becomes an all-pairs join; the kNN ranking window must stay
+    per-point partitioned."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["local_outlier_scores"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the max_bucket size gate
+    assert not _global_windows(plan)
+
+
+def test_entity_report_global_stat_is_broadcast(spark):
+    """The only corpus-global piece of the per-entity report is the 1-row
+    max(ts) frame — it must come back via broadcast, and the top-3 window
+    must stay per-user partitioned."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["user_entity_report"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not _global_windows(plan)
+
+
+def test_psychometric_dimension_join_no_cartesian(spark):
+    """Dimension synth + profile join: user⋈user equi-joins only; the
+    first-row-per-user window is per-user partitioned."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["psychometric_profile"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _global_windows(plan)
