@@ -201,6 +201,15 @@ def main() -> None:
         cores_needed = sorted({c for p in pairs for c in p}, key=int)
         by_cores = {}
         for cores in cores_needed:
+            # settle-wait: the 1-min load average needs minutes to decay
+            # after the PREVIOUS leg's own work — without this, later legs
+            # are flagged contended by our own residue and (worse) can
+            # genuinely overlap straggler cleanup from the prior JVM
+            for _ in range(60):
+                load = _loadavg()
+                if not load or load[0] < 1.5:
+                    break
+                time.sleep(20)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", cores],
                 capture_output=True, text=True, timeout=7200,

@@ -405,10 +405,16 @@ def test_local_outlier_bucket_cap_is_broadcast_anti(spark):
     anti-join) and the bucket self-join must be an equi-join on the bucket
     key — no CartesianProduct anywhere, or one degenerate bucket at corpus
     scale becomes an all-pairs join; the kNN ranking window must stay
-    per-point partitioned."""
-    from anomaly_detection_spark.queries import QUERIES
+    per-point partitioned. checkpoint=False: plan shape is identical, but
+    explain cannot see past the production path's lineage truncation."""
+    from anomaly_detection_spark.functions import ml
+    from anomaly_detection_spark.queries import _LOF_COLS, load
 
-    plan = plan_of(QUERIES["local_outlier_scores"][0](spark, SF))
+    feats = ml.entity_activity_features(load(spark, SF, "events"))
+    plan = plan_of(ml.local_outlier_scores(
+        feats.withColumn("bucket", F.col("n_types")), _LOF_COLS,
+        checkpoint=False,
+    ))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan  # the max_bucket size gate
