@@ -112,6 +112,126 @@ def profile_columns(
     return long.unionByName(rates)
 
 
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Heavy-hitter / skew diagnostic for a grouping key — the pre-flight
+    check the north_rule's "salted aggregation for skewed span kinds"
+    decision needs: per hot key its row count and exact integer ppm share
+    of the table, plus the key-space size for context.
+
+    Scale shape: ONE map-side-combined count agg on the key (the same
+    shuffle any groupBy on that key would pay — this is the measurement of
+    that shuffle's skew), a two-value global agg over the key-cardinality
+    frame, then ``TakeOrderedAndProject`` for the top-k (never a global
+    sort). The rank window runs over the already-limited k rows only.
+    All arithmetic is int64: ``cnt * 1_000_000 DIV total`` is exact while
+    cnt < 2^63/10^6 ≈ 9.2e12 rows per key — documented bound, far past any
+    real key.
+
+    Returns ``(key, cnt, share_ppm, n_keys, rank)``, rank 1 = hottest,
+    ties broken by key ascending (deterministic across engines).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV _total").alias("share_ppm"),
+            "n_keys",
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def suggest_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    isin_max: int = 8,
+) -> DataFrame:
+    """Constraint suggestion (the Deequ ``ConstraintSuggestionRunner``
+    surface): profile the table once, emit the rule the evidence supports
+    per column — ``not_null`` when a column is fully populated (else
+    ``min_completeness_ppm`` with the observed exact-integer floor),
+    ``unique`` when non-null values are distinct, ``in_range [min,max]``
+    for integral columns, ``isin v1|v2|...`` when the exact cardinality is
+    ≤ ``isin_max``.
+
+    Scale shape: pass 1 is ONE distributed agg (count / null-count / exact
+    distinct / min-max per column, map-side combined); its single result
+    row lands on the driver — O(columns), the same driver-side suggestion
+    assembly Deequ does. Pass 2 collects the value sets ONLY for columns
+    pass 1 proved low-cardinality (≤ isin_max), so no unbounded
+    ``collect_set`` ever runs on a high-cardinality column. Exact
+    ``countDistinct`` is used because the isin/unique decisions must be
+    deterministic (swap in ``approx_count_distinct`` + a margin when
+    suggesting over a full 100 TB snapshot is not required to be
+    reproducible).
+
+    Returns ``(column, rule, param)`` — all strings, engine-portable.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if columns is None:
+        columns = list(df.columns)
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"d_{c}"))
+        if isinstance(schema[c], _INTEGRAL):
+            aggs.append(F.min(c).cast("long").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("long").alias(f"mx_{c}"))
+    stats = df.agg(*aggs).collect()[0].asDict()
+    rows = stats["__rows"]
+
+    low_card = [
+        c for c in columns if 0 < stats[f"d_{c}"] <= isin_max
+    ]
+    values: dict[str, str] = {}
+    if low_card:
+        vals = df.agg(*[
+            F.array_join(F.array_sort(F.collect_set(c)), "|").alias(c)
+            for c in low_card
+        ]).collect()[0].asDict()
+        values = {c: vals[c] for c in low_card}
+
+    out: list[tuple[str, str, str]] = []
+    for c in columns:
+        nn = rows - stats[f"n_{c}"]
+        if rows > 0 and stats[f"n_{c}"] == 0:
+            out.append((c, "not_null", ""))
+        elif rows > 0:
+            out.append((c, "min_completeness_ppm",
+                        str(nn * 1_000_000 // rows)))
+        if nn > 0 and stats[f"d_{c}"] == nn:
+            out.append((c, "unique", ""))
+        if isinstance(schema[c], _INTEGRAL) and nn > 0:
+            out.append((c, "in_range",
+                        f"[{stats[f'mn_{c}']},{stats[f'mx_{c}']}]"))
+        if c in values:
+            out.append((c, "isin", values[c]))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, schema="column string, rule string, param string"
+    )
+
+
 def span_kind_counts(
     docs: DataFrame,
     partition_col: str = "partition",

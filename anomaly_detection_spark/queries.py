@@ -4616,6 +4616,246 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_key_skew_report(spark, sf):
+    """Heavy-hitter skew diagnostic (profiler.key_skew) on the events
+    user_id key — the pre-flight measurement behind the north_rule's
+    "salted aggregation for skewed span kinds" decision: exact integer ppm
+    share per hot key + key-space size. Top-k via TakeOrderedAndProject
+    (never a global sort); the only window runs over the k limited rows."""
+    from anomaly_detection_spark import profiler
+
+    e = load(spark, sf, "events")
+    return profiler.key_skew(e, "user_id", top_k=5).select(
+        F.col("key").cast("long").alias("user_id"),
+        "cnt", "share_ppm", "n_keys", "rank",
+    ).orderBy("rank")
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c
+), top AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM c ORDER BY cnt DESC, key ASC LIMIT 5
+)
+SELECT CAST(key AS BIGINT) AS user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(rank AS BIGINT) AS rank
+FROM top CROSS JOIN t ORDER BY rank
+"""
+
+
+def q_rule_suggestions(spark, sf):
+    """Constraint suggestion (profiler.suggest_rules — the Deequ
+    ConstraintSuggestionRunner surface): profile documents once, emit the
+    rule each column's evidence supports. lang is NULLIF'd on 'zh' so both
+    completeness branches (not_null vs min_completeness_ppm) and the isin
+    low-cardinality path are exercised at every SF. The oracle restates
+    every decision rule as independent SQL aggregates."""
+    from anomaly_detection_spark import profiler
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.nullif(F.col("lang"), F.lit("zh")).alias("lang"),
+        "source", "n_chars",
+    )
+    return profiler.suggest_rules(
+        d, ["doc_id", "text", "lang", "source", "n_chars"], isin_max=8
+    ).orderBy("column", "rule")
+
+
+def _suggest_sql(cols: list[tuple[str, bool]], isin_max: int) -> str:
+    """Oracle twin of profiler.suggest_rules over the NULLIF'd documents
+    view: one stats CTE, one UNION ALL branch per (column, rule)."""
+    stats = ["COUNT(*) AS rows"]
+    for c, integral in cols:
+        stats.append(f"COUNT({c}) AS nn_{c}")
+        stats.append(f"COUNT(DISTINCT {c}) AS d_{c}")
+        if integral:
+            stats.append(f"CAST(MIN({c}) AS BIGINT) AS mn_{c}")
+            stats.append(f"CAST(MAX({c}) AS BIGINT) AS mx_{c}")
+    branches = []
+    for c, integral in cols:
+        branches.append(
+            f"SELECT '{c}' AS \"column\", 'not_null' AS rule, '' AS param "
+            f"FROM s WHERE rows > 0 AND rows - nn_{c} = 0"
+        )
+        branches.append(
+            f"SELECT '{c}', 'min_completeness_ppm', "
+            f"CAST(nn_{c} * 1000000 // rows AS VARCHAR) "
+            f"FROM s WHERE rows > 0 AND rows - nn_{c} > 0"
+        )
+        branches.append(
+            f"SELECT '{c}', 'unique', '' FROM s "
+            f"WHERE nn_{c} > 0 AND d_{c} = nn_{c}"
+        )
+        if integral:
+            branches.append(
+                f"SELECT '{c}', 'in_range', "
+                f"'[' || CAST(mn_{c} AS VARCHAR) || ',' || "
+                f"CAST(mx_{c} AS VARCHAR) || ']' FROM s WHERE nn_{c} > 0"
+            )
+        branches.append(
+            f"SELECT '{c}', 'isin', "
+            f"(SELECT array_to_string(list_sort(list(DISTINCT {c})), '|') "
+            f"FROM d WHERE {c} IS NOT NULL) "
+            f"FROM s WHERE d_{c} > 0 AND d_{c} <= {isin_max}"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, text, NULLIF(lang, 'zh') AS lang, "
+        "source, n_chars FROM documents),\n"
+        "s AS (SELECT " + ", ".join(stats) + " FROM d)\n"
+        + "\nUNION ALL\n".join(branches)
+        + '\nORDER BY "column", rule'
+    )
+
+
+SQL_RULE_SUGGESTIONS = _suggest_sql(
+    [("doc_id", True), ("text", False), ("lang", False),
+     ("source", False), ("n_chars", True)],
+    isin_max=8,
+)
+
+
+def _interleaved_media_docs(raw):
+    """Interleaved docs where media density varies: every doc carries a
+    text span + one image span (asset = doc_id % 64); every 3rd doc embeds
+    a SECOND image span pointing at the hotter doc_id % 17 asset space —
+    so assets have genuinely different reference counts."""
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.substring("text", 1, 200).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+
+    def img(ref: F.Column, off: int) -> F.Column:
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    ref64 = F.concat(F.lit("m"), (F.col("doc_id") % 64).cast("string"))
+    ref17 = F.concat(F.lit("m"), (F.col("doc_id") % 17).cast("string"))
+    spans = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(text_span, img(ref64, 1), img(ref17, 2)),
+    ).otherwise(F.array(text_span, img(ref64, 1)))
+    return raw.select("doc_id", spans.alias("spans"))
+
+
+def q_media_asset_stats(spark, sf):
+    """Asset-level dedup over interleaved documents: the same image asset
+    is referenced from many docs, so media dedup happens at the media_ref
+    key, not the document key. Explodes ONLY the spans.media_ref field,
+    then one map-side-combined agg per asset: reference count, distinct
+    referencing docs, first referencing doc. On a STORED interleaved table
+    that field access prunes the nested parquet schema (the scan never
+    decodes span text — pinned in tests/test_plans.py::
+    test_media_ref_explode_prunes_nested_schema); in this gate the spans
+    are synthesized from the flat fixture, so the scan necessarily reads
+    the source text column. The oracle restates the reference arithmetic
+    independently (no struct-pack detour)."""
+    docs = _interleaved_media_docs(load(spark, sf, "documents"))
+    refs = docs.select(
+        "doc_id", F.explode(F.col("spans.media_ref")).alias("media_ref")
+    ).filter(F.col("media_ref").isNotNull())
+    return (
+        refs.groupBy("media_ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("media_ref")
+    )
+
+
+SQL_MEDIA_ASSET_STATS = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN ['m' || CAST(doc_id % 64 AS VARCHAR),
+                    'm' || CAST(doc_id % 17 AS VARCHAR)]
+              ELSE ['m' || CAST(doc_id % 64 AS VARCHAR)] END AS refs
+  FROM documents
+), r AS (
+  SELECT doc_id, unnest(refs) AS media_ref FROM docs
+)
+SELECT media_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM r GROUP BY media_ref ORDER BY media_ref
+"""
+
+
+def q_interleaved_packing(spark, sf):
+    """Sequence packing with an interleaved-media token-cost model: a
+    document costs its text-span tokens PLUS 64 tokens per media span (the
+    fixed patch-token budget a vision encoder charges per image) — then
+    the docs pack end-to-end into 512-token training sequences via the
+    SAME two-phase distributed prefix sum as sequence_packing (no global
+    unpartitioned window). Cost is computed FROM the nested spans column
+    (filter/transform on array<struct>), so the gate checks the interleaved
+    cost model itself, not a flat shortcut."""
+    from anomaly_detection_spark.functions import curation
+
+    docs = _interleaved_media_docs(load(spark, sf, "documents"))
+    spans = F.col("spans")
+    text_concat = F.array_join(
+        F.transform(
+            F.filter(spans, lambda s: s["kind"] == "text"),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull()))
+    cost = (
+        text.token_count(text_concat).cast("long")
+        + F.lit(64) * n_media.cast("long")
+    )
+    d = docs.select("doc_id", cost.alias("cost_tokens")).filter(
+        F.col("cost_tokens") > 0
+    )
+    return curation.pack_sequences(
+        d, "cost_tokens", "doc_id", seq_len=512, bucket_width=64
+    ).orderBy("doc_id")
+
+
+SQL_INTERLEAVED_PACKING = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+             regexp_split_to_array(trim(substr(text, 1, 200)), '\\s+'),
+             x -> x <> '')) AS BIGINT)
+         + 64 * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+           AS cost_tokens
+  FROM documents
+), f AS (
+  SELECT * FROM t WHERE cost_tokens > 0
+), c AS (
+  SELECT doc_id, cost_tokens,
+         COALESCE(CAST(SUM(cost_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cum_before
+  FROM f
+)
+SELECT doc_id, cost_tokens,
+       cum_before // 512 AS seq_start,
+       cum_before % 512 AS offset_in_seq,
+       ((cum_before + cost_tokens - 1) // 512) - (cum_before // 512) + 1
+         AS n_seqs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4730,4 +4970,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "zorder_codes": (q_zorder_codes, SQL_ZORDER_CODES),
     "token_familiarity": (q_token_familiarity, SQL_TOKEN_FAMILIARITY),
+    "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
+    "rule_suggestions": (q_rule_suggestions, SQL_RULE_SUGGESTIONS),
+    "media_asset_stats": (q_media_asset_stats, SQL_MEDIA_ASSET_STATS),
+    "interleaved_packing": (q_interleaved_packing, SQL_INTERLEAVED_PACKING),
 }

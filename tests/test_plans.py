@@ -442,3 +442,39 @@ def test_psychometric_dimension_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _global_windows(plan)
+
+
+def test_media_ref_explode_prunes_nested_schema(docs_on_disk):
+    """Asset-level dedup explodes ONLY spans.media_ref: on a stored
+    interleaved table the parquet scan must prune the nested schema down
+    to that one field — never decoding span text payloads."""
+    refs = docs_on_disk.select(
+        "doc_id", F.explode(F.col("spans.media_ref")).alias("media_ref")
+    ).filter(F.col("media_ref").isNotNull())
+    agg = refs.groupBy("media_ref").count()
+    plan = plan_of(agg)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "media_ref" in read_schema[0]
+    assert "text" not in read_schema[0]
+
+
+def test_key_skew_topk_no_global_sort_or_window(spark):
+    """key_skew takes its top-k via TakeOrderedAndProject and ranks only
+    the k limited rows — no corpus-wide Sort or unpartitioned window over
+    the key-cardinality frame."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["key_skew_report"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interleaved_packing_offsets_broadcast(spark):
+    """The interleaved-cost packing reuses the two-phase prefix sum: the
+    bucket-offset frame joins back via broadcast; the only windows are
+    the tiny bucket-total one and per-bucket partitioned ones."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["interleaved_packing"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

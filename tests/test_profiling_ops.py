@@ -112,3 +112,52 @@ def test_cross_column_flags_planted_violations(spark, tmp_path):
     }
     # s1: doc2 mismatch; s2: doc3 null==null consistent, doc5 7 vs NULL violation
     assert out == {"s1": (2, 1), "s2": (3, 1)}
+
+
+def test_key_skew_planted_heavy_hitter(spark):
+    """A planted 80%-hot key must rank first with the exact integer ppm
+    share; ties below it break by key ascending."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.profiler import key_skew
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 800, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 4).cast("string")))
+        .alias("k")
+    )
+    rows = {r["key"]: r for r in key_skew(df, "k", top_k=5).collect()}
+    assert rows["hot"]["rank"] == 1
+    assert rows["hot"]["cnt"] == 800
+    assert rows["hot"]["share_ppm"] == 800_000
+    assert rows["hot"]["n_keys"] == 5
+    # the four k* keys have 50 each: ranks 2..5 in key order
+    assert [rows[f"k{i}"]["rank"] for i in range(4)] == [2, 3, 4, 5]
+
+
+def test_suggest_rules_decisions(spark):
+    """Each suggestion branch fires exactly when its evidence holds:
+    not_null vs min_completeness_ppm, unique on distinct non-nulls,
+    in_range only for integrals, isin only at low cardinality."""
+    import pandas as pd
+
+    from anomaly_detection_spark.profiler import suggest_rules
+
+    pdf = pd.DataFrame({
+        "uid": [1, 2, 3, 4],                       # unique integral
+        "cat": ["a", "b", "a", None],              # 1 null, 2 distinct
+        "big": ["x1", "x2", "x3", "x4"],           # unique string
+    })
+    df = spark.createDataFrame(pdf)
+    got = {(r["column"], r["rule"]): r["param"]
+           for r in suggest_rules(df, isin_max=2).collect()}
+    assert got[("uid", "not_null")] == ""
+    assert got[("uid", "unique")] == ""
+    assert got[("uid", "in_range")] == "[1,4]"
+    assert ("uid", "isin") not in got      # 4 distinct > isin_max=2
+    assert got[("cat", "min_completeness_ppm")] == "750000"
+    assert got[("cat", "isin")] == "a|b"
+    assert ("cat", "unique") not in got    # 'a' repeats
+    assert ("cat", "not_null") not in got
+    assert got[("big", "unique")] == ""
+    assert ("big", "in_range") not in got  # strings have no range rule
