@@ -44,12 +44,64 @@ def non_empty_array(col: str, rule_id: str | None = None) -> RowRule:
     )
 
 
-def accepted_values(col: str, values: list[str], rule_id: str | None = None) -> RowRule:
+def accepted_values(col: str, values: list[str], rule_id: str | None = None,
+                    allow_null: bool = False) -> RowRule:
+    """``allow_null=True`` lets NULLs pass (Deequ ``isContainedIn``
+    semantics — completeness is a separate rule); the default treats NULL
+    as a violation, matching the original suite behavior."""
+    bad = ~F.col(col).isin(values)
+    bad = (F.col(col).isNotNull() & bad) if allow_null else (bad | F.col(col).isNull())
     return RowRule(
         rule_id=rule_id or f"accepted_values:{col}",
-        violation=~F.col(col).isin(values) | F.col(col).isNull(),
-        detail=F.concat(F.lit(f"{col}="), F.coalesce(F.col(col), F.lit("NULL"))),
+        violation=bad,
+        detail=F.concat(F.lit(f"{col}="), F.coalesce(F.col(col).cast("string"), F.lit("NULL"))),
     )
+
+
+def in_range(col: str, lo: int, hi: int, rule_id: str | None = None) -> RowRule:
+    """Numeric bounds check (the enforcement half of suggest_rules'
+    ``in_range`` suggestion). NULLs pass — completeness is its own rule."""
+    c = F.col(col)
+    return RowRule(
+        rule_id=rule_id or f"in_range:{col}",
+        violation=c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+        detail=F.concat(F.lit(f"{col}="), c.cast("string")),
+    )
+
+
+def min_completeness(col: str, min_ppm: int,
+                     rule_id: str | None = None) -> DatasetRule:
+    """Per-partition completeness floor: the partition fails when its
+    non-null ppm for ``col`` drops below ``min_ppm`` (the enforcement half
+    of suggest_rules' ``min_completeness_ppm`` suggestion — Deequ's
+    ``hasCompleteness >= x``, at the verdict grid's per-partition
+    granularity; a floor learned from a table-global profile therefore
+    binds the WORST partition — derate it if partitions legitimately
+    vary). One map-side-combined count agg per partition; exact integer
+    ppm, no doubles."""
+    rid = rule_id or f"min_completeness:{col}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p = ctx.partition_col
+        agg = docs.groupBy(F.col(p).alias("partition")).agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.count(col).alias("_nn"),
+        )
+        ppm = F.expr("(_nn * 1000000) DIV _rows")
+        return (
+            agg.filter((F.col("_rows") > 0) & (ppm < F.lit(min_ppm)))
+            .select(
+                "partition",
+                F.lit(rid).alias("rule_id"),
+                F.lit(None).cast("string").alias("doc_id"),
+                F.concat(
+                    F.lit("completeness_ppm "), ppm.cast("string"),
+                    F.lit(f" < {min_ppm}"),
+                ).alias("detail"),
+            )
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
 
 
 def no_pii(spans_col: str = "spans", kinds: list[str] | None = None,
@@ -221,6 +273,47 @@ def unique(col: str = "doc_id", strategy: str = "hashagg", rule_id: str = "uniqu
         )
 
     return DatasetRule(rule_id=rule_id, build=build)
+
+
+def unique_values(col: str, rule_id: str | None = None) -> DatasetRule:
+    """Uniqueness of an ARBITRARY column (the enforcement half of
+    suggest_rules' ``unique`` suggestion), reporting every document that
+    shares its value. Unlike ``unique`` — which checks the suite's doc-id
+    column and can return the key itself as the violation id — this keeps
+    each row's own doc_id, so the violation row points at the documents to
+    fix.
+
+    Plan: ONE scan, ONE shuffle — a count window partitioned BY THE KEY
+    (the same exchange a groupBy on the key would pay) marks every row in
+    a >1 group; no join-back re-scan, no per-key row collection. NULLs
+    pass (completeness is its own rule)."""
+    rid = rule_id or f"unique:{col}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from pyspark.sql import Window
+
+        p, d = ctx.partition_col, ctx.doc_id_col
+        keyed = docs.select(
+            F.col(p).alias("partition"),
+            F.col(d).alias("doc_id"),
+            F.col(col).cast("string").alias("_k"),
+        ).filter(F.col("_k").isNotNull())
+        n = F.count(F.lit(1)).over(Window.partitionBy("_k"))
+        return (
+            keyed.withColumn("_n", n)
+            .filter(F.col("_n") > 1)
+            .select(
+                "partition",
+                F.lit(rid).alias("rule_id"),
+                "doc_id",
+                F.concat(
+                    F.lit(f"{col}="), F.col("_k"),
+                    F.lit(" duplicate x"), F.col("_n").cast("string"),
+                ).alias("detail"),
+            )
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
 
 
 def referential(catalog_col: str = "media_ref", rule_id: str = "referential:media_ref") -> DatasetRule:

@@ -72,6 +72,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                     help="previous run's verdicts parquet dir; writes the "
                          "snapshot-over-snapshot verdict diff (new_failure / "
                          "resolved / still_failing) to {output}/verdict_diff")
+    ap.add_argument("--rules-config", default=None,
+                    help="JSON rule-suite config (rules.config vocabulary, "
+                         "e.g. serialized suggest_rules output) ADDED to the "
+                         "default document suite")
     ap.add_argument("--export-csv", default=None,
                     help="also export the violation rows as headered CSV "
                          "(≈ the reference's export_all_anomalies_csv)")
@@ -114,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from anomaly_detection_spark.snapshots import read_table
 
+    # only stop a session this run created: an embedding caller (tests, a
+    # notebook driving several snapshots) keeps its own session alive
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name=f"validate:{args.snapshot_id}")
     docs = read_table(
         spark, args.input, fmt=args.format,
@@ -132,6 +141,13 @@ def main(argv: list[str] | None = None) -> int:
             builtin.referential(),
         ],
     )
+    if args.rules_config:
+        from anomaly_detection_spark.rules.config import suite_from_config
+
+        with open(args.rules_config) as fh:
+            learned = suite_from_config(fh.read())
+        for r in learned.row_rules + learned.dataset_rules:
+            rules.add(r)
     if args.baseline:
         base_docs = read_table(
             spark, args.baseline, fmt=args.format,
@@ -178,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             write_verdict_diff(spark.read.parquet(args.diff_prev).localCheckpoint())
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
               "(resume: nothing pending, outputs unchanged)")
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return 0
 
     # Write order is the resume contract: data first, manifest last — a crash
@@ -292,7 +309,8 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.report_json, "w") as fh:
             json.dump(report, fh, indent=2)
     print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs={n_fail}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

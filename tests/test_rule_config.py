@@ -1,0 +1,123 @@
+"""The profile → suggest → persist → enforce loop, end to end: rules
+suggested from a clean snapshot serialize to plain JSON, reload into a
+RuleSet, and catch exactly the defects planted in a later snapshot."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from anomaly_detection_spark.engine import ValidationRun
+from anomaly_detection_spark.profiler import suggest_rules
+from anomaly_detection_spark.rules.config import (
+    suggestions_to_config,
+    suite_from_config,
+)
+from anomaly_detection_spark.rules.core import RuleSet
+
+
+def _clean_pdf() -> pd.DataFrame:
+    return pd.DataFrame({
+        "partition": ["p0"] * 5 + ["p1"] * 5,
+        "doc_id": [f"d{i}" for i in range(10)],
+        "uid": list(range(1, 11)),                       # unique integral
+        # one null per partition: the globally-learned completeness floor
+        # (800000 ppm) then equals every partition's clean completeness —
+        # min_completeness enforces PER PARTITION (the verdict grid's
+        # granularity), so a floor learned globally must hold per partition
+        "cat": ["a", "b", "a", "b", None] * 2,           # isin {a,b}
+        "score": [10, 12, 14, 16, 18, 11, 13, 15, 17, 19],
+    })
+
+
+def _corrupt_pdf() -> pd.DataFrame:
+    pdf = _clean_pdf()
+    pdf.loc[2, "uid"] = None          # not_null:uid (p0, d2)
+    pdf.loc[3, "uid"] = 1             # duplicate of d0's uid (p0, d3+d0)
+    pdf.loc[6, "cat"] = "z"           # accepted_values:cat (p1, d6)
+    # two MORE cat nulls in p1 -> completeness 400000 < learned 800000
+    pdf.loc[7, "cat"] = None
+    pdf.loc[8, "cat"] = None
+    pdf.loc[5, "score"] = 99          # in_range:score (p1, d5)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def config_json(spark):
+    clean = spark.createDataFrame(_clean_pdf())
+    sugg = suggest_rules(clean, ["uid", "cat", "score"], isin_max=4).collect()
+    return json.dumps(suggestions_to_config(sugg))
+
+
+def test_suggestions_serialize_to_expected_config(config_json):
+    cfg = {(e["rule"], e["col"]): e for e in json.loads(config_json)}
+    assert ("not_null", "uid") in cfg
+    assert ("unique", "uid") in cfg
+    assert cfg[("in_range", "uid")]["min"] == 1
+    assert cfg[("in_range", "uid")]["max"] == 10
+    assert cfg[("min_completeness", "cat")]["min_ppm"] == 800_000
+    assert cfg[("accepted_values", "cat")]["values"] == ["a", "b"]
+    assert cfg[("accepted_values", "cat")]["allow_null"] is True
+    assert cfg[("in_range", "score")] == {
+        "rule": "in_range", "col": "score", "min": 10, "max": 19,
+    }
+
+
+def test_learned_suite_catches_planted_defects(spark, config_json):
+    suite = suite_from_config(config_json)
+    assert isinstance(suite, RuleSet)
+    corrupt = spark.createDataFrame(_corrupt_pdf())
+    res = ValidationRun(spark, corrupt, suite).run(resume=False)
+    got = {
+        (r["partition"], r["rule_id"], r["doc_id"])
+        for r in res.violations.collect()
+    }
+    assert got == {
+        ("p0", "not_null:uid", "d2"),
+        ("p0", "unique:uid", "d0"),
+        ("p0", "unique:uid", "d3"),
+        ("p1", "accepted_values:cat", "d6"),
+        ("p1", "min_completeness:cat", None),
+        ("p1", "in_range:score", "d5"),
+    }
+    # clean snapshot passes its own learned suite
+    clean = spark.createDataFrame(_clean_pdf())
+    res2 = ValidationRun(spark, clean, suite).run(resume=False)
+    assert res2.violations.count() == 0
+
+
+def test_unknown_rule_fails_fast():
+    with pytest.raises(ValueError, match="unknown rule"):
+        suite_from_config([{"rule": "definitely_not_a_rule", "col": "x"}])
+
+
+def test_rules_config_flag_extends_cluster_entrypoint(spark, docs, catalog,
+                                                      tmp_path):
+    """--rules-config loads a serialized learned suite into the deployed
+    run: the learned rule evaluates alongside the default suite and lands
+    in the verdict grid with real pass/fail results."""
+    import json as _json
+
+    import run_validation
+
+    docs.write.parquet(str(tmp_path / "docs"))
+    catalog.write.parquet(str(tmp_path / "catalog"))
+    cfg_path = tmp_path / "learned.json"
+    # the planted defects include NULL doc_ids, so a 100%-completeness
+    # floor learned from a clean snapshot must fail here
+    cfg_path.write_text(_json.dumps(
+        [{"rule": "min_completeness", "col": "doc_id", "min_ppm": 1_000_000}]
+    ))
+    rc = run_validation.main([
+        "--input", str(tmp_path / "docs"),
+        "--catalog", str(tmp_path / "catalog"),
+        "--output", str(tmp_path / "out"),
+        "--rules-config", str(cfg_path),
+    ])
+    assert rc == 0
+    verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+    learned = verd.filter("rule_id = 'min_completeness:doc_id'")
+    assert learned.count() > 0
+    assert learned.filter("NOT pass").count() > 0
