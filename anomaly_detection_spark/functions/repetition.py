@@ -120,3 +120,74 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
         id_col, "n_shingles", "n_contaminated",
         _ppm(F.col("n_contaminated"), F.col("n_shingles")).alias("contamination_ppm"),
     )
+
+
+def boilerplate_phrases(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        top_k: int = 20) -> DataFrame:
+    """Cross-document boilerplate detection — the corpus-level twin of
+    ``repetition_stats``: the word n-grams present in the most DISTINCT
+    documents (site headers/footers, license blurbs, navigation text — the
+    CCNet/RefinedWeb line-frequency filter recast over n-grams, since the
+    interleaved corpus has no line structure).
+
+    Scale shape: per-doc DISTINCT shingles (so the count is document
+    frequency, not occurrences), ONE map-side-combined count keyed by
+    shingle, then ``TakeOrderedAndProject`` for the top-k — never a global
+    sort and never a broadcast or collect of the unbounded shingle
+    vocabulary. Ties at the cut break by phrase ascending (deterministic
+    across engines).
+
+    Returns ``(phrase, df_docs, df_ppm)``; ``df_ppm`` is the document
+    frequency over ALL corpus docs in ppm (``floor(1e6·x + 0.5)``).
+    """
+    sh = with_shingles(df, text_col, id_col, n=n, distinct=True)
+    ex = sh.select(F.explode_outer("_sh").alias("_g")) \
+        .filter(F.col("_g").isNotNull())
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    top = (
+        ex.groupBy("_g").agg(F.count(F.lit(1)).alias("df_docs"))
+        .orderBy(F.desc("df_docs"), F.asc("_g"))
+        .limit(top_k)
+    )
+    return top.crossJoin(F.broadcast(n_docs)).select(
+        F.col("_g").alias("phrase"),
+        "df_docs",
+        _ppm(F.col("df_docs"), F.col("_n_docs")).alias("df_ppm"),
+    )
+
+
+def boilerplate_ratio(df: DataFrame, phrases: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """Per-document boilerplate share against an already-detected, BOUNDED
+    phrase set (e.g. ``boilerplate_phrases`` output — top-k by
+    construction): the fraction of the doc's distinct n-grams that are
+    boilerplate, the per-doc quality signal the phrase list exists for.
+
+    The phrase frame is broadcast — membership never shuffles the corpus
+    on the power-law shingle key (the same discipline as
+    ``contamination_overlap``). Joining back on raw shingle frequency
+    WITHOUT a bound would put every hot phrase's rows in one task; the
+    bounded-set broadcast is the 100 TB-safe contract, so this function
+    requires the detected set rather than a raw ``min_df`` threshold.
+
+    Returns ``(id, n_shingles, n_boiler, boiler_ppm)`` for docs with ≥ 1
+    shingle.
+    """
+    sh = with_shingles(df, text_col, id_col, n=n, distinct=True)
+    ex = sh.select(id_col, F.explode_outer("_sh").alias("_g")) \
+        .filter(F.col("_g").isNotNull())
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    pset = phrases.select(F.col(phrases.columns[0]).alias("_g")).distinct()
+    hits = (
+        ex.join(F.broadcast(pset), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col, "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+        _ppm(F.coalesce(F.col("n_boiler"), F.lit(0)), F.col("n_shingles"))
+        .alias("boiler_ppm"),
+    )

@@ -4856,6 +4856,150 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_boilerplate_phrases(spark, sf):
+    """Cross-document boilerplate detection (repetition.boilerplate_phrases):
+    top-20 word 3-grams by DISTINCT-document frequency — per-doc distinct
+    shingles, one map-side-combined count per shingle,
+    TakeOrderedAndProject (no global sort, no vocabulary broadcast)."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    return repetition.boilerplate_phrases(d, n=3, top_k=20) \
+        .orderBy(F.desc("df_docs"), F.asc("phrase"))
+
+
+SQL_BOILERPLATE_PHRASES = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM t
+), ex AS (
+  SELECT unnest(sh) AS g FROM s
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), c AS (
+  SELECT g, COUNT(*) AS df_docs FROM ex GROUP BY 1
+), top AS (
+  SELECT g, df_docs FROM c ORDER BY df_docs DESC, g ASC LIMIT 20
+)
+SELECT g AS phrase, CAST(df_docs AS BIGINT) AS df_docs,
+       {_ppm_sql('df_docs', 'n_docs')} AS df_ppm
+FROM top CROSS JOIN nd ORDER BY df_docs DESC, phrase ASC
+"""
+
+
+def q_boilerplate_ratio(spark, sf):
+    """Per-document boilerplate share (repetition.boilerplate_ratio) against
+    the detected top-20 phrase set: the set is BOUNDED and broadcast, so the
+    corpus never shuffles on the power-law shingle key — same discipline as
+    the contamination scan."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    phrases = repetition.boilerplate_phrases(d, n=3, top_k=20)
+    return repetition.boilerplate_ratio(d, phrases, n=3).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_RATIO = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM t
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), c AS (
+  SELECT g, COUNT(*) AS df_docs FROM ex GROUP BY 1
+), top AS (
+  SELECT g FROM c ORDER BY df_docs DESC, g ASC LIMIT 20
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY 1
+), hit AS (
+  SELECT ex.doc_id, COUNT(*) AS n_boiler FROM ex JOIN top USING (g)
+  GROUP BY 1
+)
+SELECT tot.doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+       {_ppm_sql('COALESCE(n_boiler, 0)', 'n_shingles')} AS boiler_ppm
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+def q_completeness_floor(spark, sf):
+    """min_completeness dataset rule (rules/builtin.min_completeness — the
+    enforcement half of suggest_rules' completeness suggestion) through the
+    REAL rule build: per-source completeness of a NULLIF'd lang column vs a
+    900000-ppm learned floor; sources whose zh share pushes completeness
+    below the floor emit a table-level violation row. One map-side-combined
+    agg per partition, exact integer ppm."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    d = load(spark, sf, "documents").select(
+        F.col("source").alias("partition"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.nullif(F.col("lang"), F.lit("zh")).alias("lang"),
+    )
+    rule = builtin.min_completeness("lang", 900_000)
+    return rule.build(d, RuleContext()).orderBy("partition")
+
+
+SQL_COMPLETENESS_FLOOR = """
+WITH d AS (
+  SELECT source AS partition, NULLIF(lang, 'zh') AS lang FROM documents
+), agg AS (
+  SELECT partition, COUNT(*) AS rows, COUNT(lang) AS nn
+  FROM d GROUP BY 1
+)
+SELECT partition,
+       'min_completeness:lang' AS rule_id,
+       CAST(NULL AS VARCHAR) AS doc_id,
+       'completeness_ppm ' || CAST(nn * 1000000 // rows AS VARCHAR)
+         || ' < 900000' AS detail
+FROM agg WHERE rows > 0 AND nn * 1000000 // rows < 900000
+ORDER BY partition
+"""
+
+
+def q_duplicate_key_docs(spark, sf):
+    """unique_values dataset rule (rules/builtin.unique_values — the
+    enforcement half of suggest_rules' unique suggestion) through the REAL
+    rule build: a derived doc_id%97 key collides by construction, and every
+    document sharing a key is reported with ITS OWN doc_id. One shuffle —
+    a count window partitioned by the key (the exchange a groupBy would
+    pay), no join-back re-scan."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    d = load(spark, sf, "documents").select(
+        F.col("source").alias("partition"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("doc_id") % 97).cast("string").alias("bucket_key"),
+    )
+    rule = builtin.unique_values("bucket_key")
+    return rule.build(d, RuleContext()).orderBy("doc_id")
+
+
+SQL_DUPLICATE_KEY_DOCS = """
+WITH d AS (
+  SELECT source AS partition,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id % 97 AS VARCHAR) AS k
+  FROM documents
+), w AS (
+  SELECT partition, doc_id, k,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM d
+)
+SELECT partition,
+       'unique:bucket_key' AS rule_id,
+       doc_id,
+       'bucket_key=' || k || ' duplicate x' || CAST(n AS VARCHAR) AS detail
+FROM w WHERE n > 1 ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -4974,4 +5118,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rule_suggestions": (q_rule_suggestions, SQL_RULE_SUGGESTIONS),
     "media_asset_stats": (q_media_asset_stats, SQL_MEDIA_ASSET_STATS),
     "interleaved_packing": (q_interleaved_packing, SQL_INTERLEAVED_PACKING),
+    "completeness_floor": (q_completeness_floor, SQL_COMPLETENESS_FLOOR),
+    "duplicate_key_docs": (q_duplicate_key_docs, SQL_DUPLICATE_KEY_DOCS),
+    "boilerplate_phrases": (q_boilerplate_phrases, SQL_BOILERPLATE_PHRASES),
+    "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
 }

@@ -95,3 +95,37 @@ def test_contamination_planted(spark):
     assert got[1]["contamination_ppm"] == 1_000_000
     assert got[3]["n_shingles"] == 2 and got[3]["n_contaminated"] == 1
     assert got[3]["contamination_ppm"] == 500_000
+
+
+def test_boilerplate_detects_planted_template(spark):
+    """50 docs share a 5-token header (3 pure header trigrams, df=50);
+    bodies are unique. The detector must surface the header trigrams at
+    the top, and templated docs must carry a positive boilerplate ratio
+    while clean docs stay at zero."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.functions.repetition import (
+        boilerplate_phrases,
+        boilerplate_ratio,
+    )
+
+    header = "terms of service apply now "
+    rows = [
+        (i, (header if i < 50 else "") + f"w{i}a w{i}b w{i}c w{i}d")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = boilerplate_phrases(df, n=3, top_k=3).collect()
+    assert {r["phrase"] for r in top} == {
+        "terms of service", "of service apply", "service apply now",
+    }
+    assert all(r["df_docs"] == 50 and r["df_ppm"] == 500_000 for r in top)
+
+    ratios = {r["doc_id"]: r for r in
+              boilerplate_ratio(df, boilerplate_phrases(df, n=3, top_k=3),
+                                n=3).collect()}
+    # templated: 7 distinct trigrams (3 header + 2 boundary + 2 body),
+    # 3 boilerplate -> floor(1e6*3/7 + 0.5) = 428571 ppm
+    assert ratios[0]["n_boiler"] == 3
+    assert ratios[0]["boiler_ppm"] == 428_571
+    assert ratios[99]["n_boiler"] == 0 and ratios[99]["boiler_ppm"] == 0
