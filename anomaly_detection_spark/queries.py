@@ -4926,6 +4926,66 @@ ORDER BY tot.doc_id
 """
 
 
+def q_media_caption_check(spark, sf):
+    """Interleaved caption-adjacency rule (rules/builtin.
+    media_caption_adjacent) over synthesized spans with TWO planted defect
+    classes: every 7th doc puts the image BEFORE the text (offset order
+    violated), every 13th doc blanks the caption text. Per-doc boolean via
+    in-row array_sort + positional exists — the gate checks Spark's nested
+    ordering semantics against DuckDB's struct list_sort."""
+    from anomaly_detection_spark.rules import builtin
+
+    raw = load(spark, sf, "documents")
+    text_off = F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+    img_off = F.when(F.col("doc_id") % 7 == 0, F.lit(0)).otherwise(F.lit(1))
+    cap = F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string")) \
+        .otherwise(F.substring("text", 1, 40))
+    docs = raw.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), cap.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                text_off.alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("m"), (F.col("doc_id") % 64).cast("string"))
+                .alias("media_ref"),
+                img_off.alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    rule = builtin.media_caption_adjacent()
+    return docs.select(
+        "doc_id", rule.violation.alias("caption_violation")
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_CAPTION_CHECK = """
+WITH docs AS (
+  SELECT doc_id,
+         [struct_pack(o := CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END,
+                      k := 'text',
+                      t := CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS VARCHAR)
+                                ELSE substr(text, 1, 40) END),
+          struct_pack(o := CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END,
+                      k := 'image',
+                      t := CAST(NULL AS VARCHAR))] AS spans
+  FROM documents
+), srt AS (
+  SELECT doc_id, list_sort(spans) AS s FROM docs
+)
+SELECT doc_id,
+       len(list_filter(range(1, len(s) + 1),
+           i -> s[i].k <> 'text'
+                AND (i = 1 OR s[i-1].k <> 'text' OR s[i-1].t IS NULL)
+       )) > 0 AS caption_violation
+FROM srt ORDER BY doc_id
+"""
+
+
 def q_completeness_floor(spark, sf):
     """min_completeness dataset rule (rules/builtin.min_completeness — the
     enforcement half of suggest_rules' completeness suggestion) through the
@@ -5122,4 +5182,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "duplicate_key_docs": (q_duplicate_key_docs, SQL_DUPLICATE_KEY_DOCS),
     "boilerplate_phrases": (q_boilerplate_phrases, SQL_BOILERPLATE_PHRASES),
     "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
+    "media_caption_check": (q_media_caption_check, SQL_MEDIA_CAPTION_CHECK),
 }

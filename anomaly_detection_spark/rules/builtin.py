@@ -275,6 +275,43 @@ def unique(col: str = "doc_id", strategy: str = "hashagg", rule_id: str = "uniqu
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def media_caption_adjacent(spans_col: str = "spans",
+                           rule_id: str = "media_caption_adjacent") -> RowRule:
+    """Interleaved alignment rule: every media span must be immediately
+    preceded (in OFFSET order) by a text span with non-null text — the
+    caption-presence invariant a multimodal training pipeline enforces
+    before pairing images with context. Evaluated entirely in-row (repack →
+    ``array_sort`` → positional ``exists``), no shuffle, no Python; rides
+    the fused single-scan row pass like every other row rule."""
+    spans = F.col(spans_col)
+    srt = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("o"), s["kind"].alias("k"),
+                s["text"].alias("t"),
+            ),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.size(spans))  # 1-based positions
+    # CASE WHEN keeps element_at(srt, 0) unevaluated for i=1 — under ANSI
+    # mode an out-of-range array index throws instead of returning NULL,
+    # and bare boolean OR does not short-circuit
+    bad_media = F.exists(
+        idx,
+        lambda i: (F.element_at(srt, i)["k"] != "text")
+        & F.when(i == 1, F.lit(True)).otherwise(
+            (F.element_at(srt, i - 1)["k"] != "text")
+            | F.element_at(srt, i - 1)["t"].isNull()
+        ),
+    )
+    return RowRule(
+        rule_id=rule_id,
+        violation=spans.isNotNull() & F.coalesce(bad_media, F.lit(False)),
+        detail=F.lit("media span without adjacent preceding text caption"),
+    )
+
+
 def unique_values(col: str, rule_id: str | None = None) -> DatasetRule:
     """Uniqueness of an ARBITRARY column (the enforcement half of
     suggest_rules' ``unique`` suggestion), reporting every document that

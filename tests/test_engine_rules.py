@@ -190,3 +190,38 @@ def test_unique_range_strategy_equivalent(spark, docs, catalog):
     a = {(r["partition"], r["doc_id"]) for r in hashagg.collect()}
     b = {(r["partition"], r["doc_id"]) for r in ranged.collect()}
     assert a == b and len(a) > 0
+
+
+def test_media_caption_adjacent_rule(spark):
+    """Caption-adjacency through the REAL fused engine pass: media-first,
+    null-caption, and media-after-media docs violate; text-only and
+    properly captioned docs pass — offsets arrive scrambled to prove the
+    in-row sort, not storage order, decides adjacency."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    def span(kind, text, off):
+        return {"kind": kind, "text": text, "media_ref": None, "offset": off}
+
+    rows = [
+        # stored media-first but offset-ordered text->image: PASSES
+        ("p0", "ok1", [span("image", None, 1), span("text", "cap", 0)]),
+        ("p0", "ok2", [span("text", "a", 0)]),                    # text only
+        ("p0", "bad_first", [span("image", None, 0), span("text", "c", 1)]),
+        ("p0", "bad_nullcap", [span("text", None, 0), span("image", None, 1)]),
+        ("p0", "bad_mm", [span("text", "c", 0), span("image", None, 1),
+                          span("image", None, 2)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "partition string, doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    suite = RuleSet(row_rules=[builtin.media_caption_adjacent()])
+    res = ValidationRun(spark, docs, suite).run(resume=False)
+    got = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert got == {
+        ("bad_first", "media_caption_adjacent"),
+        ("bad_nullcap", "media_caption_adjacent"),
+        ("bad_mm", "media_caption_adjacent"),
+    }
