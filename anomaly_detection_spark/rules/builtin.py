@@ -293,7 +293,12 @@ def media_caption_adjacent(spans_col: str = "spans",
             ),
         )
     )
-    idx = F.sequence(F.lit(1), F.size(spans))  # 1-based positions
+    # 1-based positions; sequence(1, 0) would yield a DESCENDING [1, 0] on
+    # an empty spans array and element_at(srt, 1) then throws under ANSI —
+    # guard to an empty index list so `exists` is vacuously false.
+    idx = F.when(
+        F.size(spans) >= 1, F.sequence(F.lit(1), F.size(spans))
+    ).otherwise(F.array().cast("array<int>"))
     # CASE WHEN keeps element_at(srt, 0) unevaluated for i=1 — under ANSI
     # mode an out-of-range array index throws instead of returning NULL,
     # and bare boolean OR does not short-circuit

@@ -49,6 +49,7 @@ _BUILDERS = {
         lambda e: builtin.media_ref_present_on_media_spans(),
     "offsets_valid_native": lambda e: builtin.offsets_valid_native(),
     "span_sequence_valid_row": lambda e: builtin.span_sequence_valid_row(),
+    "media_caption_adjacent": lambda e: builtin.media_caption_adjacent(),
     "no_pii": lambda e: builtin.no_pii(),
 }
 

@@ -211,6 +211,11 @@ def test_media_caption_adjacent_rule(spark):
         ("p0", "bad_nullcap", [span("text", None, 0), span("image", None, 1)]),
         ("p0", "bad_mm", [span("text", "c", 0), span("image", None, 1),
                           span("image", None, 2)]),
+        # empty / NULL spans must not crash (sequence(1,0) is DESCENDING in
+        # Spark → element_at on [] throws under ANSI without the guard) and
+        # must PASS: no media span, nothing to caption.
+        ("p0", "ok_empty", []),
+        ("p0", "ok_null", None),
     ]
     docs = spark.createDataFrame(
         rows,
