@@ -301,3 +301,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- incremental (snapshot append)
+
+def incremental_exact_dups(corpus: DataFrame, appended: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Which newly-appended documents exactly duplicate the EXISTING corpus —
+    the dedup check an appends-only snapshot validation runs on each commit
+    (validate only the new files, never re-shuffle the 100 TB base; the
+    snapshot analogue of ``snapshots.read_incremental``'s appends-only scan,
+    reference snapshot model ``risk_history_tracker.py:35-101``).
+
+    Scale shape is asymmetric by construction: the appended slice is bounded
+    by one commit (millions of rows at most), the corpus is not. So the NEW
+    side's fingerprint set is broadcast and the corpus is scanned ONCE with
+    a map-side hash probe — zero shuffle of the big table, no corpus-wide
+    fingerprint materialization. The per-fingerprint match count is
+    map-side-combined (distinct fingerprints ≤ appended rows), then joined
+    back to the appended slice (tiny ⋈ tiny).
+
+    Returns (new_id, text_hash, n_corpus_matches, corpus_canonical_id) for
+    every appended doc whose text already exists; dedup policy = drop these
+    before commit, or route to the violations sink as rule
+    ``incremental_dup``."""
+    fp_new = appended.select(
+        F.col(id_col).alias("new_id"),
+        F.md5(F.col(text_col)).alias("text_hash"),
+    )
+    new_set = fp_new.select("text_hash").distinct()
+    matches = (
+        corpus.select(F.md5(F.col(text_col)).alias("text_hash"),
+                      F.col(id_col))
+        .join(F.broadcast(new_set), "text_hash")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_corpus_matches"),
+             F.min(id_col).alias("corpus_canonical_id"))
+    )
+    return fp_new.join(matches, "text_hash").select(
+        "new_id", "text_hash", "n_corpus_matches", "corpus_canonical_id"
+    )

@@ -4721,11 +4721,12 @@ SQL_RULE_SUGGESTIONS = _suggest_sql(
 )
 
 
-def _interleaved_media_docs(raw):
+def _interleaved_media_docs(raw, keep=()):
     """Interleaved docs where media density varies: every doc carries a
     text span + one image span (asset = doc_id % 64); every 3rd doc embeds
     a SECOND image span pointing at the hotter doc_id % 17 asset space —
-    so assets have genuinely different reference counts."""
+    so assets have genuinely different reference counts. ``keep`` carries
+    extra flat columns through (no join-back needed)."""
     text_span = F.struct(
         F.lit("text").alias("kind"),
         F.substring("text", 1, 200).alias("text"),
@@ -4747,7 +4748,7 @@ def _interleaved_media_docs(raw):
         F.col("doc_id") % 3 == 0,
         F.array(text_span, img(ref64, 1), img(ref17, 2)),
     ).otherwise(F.array(text_span, img(ref64, 1)))
-    return raw.select("doc_id", spans.alias("spans"))
+    return raw.select("doc_id", spans.alias("spans"), *keep)
 
 
 def q_media_asset_stats(spark, sf):
@@ -4961,6 +4962,171 @@ def q_media_caption_check(spark, sf):
     return docs.select(
         "doc_id", rule.violation.alias("caption_violation")
     ).orderBy("doc_id")
+
+
+def q_media_run_check(spark, sf):
+    """Interleaved "image wall" rule (rules/builtin.media_run_cap): at most
+    2 consecutive media spans in OFFSET order. Every 5th doc plants a
+    3-image run; every 11th doc stores the same three images but with a
+    text span offset-interleaved INTO the run (stored order scrambled), so
+    the gate proves the sort-by-offset decides adjacency, not storage
+    order. In-row positional window test, rides the fused scan."""
+    from anomaly_detection_spark.rules import builtin
+
+    raw = load(spark, sf, "documents")
+
+    def img(off):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("m"), (F.col("doc_id") % 64).cast("string"))
+            .alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    def txt(off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.substring("text", 1, 40).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    spans = (
+        # 11 divides before 5 is tested so doc_id % 55 exercises both paths
+        F.when(F.col("doc_id") % 11 == 0,
+               F.array(img(1), img(2), txt(0), img(4), txt(3)))  # broken run
+        .when(F.col("doc_id") % 5 == 0,
+              F.array(txt(0), img(1), img(2), img(3)))            # 3-run: BAD
+        .otherwise(F.array(txt(0), img(1), txt(2), img(3)))
+    )
+    docs = raw.select("doc_id", spans.alias("spans"))
+    rule = builtin.media_run_cap(max_run=2)
+    return docs.select(
+        "doc_id", rule.violation.alias("run_violation")
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_RUN_CHECK = """
+SELECT doc_id,
+       (doc_id % 11 <> 0 AND doc_id % 5 = 0) AS run_violation
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_incremental_dedup(spark, sf):
+    """Incremental snapshot dedup (dedup.incremental_exact_dups): validate
+    ONE appended commit against the existing corpus without shuffling the
+    corpus — new-side fingerprints broadcast, corpus probed map-side. The
+    appended slice is synthesized from the fixture: every src19 doc is
+    re-keyed +1,000,000; those with doc_id % 2 = 1 keep their text
+    verbatim (exact dups of the corpus), the rest get a suffix (novel).
+    Only the exact dups must surface, each pointing at its corpus
+    canonical."""
+    from anomaly_detection_spark.functions import dedup as dd
+
+    raw = load(spark, sf, "documents")
+    corpus = raw.filter(F.col("source") != "src19")
+    appended = raw.filter(F.col("source") == "src19").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" <novel>"))).alias("text"),
+    )
+    # the planted dups duplicate OTHER sources' docs only if texts repeat
+    # across sources — they don't in this fixture, so plant the overlap by
+    # unioning the untouched src19 originals into the corpus side (the
+    # "previous snapshot already contained these files" case).
+    prev = corpus.select("doc_id", "text").unionByName(
+        raw.filter(F.col("source") == "src19").select("doc_id", "text")
+    )
+    return dd.incremental_exact_dups(prev, appended).orderBy("new_id")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH prev AS (
+  SELECT doc_id, text FROM documents
+), app AS (
+  SELECT doc_id + 1000000 AS new_id,
+         CASE WHEN doc_id % 2 = 1 THEN text ELSE text || ' <novel>' END AS text
+  FROM documents WHERE source = 'src19'
+), fp AS (
+  SELECT new_id, md5(text) AS text_hash FROM app
+), m AS (
+  SELECT md5(text) AS text_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+         CAST(MIN(doc_id) AS BIGINT) AS corpus_canonical_id
+  FROM prev
+  WHERE md5(text) IN (SELECT text_hash FROM fp)
+  GROUP BY 1
+)
+SELECT new_id, fp.text_hash, n_corpus_matches, corpus_canonical_id
+FROM fp JOIN m ON fp.text_hash = m.text_hash
+ORDER BY new_id
+"""
+
+
+def q_modality_mix(spark, sf):
+    """Per-source modality token budget over interleaved docs: text tokens
+    from the text spans, 64 patch tokens per image span, media share in
+    integer ppm, plus the count of media-heavy docs (media share > 50%).
+    ONE narrow per-doc projection on the nested spans column + one
+    map-side-combined groupBy(source) — the corpus-mixture dashboard a
+    multimodal data pipeline tracks per crawl source."""
+    raw = load(spark, sf, "documents")
+    docs = _interleaved_media_docs(raw, keep=("source",))
+    spans = F.col("spans")
+    text_concat = F.array_join(
+        F.transform(
+            F.filter(spans, lambda s: s["kind"] == "text"),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )
+    text_toks = text.token_count(text_concat).cast("long")
+    media_toks = (
+        F.lit(64)
+        * F.size(F.filter(spans, lambda s: s["media_ref"].isNotNull()))
+    ).cast("long")
+    per_doc = docs.select(
+        "source",
+        text_toks.alias("_tt"),
+        media_toks.alias("_mt"),
+        (media_toks * 2 > text_toks + media_toks).alias("_heavy"),
+    )
+    tot_t, tot_m = F.sum("_tt"), F.sum("_mt")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            tot_t.alias("text_tokens"),
+            tot_m.alias("media_tokens"),
+            F.floor(
+                F.lit(1000000.0) * tot_m / (tot_t + tot_m) + F.lit(0.5)
+            ).cast("long").alias("media_share_ppm"),
+            F.sum(F.col("_heavy").cast("long")).alias("n_media_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MODALITY_MIX = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(
+             regexp_split_to_array(trim(substr(text, 1, 200)), '\\s+'),
+             x -> x <> '')) AS BIGINT) AS tt,
+         CAST(64 * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS mt
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tt) AS BIGINT) AS text_tokens,
+       CAST(SUM(mt) AS BIGINT) AS media_tokens,
+       {_ppm_sql('SUM(mt)', '(SUM(tt) + SUM(mt))')} AS media_share_ppm,
+       CAST(SUM(CASE WHEN 2 * mt > tt + mt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media_heavy
+FROM t GROUP BY source ORDER BY source
+"""
 
 
 SQL_MEDIA_CAPTION_CHECK = """
@@ -5183,4 +5349,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "boilerplate_phrases": (q_boilerplate_phrases, SQL_BOILERPLATE_PHRASES),
     "boilerplate_ratio": (q_boilerplate_ratio, SQL_BOILERPLATE_RATIO),
     "media_caption_check": (q_media_caption_check, SQL_MEDIA_CAPTION_CHECK),
+    "media_run_check": (q_media_run_check, SQL_MEDIA_RUN_CHECK),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "modality_mix": (q_modality_mix, SQL_MODALITY_MIX),
 }

@@ -317,6 +317,49 @@ def media_caption_adjacent(spans_col: str = "spans",
     )
 
 
+def media_run_cap(max_run: int = 2, spans_col: str = "spans",
+                  rule_id: str | None = None) -> RowRule:
+    """Interleaved composition rule: no more than ``max_run`` CONSECUTIVE
+    media (non-text) spans in offset order — the "image wall" guard a
+    multimodal packing pipeline enforces so a training sequence never
+    degenerates into patch tokens with no text anchors.
+
+    In-row and JVM-only like the caption rule: repack → ``array_sort`` by
+    offset → positional window test (``exists`` over start positions i
+    where spans i..i+max_run are all non-text). O(n·max_run) per row with
+    tiny n; rides the fused single-scan row pass, no shuffle. NULL kinds
+    don't count toward a run (kind validity is ``span_kinds_accepted``'s
+    job)."""
+    rid = rule_id or f"media_run_cap:{max_run}"
+    spans = F.col(spans_col)
+    srt = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(s["offset"].alias("o"), s["kind"].alias("k")),
+        )
+    )
+    n = F.size(spans)
+    # window starts: a violating run needs max_run+1 spans, so i ranges
+    # over 1..n-max_run; guard below that (incl. empty arrays — see
+    # media_caption_adjacent: sequence(1,0) is DESCENDING) to no windows.
+    idx = F.when(
+        n >= max_run + 1, F.sequence(F.lit(1), n - F.lit(max_run))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _all_media(i):
+        cond = F.lit(True)
+        for j in range(max_run + 1):
+            cond = cond & (F.element_at(srt, i + j)["k"] != "text")
+        return cond
+
+    bad = F.exists(idx, _all_media)
+    return RowRule(
+        rule_id=rid,
+        violation=spans.isNotNull() & F.coalesce(bad, F.lit(False)),
+        detail=F.lit(f"more than {max_run} consecutive media spans"),
+    )
+
+
 def unique_values(col: str, rule_id: str | None = None) -> DatasetRule:
     """Uniqueness of an ARBITRARY column (the enforcement half of
     suggest_rules' ``unique`` suggestion), reporting every document that

@@ -50,6 +50,9 @@ _BUILDERS = {
     "offsets_valid_native": lambda e: builtin.offsets_valid_native(),
     "span_sequence_valid_row": lambda e: builtin.span_sequence_valid_row(),
     "media_caption_adjacent": lambda e: builtin.media_caption_adjacent(),
+    "media_run_cap": lambda e: builtin.media_run_cap(
+        max_run=int(e.get("max_run", 2))
+    ),
     "no_pii": lambda e: builtin.no_pii(),
 }
 

@@ -230,3 +230,41 @@ def test_media_caption_adjacent_rule(spark):
         ("bad_nullcap", "media_caption_adjacent"),
         ("bad_mm", "media_caption_adjacent"),
     }
+
+
+def test_media_run_cap_rule(spark):
+    """Image-wall rule through the fused engine pass: >max_run consecutive
+    media spans IN OFFSET ORDER violate; a text span offset-interleaved
+    into a stored run breaks it (storage order scrambled to prove the
+    sort); empty/NULL spans pass without crashing."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    def span(kind, off):
+        return {"kind": kind, "text": "t" if kind == "text" else None,
+                "media_ref": "m" if kind != "text" else None, "offset": off}
+
+    rows = [
+        ("p0", "ok_pair", [span("image", 1), span("image", 2), span("text", 0)]),
+        # stored as img,img,img but a text span sits at offset 2: PASSES
+        ("p0", "ok_broken", [span("image", 1), span("image", 3),
+                             span("image", 4), span("text", 2), span("text", 0)]),
+        ("p0", "bad_run3", [span("text", 0), span("image", 1),
+                            span("image", 2), span("audio", 3)]),
+        ("p0", "bad_run_at_start", [span("image", 0), span("image", 1),
+                                    span("image", 2), span("text", 3)]),
+        ("p0", "ok_empty", []),
+        ("p0", "ok_null", None),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "partition string, doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    suite = RuleSet(row_rules=[builtin.media_run_cap(max_run=2)])
+    res = ValidationRun(spark, docs, suite).run(resume=False)
+    got = {(r["doc_id"], r["rule_id"]) for r in res.violations.collect()}
+    assert got == {
+        ("bad_run3", "media_run_cap:2"),
+        ("bad_run_at_start", "media_run_cap:2"),
+    }

@@ -129,3 +129,36 @@ def test_boilerplate_detects_planted_template(spark):
     assert ratios[0]["n_boiler"] == 3
     assert ratios[0]["boiler_ppm"] == 428_571
     assert ratios[99]["n_boiler"] == 0 and ratios[99]["boiler_ppm"] == 0
+
+
+def test_incremental_exact_dups_planted(spark):
+    """The appended-commit dedup: only new docs whose text already exists
+    in the corpus surface, each with its corpus match count + canonical;
+    novel appended docs are absent. The big side is only probed — the
+    plan must broadcast the NEW side's fingerprint set, not exchange the
+    corpus."""
+    from anomaly_detection_spark.functions.dedup import incremental_exact_dups
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),
+         (4, "epsilon")],
+        "doc_id long, text string",
+    )
+    appended = spark.createDataFrame(
+        [(100, "alpha beta"),      # dup of 1 and 3
+         (101, "totally new"),     # novel
+         (102, "epsilon")],        # dup of 4
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dups(corpus, appended)
+    rows = {r["new_id"]: r for r in out.collect()}
+    assert set(rows) == {100, 102}
+    assert rows[100]["n_corpus_matches"] == 2
+    assert rows[100]["corpus_canonical_id"] == 1
+    assert rows[102]["n_corpus_matches"] == 1
+    assert rows[102]["corpus_canonical_id"] == 4
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
