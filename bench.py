@@ -59,6 +59,13 @@ HEADLINE = [
     "local_outlier_scores",
     "user_entity_report",
     "psychometric_profile",
+    # round-3 families: learned-rule loop, interleaved media, incremental
+    "rule_suggestions",
+    "boilerplate_ratio",
+    "interleaved_packing",
+    "media_caption_check",
+    "modality_mix",
+    "incremental_dedup",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -52,7 +52,8 @@ def test_streaming_row_rules_match_batch(spark, docs, stream_dirs):
     src, ckpt = stream_dirs
     rules = RuleSet(
         row_rules=builtin.default_document_rules()
-        + [builtin.span_sequence_valid_row(), builtin.no_pii()]
+        + [builtin.span_sequence_valid_row(), builtin.no_pii(),
+           builtin.media_caption_adjacent(), builtin.media_run_cap(max_run=2)]
     )
     stream = read_document_stream(spark, f"{src}/*", max_files_per_trigger=1)
     got_df = _run_to_memory(
