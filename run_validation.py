@@ -79,6 +79,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--export-csv", default=None,
                     help="also export the violation rows as headered CSV "
                          "(≈ the reference's export_all_anomalies_csv)")
+    ap.add_argument("--quarantine", default=None,
+                    help="also write the INPUT docs routed by verdict: one "
+                         "parquet dir partitioned by route=(clean|"
+                         "quarantined) — clean docs ship to training, "
+                         "violating docs go to remediation. Single scan of "
+                         "the corpus, one join against the distinct "
+                         "violating-id set (AQE broadcasts it when small)")
     return ap.parse_args(argv)
 
 
@@ -233,6 +240,31 @@ def main(argv: list[str] | None = None) -> int:
         # can never double-write rows into the CSV either
         spark.read.parquet(f"{args.output}/violations").write.mode(
             "overwrite").option("header", True).csv(args.export_csv)
+    if args.quarantine:
+        # The enforcement action validation exists for: route the corpus by
+        # verdict. Reads the FULL violations sink (a resumed increment must
+        # quarantine on the complete picture, not this run's delta), takes
+        # the distinct non-null violating doc_ids (dataset rules like
+        # min_completeness emit NULL doc_id — partition-level verdicts
+        # don't quarantine individual docs), and flags the input in ONE
+        # scan + one join that AQE broadcast-converts when the violating
+        # set is small. partitionBy splits the output dirs without a second
+        # pass over the corpus.
+        from pyspark.sql import functions as F
+
+        bad_ids = (
+            spark.read.parquet(f"{args.output}/violations")
+            .select("doc_id").filter(F.col("doc_id").isNotNull())
+            .distinct().withColumn("_q", F.lit(True))
+        )
+        # route is a STRING partition column (clean|quarantined): partition
+        # directory values round-trip as strings, so a boolean would come
+        # back re-typed on read
+        docs.join(bad_ids, "doc_id", "left").withColumn(
+            "route",
+            F.when(F.col("_q"), F.lit("quarantined")).otherwise(F.lit("clean")),
+        ).drop("_q").write.mode("overwrite").partitionBy(
+            "route").parquet(args.quarantine)
     if manifest is not None:
         manifest.commit(result.metrics)
 

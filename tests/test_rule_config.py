@@ -115,9 +115,50 @@ def test_rules_config_flag_extends_cluster_entrypoint(spark, docs, catalog,
         "--catalog", str(tmp_path / "catalog"),
         "--output", str(tmp_path / "out"),
         "--rules-config", str(cfg_path),
+        "--quarantine", str(tmp_path / "routed"),
     ])
     assert rc == 0
     verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
     learned = verd.filter("rule_id = 'min_completeness:doc_id'")
     assert learned.count() > 0
     assert learned.filter("NOT pass").count() > 0
+
+    # --quarantine routes the corpus by verdict: every input doc lands in
+    # exactly one side, the quarantined side is exactly the distinct
+    # non-null violating ids, and no clean doc is quarantined
+    routed = spark.read.parquet(str(tmp_path / "routed"))
+    viols = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    bad = {
+        r["doc_id"] for r in
+        viols.filter("doc_id IS NOT NULL").select("doc_id").distinct().collect()
+    }
+    assert routed.count() == docs.count()
+    got_q = {r["doc_id"] for r in
+             routed.filter("route = 'quarantined'").select("doc_id").collect()}
+    assert got_q == bad and len(bad) > 0
+
+
+def test_checked_in_interleaved_suite_loads_and_enforces(spark):
+    """The repo's example config (configs/interleaved_suite.json) — the
+    full interleaved rule pack a multimodal corpus deploys via
+    run_validation --rules-config — compiles and catches datagen's planted
+    defects through the real engine pass."""
+    import pathlib
+
+    from anomaly_detection_spark import datagen
+
+    cfg_path = pathlib.Path(__file__).parent.parent / "configs" / \
+        "interleaved_suite.json"
+    suite = suite_from_config(cfg_path.read_text())
+    rule_ids = {r.rule_id for r in suite.row_rules} | {
+        r.rule_id for r in suite.dataset_rules
+    }
+    assert {"media_caption_adjacent", "media_run_cap:2", "no_pii",
+            "span_sequence_valid"} <= rule_ids
+    docs = datagen.generate_documents(spark, n_docs=500, n_partitions=4)
+    res = ValidationRun(spark, docs, suite).run(resume=False)
+    fired = {r["rule_id"] for r in res.violations.collect()}
+    # datagen plants span-sequence and referential-shape defects; the
+    # interleaved alignment rules fire on its caption-less media spans
+    assert "media_caption_adjacent" in fired
+    assert res.verdicts.count() > 0
