@@ -112,6 +112,78 @@ def profile_columns(
     return long.unionByName(rates)
 
 
+def mergeable_profile(
+    df: DataFrame,
+    numeric_cols: list[str],
+    partition_col: str = "partition",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-(partition, column) MERGEABLE statistics sketch: everything an
+    incremental validation needs to combine profiles across snapshots
+    WITHOUT rescanning old data. One ``groupBy(partition)`` pass emits, per
+    numeric column, the exact-integer power sums
+
+    ``(n, n_null, sum_s, sum_sq_s, min_v, max_v)``
+
+    where ``sum_s = Σ round(x·scale)`` and ``sum_sq_s = Σ round(x·scale)²``
+    as longs — associative, commutative, exact (no float accumulation
+    order), so profiles of snapshot commits add like vectors. mean / var
+    derive closed-form AFTER merging (SURVEY.md W8 discipline). The
+    snapshot analogue of the reference's run-over-run history accumulation
+    (``risk_history_tracker.py:103-161``) but for column stats: each commit
+    profiles only its appended files, the table-lifetime profile is a
+    metadata-sized merge.
+
+    Long format: (partition, column, n, n_null, sum_s, sum_sq_s, min_v,
+    max_v); ``scale`` quantizes doubles to exact integers (cents by
+    default). sum_sq overflows long at Σx² · scale² > 9.2e18 — use
+    DECIMAL(38) via ``scale=1`` plus pre-scaled inputs if a column's
+    magnitude demands it."""
+    aggs = []
+    for c in numeric_cols:
+        q = F.round(F.col(c) * scale).cast("long")
+        aggs += [
+            F.count(c).alias(f"__n__{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn__{c}"),
+            F.coalesce(F.sum(q), F.lit(0)).alias(f"__s__{c}"),
+            F.coalesce(F.sum(q * q), F.lit(0)).alias(f"__q__{c}"),
+            F.min(q).alias(f"__mn__{c}"),
+            F.max(q).alias(f"__mx__{c}"),
+        ]
+    wide = df.groupBy(F.col(partition_col).alias("partition")).agg(*aggs)
+    n = len(numeric_cols)
+    stack = ", ".join(
+        f"'{c}', `__n__{c}`, `__nn__{c}`, `__s__{c}`, `__q__{c}`, "
+        f"`__mn__{c}`, `__mx__{c}`"
+        for c in numeric_cols
+    )
+    return wide.selectExpr(
+        "partition",
+        f"stack({n}, {stack}) as "
+        "(column, n, n_null, sum_s, sum_sq_s, min_v, max_v)",
+    )
+
+
+def merge_profiles(*profiles: DataFrame) -> DataFrame:
+    """Merge any number of ``mergeable_profile`` frames (one per snapshot
+    commit) into the table-lifetime profile: counts and power sums add,
+    min/max fold — a groupBy over METADATA-sized rows (partitions ×
+    columns), no data rescan. The result is bit-identical to profiling the
+    unioned data directly (pinned in tests), which is the property that
+    makes appends-only incremental profiling sound."""
+    allp = profiles[0]
+    for p in profiles[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("partition", "column").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("sum_s").alias("sum_s"),
+        F.sum("sum_sq_s").alias("sum_sq_s"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
 def key_skew(
     df: DataFrame,
     key_col: str,

@@ -5129,6 +5129,55 @@ FROM t GROUP BY source ORDER BY source
 """
 
 
+def q_merged_profile(spark, sf):
+    """Mergeable incremental profiling (profiler.mergeable_profile /
+    merge_profiles): the corpus is split into two "snapshot commits"
+    (doc_id parity), each commit profiled INDEPENDENTLY into exact-integer
+    power sums, then the two metadata-sized profiles merged — and the gate
+    checks the merge against DuckDB profiling the WHOLE table directly.
+    Equality here is the property that makes appends-only incremental
+    profiling sound: each commit scans only its own files, the
+    table-lifetime stats (incl. derived mean/variance, computed closed-form
+    AFTER the merge) are a vector add."""
+    from anomaly_detection_spark import profiler
+
+    raw = load(spark, sf, "documents").withColumnRenamed(
+        "source", "partition")
+    snap_a = raw.filter(F.col("doc_id") % 2 == 0)
+    snap_b = raw.filter(F.col("doc_id") % 2 == 1)
+    pa = profiler.mergeable_profile(snap_a, ["n_chars"], scale=1)
+    pb = profiler.mergeable_profile(snap_b, ["n_chars"], scale=1)
+    merged = profiler.merge_profiles(pa, pb)
+    mean6 = F.round(F.col("sum_s") / F.col("n"), 6)
+    var6 = F.round(
+        (F.col("sum_sq_s") - F.col("sum_s") * F.col("sum_s") / F.col("n"))
+        / F.col("n"),
+        6,
+    )
+    return merged.select(
+        "partition", F.col("column").alias("col_name"),
+        "n", "n_null", "sum_s", "sum_sq_s", "min_v", "max_v",
+        mean6.alias("mean6"), var6.alias("var6"),
+    ).orderBy("partition")
+
+
+SQL_MERGED_PROFILE = """
+SELECT source AS partition,
+       'n_chars' AS col_name,
+       CAST(COUNT(n_chars) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_s,
+       CAST(COALESCE(SUM(n_chars * n_chars), 0) AS BIGINT) AS sum_sq_s,
+       CAST(MIN(n_chars) AS BIGINT) AS min_v,
+       CAST(MAX(n_chars) AS BIGINT) AS max_v,
+       ROUND(SUM(n_chars) * 1.0 / COUNT(n_chars), 6) AS mean6,
+       ROUND((SUM(n_chars * n_chars) - SUM(n_chars) * SUM(n_chars) * 1.0
+              / COUNT(n_chars)) / COUNT(n_chars), 6) AS var6
+FROM documents GROUP BY source ORDER BY partition
+"""
+
+
 SQL_MEDIA_CAPTION_CHECK = """
 WITH docs AS (
   SELECT doc_id,
@@ -5352,4 +5401,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_run_check": (q_media_run_check, SQL_MEDIA_RUN_CHECK),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "modality_mix": (q_modality_mix, SQL_MODALITY_MIX),
+    "merged_profile": (q_merged_profile, SQL_MERGED_PROFILE),
 }

@@ -58,3 +58,40 @@ def test_text_kind_is_skewed(docs):
     rows = {r["kind"]: r["n"] for r in counts.collect()}
     total = sum(rows.values())
     assert rows["text"] / total > 0.40
+
+
+def test_mergeable_profile_merge_equals_recompute(spark):
+    """The incremental-profiling soundness property: profiling snapshot
+    commits separately and merging must be BIT-IDENTICAL to profiling the
+    union directly — including NULL columns, an all-null partition slice,
+    and cents-quantized doubles (scale=100)."""
+    from anomaly_detection_spark.profiler import (
+        merge_profiles,
+        mergeable_profile,
+    )
+
+    rows = [
+        ("p0", 1.25, 10), ("p0", 2.50, None), ("p0", None, 30),
+        ("p1", -7.75, 40), ("p1", 0.0, 50),
+        ("p2", None, None), ("p2", None, None),   # all-null slice
+    ]
+    df = spark.createDataFrame(rows, "partition string, x double, y int")
+    a = df.filter("y IS NULL OR y <= 30")
+    b = df.filter("y IS NOT NULL AND y > 30")
+
+    def key(frame):
+        return {
+            (r["partition"], r["column"]):
+            (r["n"], r["n_null"], r["sum_s"], r["sum_sq_s"],
+             r["min_v"], r["max_v"])
+            for r in frame.collect()
+        }
+
+    merged = key(merge_profiles(
+        mergeable_profile(a, ["x", "y"]), mergeable_profile(b, ["x", "y"])
+    ))
+    direct = key(mergeable_profile(df, ["x", "y"]))
+    assert merged == direct
+    # spot-check the exact integer sums (cents)
+    assert merged[("p0", "x")] == (2, 1, 375, 78125, 125, 250)
+    assert merged[("p2", "x")] == (0, 2, 0, 0, None, None)
