@@ -71,6 +71,21 @@ def _normalized_join(cur: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Merge per-commit (partition, bin, count) histograms into the
+    snapshot-lifetime histogram: counts are exact integers, so the merge is
+    a groupBy sum over metadata-sized rows and is bit-identical to
+    histogramming the unioned data — the same appends-only incremental
+    property as ``profiler.merge_profiles``, here feeding PSI/KS so drift
+    of a growing snapshot never re-reads committed files."""
+    allh = hists[0]
+    for h in hists[1:]:
+        allh = allh.unionByName(h)
+    return allh.groupBy("partition", "bin").agg(
+        F.sum("count").alias("count")
+    )
+
+
 def psi(cur: DataFrame, base: DataFrame, eps: float = EPS) -> DataFrame:
     """Population Stability Index per partition:
     ``sum((p-q) * ln(p/q))`` with epsilon-smoothed probabilities.

@@ -5178,6 +5178,108 @@ FROM documents GROUP BY source ORDER BY partition
 """
 
 
+def q_merged_drift(spark, sf):
+    """Incremental drift (drift.merge_histograms): the CURRENT snapshot
+    half arrives as two commits (event_id parity), each histogrammed
+    independently; the merged histogram feeds the engine's PSI against the
+    baseline half — and the oracle computes PSI from the whole current
+    slice directly. Equality is the appends-only property: drift of a
+    growing snapshot never re-reads committed files, only merges
+    metadata-sized histograms."""
+    from anomaly_detection_spark import drift
+
+    e = load(spark, sf, "events").withColumn("partition", F.lit("all"))
+    split = "2024-01-15"
+    cur = e.filter(F.col("ts") >= split)
+    base_h = drift.categorical_histogram(
+        e.filter(F.col("ts") < split), F.col("event_type"))
+    commit_a = drift.categorical_histogram(
+        cur.filter(F.col("event_id") % 2 == 0), F.col("event_type"))
+    commit_b = drift.categorical_histogram(
+        cur.filter(F.col("event_id") % 2 == 1), F.col("event_type"))
+    merged = drift.merge_histograms(commit_a, commit_b)
+    return drift.psi(merged, base_h).select(
+        "partition", F.round("psi", 6).alias("psi6"))
+
+
+SQL_MERGED_DRIFT = """
+WITH hist AS (
+  SELECT (ts >= TIMESTAMP '2024-01-15') AS is_cur, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), probs AS (
+  SELECT is_cur, event_type,
+         c * 1.0 / SUM(c) OVER (PARTITION BY is_cur) AS p
+  FROM hist
+), j AS (
+  SELECT COALESCE(cur.event_type, base.event_type) AS event_type,
+         GREATEST(COALESCE(cur.p, 0.0), 0.000001) AS pc,
+         GREATEST(COALESCE(base.p, 0.0), 0.000001) AS pb
+  FROM (SELECT event_type, p FROM probs WHERE is_cur) cur
+  FULL OUTER JOIN (SELECT event_type, p FROM probs WHERE NOT is_cur) base
+    ON cur.event_type = base.event_type
+)
+SELECT 'all' AS partition,
+       ROUND(SUM((pc - pb) * LN(pc / pb)), 6) AS psi6
+FROM j
+"""
+
+
+def q_span_dedup(spark, sf):
+    """Span-level exact dedup — the interleaved twin of exact_dup_groups:
+    the SAME caption text shared across many documents (boilerplate
+    "image credit" strings, templated alt-text). Explodes only the text
+    spans, hashes the payload, one map-side-combined agg per hash. Every
+    4th doc plants a shared boilerplate caption; the rest are unique and
+    must not surface."""
+    raw = load(spark, sf, "documents")
+    cap = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("standard header caption")
+    ).otherwise(F.substring("text", 1, 40))
+    docs = raw.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("text").alias("kind"), cap.alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("image").alias("kind"),
+                     F.lit(None).cast("string").alias("text"),
+                     F.concat(F.lit("m"), (F.col("doc_id") % 64)
+                              .cast("string")).alias("media_ref"),
+                     F.lit(1).alias("offset")),
+        ).alias("spans"),
+    )
+    caps = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+        ).alias("s"),
+    ).select("doc_id", F.md5(F.col("s.text")).alias("span_hash"))
+    return (
+        caps.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("span_hash")
+    )
+
+
+SQL_SPAN_DEDUP = """
+WITH caps AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 4 = 0 THEN 'standard header caption'
+                  ELSE substr(text, 1, 40) END) AS span_hash
+  FROM documents
+)
+SELECT span_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM caps GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY span_hash
+"""
+
+
 SQL_MEDIA_CAPTION_CHECK = """
 WITH docs AS (
   SELECT doc_id,
@@ -5402,4 +5504,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "modality_mix": (q_modality_mix, SQL_MODALITY_MIX),
     "merged_profile": (q_merged_profile, SQL_MERGED_PROFILE),
+    "merged_drift": (q_merged_drift, SQL_MERGED_DRIFT),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
 }

@@ -165,3 +165,28 @@ def test_quantile_drift_rule_flags_span_count_shift(spark):
     verd = {(r["partition"], r["rule_id"]): r["pass"] for r in res.verdicts.collect()}
     assert verd[("p1", "drift_quantile:spans_per_doc")] is False
     assert verd[("p0", "drift_quantile:spans_per_doc")] is True
+
+
+def test_merge_histograms_equals_recompute(spark):
+    """Histogramming two commits separately and merging must equal
+    histogramming the union — incl. a bin present in only one commit."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.drift import (
+        categorical_histogram,
+        merge_histograms,
+    )
+
+    rows = [("p0", "a", 0), ("p0", "a", 1), ("p0", "b", 2), ("p1", "c", 3)]
+    df = spark.createDataFrame(rows, "partition string, v string, i int")
+    a = df.filter("i % 2 = 0").drop("i")
+    b = df.filter("i % 2 = 1").drop("i")
+    df = df.drop("i")
+    merged = merge_histograms(
+        categorical_histogram(a, F.col("v")),
+        categorical_histogram(b, F.col("v")),
+    )
+    direct = categorical_histogram(df, F.col("v"))
+    as_set = lambda fr: {(r["partition"], r["bin"], r["count"])
+                         for r in fr.collect()}
+    assert as_set(merged) == as_set(direct)
