@@ -5280,6 +5280,69 @@ ORDER BY span_hash
 """
 
 
+def q_embedding_drift(spark, sf):
+    """Embedding-space drift per label: cosine between the CENTROIDS of
+    two snapshot commits (vec_id parity). Sum vectors replace means —
+    cosine is scale-invariant, so comparing integer SUM vectors equals
+    comparing means while every accumulation stays an exact integer
+    (posexplode the quantized components, two shuffles over (label, dim)
+    then label — dims are bounded, so state is metadata-sized no matter
+    how many vectors). The one float op is the final division, rounded.
+    A centroid_cos6 well below 1 flags a commit whose embeddings moved —
+    the modality-level drift check the PSI/KS family can't see."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(_quantize(F.col("embedding"))).alias("pos", "qx"),
+    )
+    sums = q.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("is_a"), F.col("qx")).otherwise(0)).alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("qx")).otherwise(0)).alias("sb"),
+    )
+    agg = sums.groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double"))
+    return agg.select(
+        "label", "dot", "na", "nb", F.round(cos, 6).alias("centroid_cos6")
+    ).orderBy("label")
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+           AS qv
+  FROM embeddings
+), e AS (
+  -- zipped unnests: generate_series in scalar context is a LIST, and
+  -- DuckDB aligns same-length unnests in one SELECT
+  SELECT label, (vec_id % 2 = 0) AS is_a,
+         unnest(generate_series(1, len(qv))) AS pos,
+         unnest(qv) AS qx
+  FROM q
+), s AS (
+  SELECT label, pos,
+         SUM(CASE WHEN is_a THEN qx ELSE 0 END) AS sa,
+         SUM(CASE WHEN NOT is_a THEN qx ELSE 0 END) AS sb
+  FROM e GROUP BY 1, 2
+)
+SELECT label,
+       CAST(SUM(sa*sb) AS BIGINT) AS dot,
+       CAST(SUM(sa*sa) AS BIGINT) AS na,
+       CAST(SUM(sb*sb) AS BIGINT) AS nb,
+       ROUND(CAST(SUM(sa*sb) AS DOUBLE)
+             / sqrt(CAST(SUM(sa*sa) AS DOUBLE)
+                  * CAST(SUM(sb*sb) AS DOUBLE)), 6) AS centroid_cos6
+FROM s GROUP BY label ORDER BY label
+"""
+
+
 SQL_MEDIA_CAPTION_CHECK = """
 WITH docs AS (
   SELECT doc_id,
@@ -5506,4 +5569,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merged_profile": (q_merged_profile, SQL_MERGED_PROFILE),
     "merged_drift": (q_merged_drift, SQL_MERGED_DRIFT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
 }

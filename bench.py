@@ -66,6 +66,8 @@ HEADLINE = [
     "media_caption_check",
     "modality_mix",
     "incremental_dedup",
+    "merged_profile",
+    "embedding_drift",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
