@@ -555,6 +555,33 @@ def psi_drift(base_docs: DataFrame, threshold: float = 0.25,
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def psi_drift_from_hist(base_hist: DataFrame, threshold: float = 0.25,
+                        rule_id: str = "drift_psi:span_kind") -> DatasetRule:
+    """PSI drift against a STORED baseline histogram — (partition, bin,
+    count) rows persisted by a previous run (``run_validation
+    --emit-histograms``) — instead of rescanning the baseline snapshot.
+    At 10^12 docs this is the difference between reading megabytes of
+    metadata and re-reading 100 TB: only the CURRENT snapshot is scanned,
+    and because histograms merge exactly (``drift.merge_histograms``) the
+    stored baseline can itself be the running merge of every committed
+    snapshot. Same verdict semantics as ``psi_drift``."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from anomaly_detection_spark import drift as _drift
+
+        cur = _drift.span_kind_histogram(docs, ctx.partition_col)
+        return _drift.psi(cur, base_hist).filter(
+            F.col("psi") > threshold
+        ).select(
+            "partition",
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.concat(F.lit("PSI="), F.round("psi", 4).cast("string")).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
 def quantile_drift(base_docs: DataFrame, value: F.Column | None = None,
                    rel_threshold_pct: int = 10,
                    rule_id: str = "drift_quantile:spans_per_doc") -> DatasetRule:

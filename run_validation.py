@@ -79,6 +79,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--export-csv", default=None,
                     help="also export the violation rows as headered CSV "
                          "(≈ the reference's export_all_anomalies_csv)")
+    ap.add_argument("--emit-histograms", action="store_true",
+                    help="persist the current snapshot's span-kind "
+                         "histogram to {output}/span_kind_hist — the "
+                         "metadata-sized drift baseline a later run "
+                         "consumes via --baseline-hist (histograms merge "
+                         "exactly across commits)")
+    ap.add_argument("--baseline-hist", default=None,
+                    help="parquet dir of a STORED (partition, bin, count) "
+                         "span-kind histogram (from --emit-histograms); "
+                         "enables PSI drift against it WITHOUT rescanning "
+                         "the baseline snapshot")
     ap.add_argument("--quarantine", default=None,
                     help="also write the INPUT docs routed by verdict: one "
                          "parquet dir partitioned by route=(clean|"
@@ -163,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
         rules.add(builtin.psi_drift(base_docs)).add(builtin.ks_drift(base_docs))
         rules.add(builtin.quantile_drift(base_docs))
         rules.add(builtin.row_count_drift(base_docs, max_rel_delta=args.max_row_delta))
+    elif args.baseline_hist:
+        # drift without touching baseline DATA: the stored histogram is the
+        # whole baseline state the PSI check needs
+        rules.add(builtin.psi_drift_from_hist(
+            spark.read.parquet(args.baseline_hist)))
     if args.expect_schema:
         import json as _json
 
@@ -240,6 +256,14 @@ def main(argv: list[str] | None = None) -> int:
         # can never double-write rows into the CSV either
         spark.read.parquet(f"{args.output}/violations").write.mode(
             "overwrite").option("header", True).csv(args.export_csv)
+    if args.emit_histograms:
+        # metadata-sized (partition, bin, count) rows: the drift baseline
+        # the NEXT run reads via --baseline-hist instead of rescanning
+        # this snapshot; merge_histograms folds commits exactly
+        from anomaly_detection_spark import drift as _drift
+
+        _drift.span_kind_histogram(docs, "partition").write.mode(
+            "overwrite").parquet(f"{args.output}/span_kind_hist")
     if args.quarantine:
         # The enforcement action validation exists for: route the corpus by
         # verdict. Reads the FULL violations sink (a resumed increment must

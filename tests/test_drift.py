@@ -109,6 +109,67 @@ def test_drift_rules_in_validation_suite(spark, snapshots):
     assert v[0]["partition"] == drifted
 
 
+def test_psi_from_stored_hist_matches_rescan(spark, snapshots, tmp_path):
+    """The incremental drift loop end-to-end through the CLUSTER entry
+    point: run 1 validates the baseline snapshot with --emit-histograms;
+    run 2 validates the current snapshot with --baseline-hist pointing at
+    run 1's stored histogram — and its PSI verdicts must equal the
+    rescan-based psi_drift rule evaluated on the baseline DATA."""
+    import run_validation
+
+    cur, base = snapshots
+    base.write.parquet(str(tmp_path / "base_docs"))
+    cur.write.parquet(str(tmp_path / "cur_docs"))
+    # minimal catalog: media_refs present in the fixtures
+    from pyspark.sql import functions as F
+
+    cat = (
+        base.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter("media_ref IS NOT NULL").distinct()
+        .union(
+            cur.select(F.explode("spans").alias("s"))
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .filter("media_ref IS NOT NULL").distinct()
+        ).distinct()
+    )
+    cat.write.parquet(str(tmp_path / "catalog"))
+
+    rc = run_validation.main([
+        "--input", str(tmp_path / "base_docs"),
+        "--catalog", str(tmp_path / "catalog"),
+        "--output", str(tmp_path / "run1"),
+        "--emit-histograms",
+    ])
+    assert rc == 0
+    hist_dir = tmp_path / "run1" / "span_kind_hist"
+    assert hist_dir.exists()
+
+    rc = run_validation.main([
+        "--input", str(tmp_path / "cur_docs"),
+        "--catalog", str(tmp_path / "catalog"),
+        "--output", str(tmp_path / "run2"),
+        "--baseline-hist", str(hist_dir),
+    ])
+    assert rc == 0
+    got = {
+        r["partition"]: r["pass"]
+        for r in spark.read.parquet(str(tmp_path / "run2" / "verdicts"))
+        .filter("rule_id = 'drift_psi:span_kind'").collect()
+    }
+
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+
+    res = ValidationRun(
+        spark, cur, RuleSet(dataset_rules=[builtin.psi_drift(base)])
+    ).run(resume=False)
+    want = {r["partition"]: r["pass"] for r in res.verdicts.collect()}
+    assert got == want
+    assert False in got.values() and True in got.values()
+
+
 def test_quantile_shift_flags_planted_median_move(spark):
     """Two groups, 1..100 in both windows — except group 'b' whose current
     window is scaled ×2: exact medians 50.5 vs 101.0, a 100% shift, so only
