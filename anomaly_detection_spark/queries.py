@@ -5026,19 +5026,15 @@ def q_incremental_dedup(spark, sf):
     from anomaly_detection_spark.functions import dedup as dd
 
     raw = load(spark, sf, "documents")
-    corpus = raw.filter(F.col("source") != "src19")
     appended = raw.filter(F.col("source") == "src19").select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.when(F.col("doc_id") % 2 == 1, F.col("text"))
         .otherwise(F.concat(F.col("text"), F.lit(" <novel>"))).alias("text"),
     )
-    # the planted dups duplicate OTHER sources' docs only if texts repeat
-    # across sources — they don't in this fixture, so plant the overlap by
-    # unioning the untouched src19 originals into the corpus side (the
-    # "previous snapshot already contained these files" case).
-    prev = corpus.select("doc_id", "text").unionByName(
-        raw.filter(F.col("source") == "src19").select("doc_id", "text")
-    )
+    # the "previous snapshot" already contains the src19 originals (the
+    # appended slice re-keys modified copies of them) — i.e. the whole
+    # fixture table, stated directly like the oracle's prev CTE
+    prev = raw.select("doc_id", "text")
     return dd.incremental_exact_dups(prev, appended).orderBy("new_id")
 
 
@@ -5112,9 +5108,11 @@ def q_modality_mix(spark, sf):
 SQL_MODALITY_MIX = f"""
 WITH t AS (
   SELECT source,
-         CAST(len(list_filter(
+         -- COALESCE matches Spark's NULL-text handling (array_join skips
+         -- NULL span text -> 0 tokens, doc still counted)
+         CAST(COALESCE(len(list_filter(
              regexp_split_to_array(trim(substr(text, 1, 200)), '\\s+'),
-             x -> x <> '')) AS BIGINT) AS tt,
+             x -> x <> '')), 0) AS BIGINT) AS tt,
          CAST(64 * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS mt
   FROM documents
 )

@@ -570,7 +570,12 @@ def psi_drift_from_hist(base_hist: DataFrame, threshold: float = 0.25,
         from anomaly_detection_spark import drift as _drift
 
         cur = _drift.span_kind_histogram(docs, ctx.partition_col)
-        return _drift.psi(cur, base_hist).filter(
+        # the store may hold one subdir per committed snapshot (idempotent
+        # incremental writes); fold them here — counts are additive, and a
+        # single-histogram store reduces to the identity
+        base = base_hist.groupBy("partition", "bin").agg(
+            F.sum("count").alias("count"))
+        return _drift.psi(cur, base).filter(
             F.col("psi") > threshold
         ).select(
             "partition",

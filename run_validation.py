@@ -208,13 +208,76 @@ def main(argv: list[str] | None = None) -> int:
         verdict_diff(cur, prev).write.mode("overwrite").parquet(
             f"{args.output}/verdict_diff")
 
+    def write_histograms() -> None:
+        """Persist the scanned rows' span-kind histogram under
+        ``{output}/span_kind_hist/snapshot=<id>`` — metadata-sized
+        (partition, bin, count) rows a later run reads via
+        --baseline-hist. Incremental scans add their commit as a NEW
+        subdir; the reader merges subdirs exactly (histogram counts are
+        additive), so the stored baseline is always the whole-snapshot
+        distribution, never just the last increment. Writing per-snapshot
+        subdirs (not a read-merge-overwrite of one file) keeps the sink
+        IDEMPOTENT under the crash-retry resume contract: re-running
+        snapshot S overwrites only subdir S, never double-folds it."""
+        from anomaly_detection_spark import drift as _drift
+
+        base = f"{args.output}/span_kind_hist"
+        hist = _drift.span_kind_histogram(docs, "partition")
+        hist.write.mode("overwrite").parquet(
+            f"{base}/snapshot={args.snapshot_id}")
+        if not args.incremental_from:
+            # full scan = the complete snapshot state: drop other commits'
+            # subdirs so they can't double-count rows the full scan saw.
+            # (Local-fs cleanup; an object-store/Iceberg deployment does
+            # this as a metadata delete in the same transaction.)
+            import os as _os
+            import shutil as _shutil
+
+            for sub in _os.listdir(base):
+                if sub.startswith("snapshot=") and \
+                        sub != f"snapshot={args.snapshot_id}":
+                    _shutil.rmtree(_os.path.join(base, sub),
+                                   ignore_errors=True)
+
+    def write_quarantine() -> None:
+        """Route the INPUT corpus by verdict from the FULL violations sink
+        (a resumed increment must quarantine on the complete picture):
+        distinct non-null violating doc_ids in one left join (AQE
+        broadcast-converts when small), plus docs with NULL doc_id — they
+        can never be matched to a violation row, and an untrackable doc
+        must not ship to training via route=clean."""
+        from pyspark.sql import functions as F
+
+        bad_ids = (
+            spark.read.parquet(f"{args.output}/violations")
+            .select("doc_id").filter(F.col("doc_id").isNotNull())
+            .distinct().withColumn("_q", F.lit(True))
+        )
+        # route is a STRING partition column (clean|quarantined): partition
+        # directory values round-trip as strings, so a boolean would come
+        # back re-typed on read
+        docs.join(bad_ids, "doc_id", "left").withColumn(
+            "route",
+            F.when(F.col("_q") | F.col("doc_id").isNull(),
+                   F.lit("quarantined")).otherwise(F.lit("clean")),
+        ).drop("_q").write.mode("overwrite").partitionBy(
+            "route").parquet(args.quarantine)
+
     if result.nothing_pending:
         # every planned pair is already committed: leave the existing sink
         # outputs untouched (overwriting them with the empty frames would
         # clobber the previous run's real results) — but still refresh the
-        # requested diff, or a stale one from an earlier run would linger
+        # requested derived outputs (diff, histograms, quarantine), or a
+        # stale/absent one from an earlier run would linger: they derive
+        # from the input + the already-complete sinks, not from this run's
+        # (empty) increment
         if args.diff_prev:
             write_verdict_diff(spark.read.parquet(args.diff_prev).localCheckpoint())
+        if args.emit_histograms:
+            # idempotent: re-running snapshot S only rewrites subdir S
+            write_histograms()
+        if args.quarantine:
+            write_quarantine()
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
               "(resume: nothing pending, outputs unchanged)")
         if owns_session:
@@ -257,38 +320,9 @@ def main(argv: list[str] | None = None) -> int:
         spark.read.parquet(f"{args.output}/violations").write.mode(
             "overwrite").option("header", True).csv(args.export_csv)
     if args.emit_histograms:
-        # metadata-sized (partition, bin, count) rows: the drift baseline
-        # the NEXT run reads via --baseline-hist instead of rescanning
-        # this snapshot; merge_histograms folds commits exactly
-        from anomaly_detection_spark import drift as _drift
-
-        _drift.span_kind_histogram(docs, "partition").write.mode(
-            "overwrite").parquet(f"{args.output}/span_kind_hist")
+        write_histograms()
     if args.quarantine:
-        # The enforcement action validation exists for: route the corpus by
-        # verdict. Reads the FULL violations sink (a resumed increment must
-        # quarantine on the complete picture, not this run's delta), takes
-        # the distinct non-null violating doc_ids (dataset rules like
-        # min_completeness emit NULL doc_id — partition-level verdicts
-        # don't quarantine individual docs), and flags the input in ONE
-        # scan + one join that AQE broadcast-converts when the violating
-        # set is small. partitionBy splits the output dirs without a second
-        # pass over the corpus.
-        from pyspark.sql import functions as F
-
-        bad_ids = (
-            spark.read.parquet(f"{args.output}/violations")
-            .select("doc_id").filter(F.col("doc_id").isNotNull())
-            .distinct().withColumn("_q", F.lit(True))
-        )
-        # route is a STRING partition column (clean|quarantined): partition
-        # directory values round-trip as strings, so a boolean would come
-        # back re-typed on read
-        docs.join(bad_ids, "doc_id", "left").withColumn(
-            "route",
-            F.when(F.col("_q"), F.lit("quarantined")).otherwise(F.lit("clean")),
-        ).drop("_q").write.mode("overwrite").partitionBy(
-            "route").parquet(args.quarantine)
+        write_quarantine()
     if manifest is not None:
         manifest.commit(result.metrics)
 

@@ -170,6 +170,45 @@ def test_psi_from_stored_hist_matches_rescan(spark, snapshots, tmp_path):
     assert False in got.values() and True in got.values()
 
 
+def test_nothing_pending_still_writes_derived_outputs(spark, snapshots,
+                                                      tmp_path):
+    """A fully-committed resumed run must still produce the REQUESTED
+    derived outputs (histograms, quarantine) — they derive from the input
+    and the complete sinks, not from the (empty) increment; skipping them
+    silently returned rc=0 without the drift baseline or routed corpus."""
+    import run_validation
+
+    cur, _ = snapshots
+    cur.write.parquet(str(tmp_path / "docs"))
+    from pyspark.sql import functions as F
+
+    (cur.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter("media_ref IS NOT NULL").distinct()
+        .write.parquet(str(tmp_path / "catalog")))
+
+    common = [
+        "--input", str(tmp_path / "docs"),
+        "--catalog", str(tmp_path / "catalog"),
+        "--output", str(tmp_path / "out"),
+        "--manifest", str(tmp_path / "manifest"),
+        "--snapshot-id", "s1",
+    ]
+    assert run_validation.main(common) == 0
+    # second run: everything committed -> nothing pending; derived outputs
+    # requested only now must still be produced
+    assert run_validation.main(common + [
+        "--resume", "--emit-histograms",
+        "--quarantine", str(tmp_path / "routed"),
+    ]) == 0
+    hist = spark.read.parquet(str(tmp_path / "out" / "span_kind_hist"))
+    assert hist.count() > 0
+    routed = spark.read.parquet(str(tmp_path / "routed"))
+    assert routed.count() == cur.count()
+    assert {r["route"] for r in routed.select("route").distinct().collect()} \
+        <= {"clean", "quarantined"}
+
+
 def test_quantile_shift_flags_planted_median_move(spark):
     """Two groups, 1..100 in both windows — except group 'b' whose current
     window is scaled ×2: exact medians 50.5 vs 101.0, a 100% shift, so only

@@ -124,18 +124,23 @@ def test_rules_config_flag_extends_cluster_entrypoint(spark, docs, catalog,
     assert learned.filter("NOT pass").count() > 0
 
     # --quarantine routes the corpus by verdict: every input doc lands in
-    # exactly one side, the quarantined side is exactly the distinct
-    # non-null violating ids, and no clean doc is quarantined
+    # exactly one side; the quarantined side is the distinct non-null
+    # violating ids PLUS every NULL-doc_id doc (untrackable docs must not
+    # ship to training as 'clean'), and no clean doc is quarantined
     routed = spark.read.parquet(str(tmp_path / "routed"))
     viols = spark.read.parquet(str(tmp_path / "out" / "violations"))
     bad = {
         r["doc_id"] for r in
         viols.filter("doc_id IS NOT NULL").select("doc_id").distinct().collect()
     }
+    n_null_ids = docs.filter("doc_id IS NULL").count()
+    assert n_null_ids > 0  # the fixture plants them (not_null defect class)
     assert routed.count() == docs.count()
     got_q = {r["doc_id"] for r in
              routed.filter("route = 'quarantined'").select("doc_id").collect()}
-    assert got_q == bad and len(bad) > 0
+    assert got_q == bad | {None} and len(bad) > 0
+    assert routed.filter("route = 'quarantined' AND doc_id IS NULL").count() \
+        == n_null_ids
 
 
 def test_checked_in_interleaved_suite_loads_and_enforces(spark):
