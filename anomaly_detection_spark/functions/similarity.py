@@ -293,3 +293,73 @@ def lsh_sign_bucket(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column
         )
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def semantic_prune(
+    emb: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    scale: int = 1000,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each coarse cluster, a vector is PRUNED when
+    an earlier (lower-id) member of the same cluster sits at cosine ≥
+    ``threshold`` — semantically-redundant training examples that exact and
+    MinHash dedup (different surface text) can never catch. The
+    keep-the-earliest rule is the deterministic analogue of SemDeDup's
+    keep-one-per-ε-ball; no transitive closure is needed because every
+    pruned vector names its earliest qualifying duplicate.
+
+    Shape: the pairwise test runs as a per-cluster equi-join — Σ|cluster|²
+    work, never n² — exactly the IVF discipline (``ivf_topk``). Cluster
+    granularity is the knob that bounds |cluster|; ``max_bucket`` is the
+    guard-rail for degenerate clusterings (a cluster above the cap is
+    excluded and reported upstream rather than silently exploding the
+    join — same default-on cap discipline as ``dedup.lsh_candidate_pairs``).
+    Components quantize to int64 milli-units so every dot product and norm
+    is an exact integer; the single float op is the final cosine division.
+
+    Returns one row per pruned vector:
+    ``(vec_id, bucket, canonical_id, best_cos6)`` with ``canonical_id`` the
+    LOWEST qualifying earlier id and ``best_cos6`` the highest cosine seen.
+    """
+    qz = F.transform(F.col(vec_col),
+                     lambda x: F.round(x.cast("double") * scale).cast("long"))
+    inrm = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    e = emb.select(
+        F.col(id_col).alias("_id"), qz.alias("_v"),
+        F.col(bucket_col).alias("_b"),
+    ).withColumn("_n", inrm(F.col("_v")))
+    sizes = e.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = e.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= max_bucket).select("_b")), "_b"
+    )
+    u = bounded.select(F.col("_b"), F.col("_id").alias("u_id"),
+                       F.col("_v").alias("uv"), F.col("_n").alias("un"))
+    v = bounded.select(F.col("_b"), F.col("_id").alias("v_id"),
+                       F.col("_v").alias("vv"), F.col("_n").alias("vn"))
+    idot = F.aggregate(
+        F.zip_with("uv", "vv", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    cos6 = F.round(
+        idot.cast("double")
+        / F.sqrt(F.col("un").cast("double") * F.col("vn").cast("double")),
+        6,
+    )
+    pairs = (
+        u.join(v, "_b")
+        .filter(F.col("u_id") < F.col("v_id"))
+        .select(F.col("_b").alias("bucket"), "u_id", "v_id",
+                cos6.alias("_c"))
+        .filter(F.col("_c") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("v_id").alias(id_col), "bucket")
+        .agg(F.min("u_id").alias("canonical_id"),
+             F.max("_c").alias("best_cos6"))
+    )

@@ -76,6 +76,27 @@ def lang_id(col: Column | str) -> Column:
     return F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
+# Mojibake / encoding-damage detector: C0 control characters that never
+# belong in clean text (everything below 0x20 except \t \n \r) plus the
+# Unicode replacement character U+FFFD — the residue of a bad decode.
+# Same discipline as functions/pii.py: the pattern is restricted to syntax
+# where Java regex and RE2 agree (``\x{...}`` escapes work in both engines'
+# character classes; ``�`` is Java-only), so the DuckDB oracle runs the
+# literal same pattern.
+ENCODING_ANOMALY_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]"
+
+
+def encoding_anomaly_count(col: Column | str) -> Column:
+    """Number of encoding-anomaly characters (C0 controls / U+FFFD) in the
+    string; 0 for NULL input. Pure JVM codegen — a validation engine scans
+    every byte of a 100 TB corpus with this, so it must never leave
+    whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(ENCODING_ANOMALY_RE)), F.lit(0)
+    )
+
+
 def sensitivity_score(col: Column | str, weights: dict[str, float] | None = None) -> Column:
     """Additive keyword sensitivity score capped at 1.0 (≈ the reference's
     content sensitivity scoring, data_normalizer.py:398-421,434-454 — a

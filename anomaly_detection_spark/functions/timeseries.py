@@ -145,3 +145,92 @@ def dominant_period(
         .select(key_col, F.col("lag").alias("best_lag"), "n_pairs",
                 F.col("acf").alias("best_acf"))
     )
+
+
+def interval_overlap_stats(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-key overlapping-interval detection: for each key's intervals
+    ordered by (start, ``order_col``), flag adjacent pairs whose next start
+    begins before the current end — double-booked sessions, overlapping
+    effective-dated dimension rows, concurrent logons. A temporal-validity
+    constraint the reference's per-row loops never check and SQL's UNIQUE
+    can't express.
+
+    Shape: ONE shuffle (the per-key sort window); everything else is lag
+    arithmetic in the same stage. Start/end must be exact integers (epoch
+    micros) so overlap durations are engine-portable. ``order_col`` breaks
+    start-time ties deterministically. Adjacent-pair semantics (interval i
+    vs i+1) — the standard streaming-compatible form; a fully-contained
+    interval also overlaps its immediate successor's start, so no overlap
+    escapes entirely.
+
+    Returns (key, n_intervals, n_overlaps, total_overlap, max_overlap) for
+    keys with at least one overlap.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(order_col).asc()
+    )
+    nxt = F.lead(start_col).over(w)
+    ov = F.when(
+        nxt.isNotNull() & (nxt < F.col(end_col)), F.col(end_col) - nxt
+    ).otherwise(F.lit(0).cast("long"))
+    flagged = df.select(
+        F.col(key_col).alias("key"), ov.alias("_ov")
+    )
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("_ov") > 0, 1).otherwise(0)).alias("n_overlaps"),
+            F.sum("_ov").alias("total_overlap"),
+            F.max("_ov").alias("max_overlap"),
+        )
+        .filter(F.col("n_overlaps") > 0)
+    )
+
+
+def calendar_gaps(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Per-key calendar completeness: which days inside [min(day), max(day)]
+    have no rows at all — the freshness/continuity check behind "this feed
+    skipped a day" alerts (Deequ's Completeness is per-column; this is
+    per-partition-over-time).
+
+    Shape: one groupBy(key) collecting the bounded distinct-day set, then
+    the expected calendar materializes IN-ROW with ``sequence(min, max)``
+    and the gap set is an ``array_except`` — no calendar dimension table,
+    no second shuffle, no explode. The per-key state is bounded by the
+    calendar span (years → thousands of elements), never by row count, so
+    the plan is identical at 10^12 rows.
+
+    Returns (key, n_days_expected, n_days_present, n_missing, first_missing)
+    for keys with at least one missing day.
+    """
+    days = df.select(
+        F.col(key_col).alias("key"), F.col(date_col).cast("date").alias("_d")
+    )
+    agg = days.groupBy("key").agg(
+        F.min("_d").alias("_mn"),
+        F.max("_d").alias("_mx"),
+        F.collect_set("_d").alias("_present"),
+    )
+    expected = F.sequence(F.col("_mn"), F.col("_mx"))
+    missing = F.array_sort(F.array_except(expected, F.col("_present")))
+    return (
+        agg.select(
+            "key",
+            F.size(expected).alias("n_days_expected"),
+            F.size("_present").alias("n_days_present"),
+            F.size(missing).alias("n_missing"),
+            F.element_at(missing, 1).alias("first_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+    )

@@ -5438,6 +5438,220 @@ FROM w WHERE n > 1 ORDER BY doc_id
 """
 
 
+def q_encoding_anomalies(spark, sf):
+    """Corpus encoding hygiene (the ``text_encoding_clean`` row rule's
+    expression over a whole corpus): plant U+FFFD / C0-control damage in a
+    deterministic doc subset, then count damaged docs and anomaly chars per
+    source with the same pure-codegen ``encoding_anomaly_count`` the fused
+    rule scan runs. The mojibake check the reference's advisory CSV loader
+    (data_loader.py:45-52) never had."""
+    from anomaly_detection_spark.functions.text import encoding_anomaly_count
+
+    docs = load(spark, sf, "documents")
+    t = (
+        F.when(F.col("doc_id") % 37 == 0,
+               F.concat(F.col("text"), F.lit("�")))
+        .when(F.col("doc_id") % 41 == 0,
+              F.concat(F.lit("\x07"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    per = docs.select("source", encoding_anomaly_count(t).alias("n_anom"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_anom") > 0, 1).otherwise(0))
+            .alias("n_bad_docs"),
+            F.sum("n_anom").cast("long").alias("n_anom_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ENCODING_ANOMALIES = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN doc_id % 37 = 0 THEN text || chr(65533)
+              WHEN doc_id % 41 = 0 THEN chr(7) || text
+              ELSE text END AS tx
+  FROM documents
+), c AS (
+  SELECT source,
+         len(regexp_extract_all(tx, '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]'))
+           AS n_anom
+  FROM t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_anom > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_docs,
+       CAST(SUM(COALESCE(n_anom, 0)) AS BIGINT) AS n_anom_chars
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+def q_interval_overlaps(spark, sf):
+    """Temporal-validity constraint (timeseries.interval_overlap_stats):
+    events become intervals [ts, ts + deterministic duration); adjacent
+    intervals of the same user that overlap are double-booked sessions.
+    ONE shuffle (the per-user sort window), exact integer microseconds."""
+    from anomaly_detection_spark.functions.timeseries import interval_overlap_stats
+
+    e = load(spark, sf, "events")
+    dur_us = (
+        F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(7200))
+        * F.lit(1_000_000)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id", "event_id",
+        us.alias("start_us"),
+        (us + dur_us).alias("end_us"),
+    )
+    out = interval_overlap_stats(iv, "user_id", "start_us", "end_us", "event_id")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_intervals", "n_overlaps",
+        F.col("total_overlap").alias("total_overlap_us"),
+        F.col("max_overlap").alias("max_overlap_us"),
+    ).orderBy("user_id")
+
+
+SQL_INTERVAL_OVERLAPS = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (((CAST(floor(value*100) AS BIGINT) % 7200) + 7200) % 7200)
+             * 1000000 AS e
+  FROM events
+), p AS (
+  SELECT user_id, e,
+         LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS nxt
+  FROM iv
+), o AS (
+  SELECT user_id,
+         CASE WHEN nxt IS NOT NULL AND nxt < e THEN e - nxt ELSE 0 END AS ov
+  FROM p
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_us,
+       CAST(MAX(ov) AS BIGINT) AS max_overlap_us
+FROM o GROUP BY user_id
+HAVING SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
+def q_date_gap_check(spark, sf):
+    """Calendar-completeness check (timeseries.calendar_gaps): per user,
+    days inside [first, last] with no events at all — the "this feed
+    skipped a day" freshness alert. One groupBy; the expected calendar
+    materializes in-row with ``sequence`` and gaps are an ``array_except``
+    — per-key state bounded by the calendar span, never by row count."""
+    from anomaly_detection_spark.functions.timeseries import calendar_gaps
+
+    e = load(spark, sf, "events")
+    g = calendar_gaps(e, "user_id", "ts")
+    return g.select(
+        F.col("key").alias("user_id"),
+        F.col("n_days_expected").cast("long").alias("n_days_expected"),
+        F.col("n_days_present").cast("long").alias("n_days_present"),
+        F.col("n_missing").cast("long").alias("n_missing"),
+        F.col("first_missing").cast("string").alias("first_missing_day"),
+    ).orderBy("user_id")
+
+
+SQL_DATE_GAP_CHECK = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS dd FROM events),
+a AS (
+  SELECT user_id, MIN(dd) AS mn, MAX(dd) AS mx,
+         CAST(COUNT(DISTINCT dd) AS BIGINT) AS np,
+         list(DISTINCT dd) AS present
+  FROM d GROUP BY user_id
+), g AS (
+  SELECT user_id,
+         CAST(datediff('day', mn, mx) + 1 AS BIGINT) AS n_days_expected,
+         np AS n_days_present,
+         list_sort(list_filter(
+             list_transform(generate_series(mn, mx, INTERVAL 1 DAY),
+                            t -> CAST(t AS DATE)),
+             x -> NOT list_contains(present, x))) AS missing
+  FROM a
+)
+SELECT user_id, n_days_expected, n_days_present,
+       CAST(len(missing) AS BIGINT) AS n_missing,
+       CAST(missing[1] AS VARCHAR) AS first_missing_day
+FROM g WHERE len(missing) > 0 ORDER BY user_id
+"""
+
+
+def q_semantic_prune(spark, sf):
+    """SemDeDup-style semantic dedup (similarity.semantic_prune): vectors
+    vec_id<25 get planted near-copies (same direction, 1.02× magnitude —
+    cosine ≈ 1, invisible to exact/MinHash dedup) unioned in at id+10000;
+    within-cluster pairwise cosine ≥ 0.95 prunes each copy back to its
+    original. Natural intra-cluster cosines top out at ~0.47 here, so the
+    planted set is exactly what must surface. Per-cluster equi-join —
+    Σ|cluster|², never n² — with the default degenerate-cluster cap."""
+    from anomaly_detection_spark.functions.similarity import semantic_prune
+
+    emb = load(spark, sf, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * F.lit(1.02)).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    pruned = semantic_prune(
+        emb.select("vec_id", "embedding", "label").unionByName(copies),
+        threshold=0.95,
+    )
+    return pruned.select(
+        "vec_id",
+        F.col("bucket").cast("long").alias("label"),
+        "canonical_id",
+        "best_cos6",
+    ).orderBy("vec_id")
+
+
+SQL_SEMANTIC_PRUNE = """
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) * 1.02 AS REAL))
+           AS embedding,
+         label
+  FROM embeddings WHERE vec_id < 25
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+           AS qv
+  FROM base
+), n AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nn
+  FROM q
+), ok AS (
+  SELECT label FROM n GROUP BY label HAVING COUNT(*) <= 2000
+), b AS (
+  SELECT n.* FROM n JOIN ok USING (label)
+), pairs AS (
+  SELECT u.label AS label, u.vec_id AS u_id, v.vec_id AS v_id,
+         round(list_inner_product(u.qv, v.qv)
+               / sqrt(CAST(u.nn AS DOUBLE) * CAST(v.nn AS DOUBLE)), 6) AS c
+  FROM b u JOIN b v ON u.label = v.label AND u.vec_id < v.vec_id
+)
+SELECT v_id AS vec_id, label,
+       MIN(u_id) AS canonical_id, MAX(c) AS best_cos6
+FROM pairs WHERE c >= 0.95
+GROUP BY v_id, label ORDER BY vec_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5568,4 +5782,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merged_drift": (q_merged_drift, SQL_MERGED_DRIFT),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
+    "encoding_anomalies": (q_encoding_anomalies, SQL_ENCODING_ANOMALIES),
+    "interval_overlaps": (q_interval_overlaps, SQL_INTERVAL_OVERLAPS),
+    "date_gap_check": (q_date_gap_check, SQL_DATE_GAP_CHECK),
+    "semantic_prune": (q_semantic_prune, SQL_SEMANTIC_PRUNE),
 }

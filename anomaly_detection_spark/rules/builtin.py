@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from anomaly_detection_spark.rules.core import DatasetRule, RowRule, RuleContext
 from anomaly_detection_spark.functions.spans import offsets_invalid_reason
+from anomaly_detection_spark.functions.text import encoding_anomaly_count
 
 
 # ---------------------------------------------------------------- row rules
@@ -164,6 +165,31 @@ def text_present_on_text_spans(spans_col: str = "spans") -> RowRule:
         rule_id="text_present_on_text_spans",
         violation=F.size(bad) > 0,
         detail=F.concat(F.lit("text-kind spans with NULL text: "), F.size(bad).cast("string")),
+    )
+
+
+def text_encoding_clean(spans_col: str = "spans",
+                        rule_id: str = "text_encoding_clean") -> RowRule:
+    """No mojibake: text spans must carry no C0 control characters (other
+    than tab/newline/CR) and no U+FFFD replacement characters — the residue
+    of a bad decode upstream. A first-class corpus-hygiene check the
+    reference's advisory CSV loading never had (``data_loader.py:45-52``
+    infers dtypes and moves on); at 10^12 documents a silent re-encode
+    corrupts training text invisibly.
+
+    Pure codegen: ``encoding_anomaly_count`` per span summed in-row via
+    ``aggregate`` — no explode, no shuffle, rides the fused single scan."""
+    n_bad = F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + encoding_anomaly_count(s["text"]).cast("long"),
+    )
+    return RowRule(
+        rule_id=rule_id,
+        violation=F.col("_enc_bad") > 0,
+        detail=F.concat(F.lit("encoding anomaly chars: "),
+                        F.col("_enc_bad").cast("string")),
+        bind={"_enc_bad": n_bad},
     )
 
 

@@ -48,6 +48,7 @@ _BUILDERS = {
     "media_ref_present_on_media_spans":
         lambda e: builtin.media_ref_present_on_media_spans(),
     "offsets_valid_native": lambda e: builtin.offsets_valid_native(),
+    "text_encoding_clean": lambda e: builtin.text_encoding_clean(),
     "span_sequence_valid_row": lambda e: builtin.span_sequence_valid_row(),
     "media_caption_adjacent": lambda e: builtin.media_caption_adjacent(),
     "media_run_cap": lambda e: builtin.media_run_cap(
