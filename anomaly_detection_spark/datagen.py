@@ -37,6 +37,7 @@ NEG_OFFSET = 41
 DUP_OFFSET = 43
 EMPTY_SPANS = 47
 NULL_OFFSET = 53
+MOJIBAKE = 59
 
 SPAN_KINDS = ["text", "image", "audio", "table"]
 
@@ -138,6 +139,12 @@ def _span_for_index(did: Column, i: Column, drifted: Column, n_media: int,
     if plant_defects:
         mod = F.pmod(did, DEFECT_MOD)
         text_val = F.when((mod == NULL_TEXT) & (i == 0), F.lit(None).cast("string")).otherwise(text_val)
+        # mojibake plant: every text span of the doc carries one C0 control
+        # char (so the doc fires text_encoding_clean whenever it has any
+        # text span at all, regardless of which span indexes drew 'text')
+        text_val = F.when(
+            mod == MOJIBAKE, F.concat(text_val, F.lit("\x07"))
+        ).otherwise(text_val)
         media_ref = F.when(
             (mod == DANGLING_REF) & (i == 0),
             F.concat(F.lit("missing_"), did.cast("string")),

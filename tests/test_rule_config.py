@@ -166,4 +166,5 @@ def test_checked_in_interleaved_suite_loads_and_enforces(spark):
     # datagen plants span-sequence and referential-shape defects; the
     # interleaved alignment rules fire on its caption-less media spans
     assert "media_caption_adjacent" in fired
+    assert "text_encoding_clean" in fired  # datagen's MOJIBAKE plant
     assert res.verdicts.count() > 0

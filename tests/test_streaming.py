@@ -53,7 +53,8 @@ def test_streaming_row_rules_match_batch(spark, docs, stream_dirs):
     rules = RuleSet(
         row_rules=builtin.default_document_rules()
         + [builtin.span_sequence_valid_row(), builtin.no_pii(),
-           builtin.media_caption_adjacent(), builtin.media_run_cap(max_run=2)]
+           builtin.media_caption_adjacent(), builtin.media_run_cap(max_run=2),
+           builtin.text_encoding_clean()]
     )
     stream = read_document_stream(spark, f"{src}/*", max_files_per_trigger=1)
     got_df = _run_to_memory(
@@ -69,6 +70,8 @@ def test_streaming_row_rules_match_batch(spark, docs, stream_dirs):
         for r in batch.violations.collect()
     }
     assert got == want and len(want) > 0
+    # datagen's MOJIBAKE plant must fire through the streaming pass too
+    assert any(r[1] == "text_encoding_clean" for r in got)
 
 
 def test_streaming_referential_matches_batch(spark, docs, catalog, stream_dirs):
