@@ -5652,6 +5652,72 @@ GROUP BY v_id, label ORDER BY vec_id
 """
 
 
+def q_commit_diff(spark, sf):
+    """Doc-level commit-to-commit audit (snapshots.snapshot_diff): the
+    "current" commit drops doc_id%11 docs, rewrites the text of doc_id%13
+    docs, and appends re-keyed copies of doc_id%17 docs; the diff must
+    classify every key added/removed/changed/unchanged and roll the counts
+    up per source. ONE full-outer merge join on the key — on an Iceberg
+    layout bucketed by doc_id, a co-located merge with no extra shuffle."""
+    from anomaly_detection_spark.snapshots import snapshot_diff
+
+    raw = load(spark, sf, "documents")
+    fp_of = lambda c: F.md5(F.coalesce(c, F.lit("<null>")))  # noqa: E731
+    prev = raw.select("doc_id", "source", fp_of(F.col("text")).alias("fp"))
+    cur_text = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    cur = (
+        raw.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", "source", fp_of(cur_text).alias("fp"))
+        .unionByName(
+            raw.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "source",
+                fp_of(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+            )
+        )
+    )
+    d = snapshot_diff(prev, cur, key_col="doc_id", fp_col="fp",
+                      carry=["source"])
+    cnt = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("diff_class") == k, 1).otherwise(0)).alias(f"n_{k}")
+    return (
+        d.groupBy("source")
+        .agg(cnt("added"), cnt("removed"), cnt("changed"), cnt("unchanged"))
+        .orderBy("source")
+    )
+
+
+SQL_COMMIT_DIFF = """
+WITH prev AS (
+  SELECT doc_id, source, md5(COALESCE(text, '<null>')) AS fp FROM documents
+), cur AS (
+  SELECT doc_id, source,
+         md5(COALESCE(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                           ELSE text END, '<null>')) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, source,
+         md5(COALESCE(text || ' new', '<null>')) AS fp
+  FROM documents WHERE doc_id % 17 = 0
+), j AS (
+  SELECT COALESCE(c.source, p.source) AS source,
+         CASE WHEN p.fp IS NULL THEN 'added'
+              WHEN c.fp IS NULL THEN 'removed'
+              WHEN p.fp <> c.fp THEN 'changed'
+              ELSE 'unchanged' END AS cls
+  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5786,4 +5852,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "interval_overlaps": (q_interval_overlaps, SQL_INTERVAL_OVERLAPS),
     "date_gap_check": (q_date_gap_check, SQL_DATE_GAP_CHECK),
     "semantic_prune": (q_semantic_prune, SQL_SEMANTIC_PRUNE),
+    "commit_diff": (q_commit_diff, SQL_COMMIT_DIFF),
 }

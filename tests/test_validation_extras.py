@@ -148,3 +148,110 @@ def test_semantic_prune_no_cartesian(spark, prune_vecs):
     plan = semantic_prune(prune_vecs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _overlap_ref(rows):
+    """Independent Python model of interval_overlap_stats."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, i, s, e in rows:
+        by_key[k].append((s, i, e))
+    out = {}
+    for k, ivs in by_key.items():
+        ivs.sort()
+        ovs = [
+            max(0, e - nxt_s) if nxt_s < e else 0
+            for (s, i, e), (nxt_s, _, _) in zip(ivs, ivs[1:])
+        ]
+        n_over = sum(1 for o in ovs if o > 0)
+        if n_over:
+            out[k] = (len(ivs), n_over, sum(ovs), max(ovs))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 10_000),        # order id (deduped below)
+              st.integers(0, 40),             # start
+              st.integers(0, 25)),            # duration
+    min_size=1, max_size=50))
+def test_interval_overlap_property(spark, raw):
+    seen, rows = set(), []
+    for k, i, s, d in raw:
+        if (k, i) in seen:      # order ids unique per key
+            continue
+        seen.add((k, i))
+        rows.append((str(k), i, s, s + d))
+    df = spark.createDataFrame(rows, "u string, i long, s long, e long")
+    got = {
+        r["key"]: (r["n_intervals"], r["n_overlaps"],
+                   r["total_overlap"], r["max_overlap"])
+        for r in interval_overlap_stats(df, "u", "s", "e", "i").collect()
+    }
+    assert got == _overlap_ref([(u, i, s, e) for u, i, s, e in rows])
+
+
+def _gap_ref(rows):
+    """Independent Python model of calendar_gaps."""
+    import datetime
+    from collections import defaultdict
+
+    by_key = defaultdict(set)
+    for k, d in rows:
+        by_key[k].add(datetime.date.fromisoformat(d))
+    out = {}
+    for k, days in by_key.items():
+        lo, hi = min(days), max(days)
+        expected = [lo + datetime.timedelta(days=i)
+                    for i in range((hi - lo).days + 1)]
+        missing = [d for d in expected if d not in days]
+        if missing:
+            out[k] = (len(expected), len(days), len(missing), str(missing[0]))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 60)),   # key, day offset
+    min_size=1, max_size=50))
+def test_calendar_gaps_property(spark, raw):
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(str(k), str(base + datetime.timedelta(days=o))) for k, o in raw]
+    df = spark.createDataFrame(rows, "u string, d string")
+    got = {
+        r["key"]: (r["n_days_expected"], r["n_days_present"],
+                   r["n_missing"], str(r["first_missing"]))
+        for r in calendar_gaps(df, "u", "d").collect()
+    }
+    assert got == _gap_ref(rows)
+
+
+def test_snapshot_diff_planted(spark):
+    from anomaly_detection_spark.snapshots import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [("a", "h1", "s0"), ("b", "h2", "s0"), ("c", "h3", "s1")],
+        "doc_id string, fp string, source string")
+    cur = spark.createDataFrame(
+        [("a", "h1", "s0"),            # unchanged
+         ("b", "h2x", "s0"),           # changed
+         ("d", "h4", "s1")],           # added; c removed
+        "doc_id string, fp string, source string")
+    got = {
+        r["doc_id"]: (r["diff_class"], r["source"])
+        for r in snapshot_diff(prev, cur, carry=["source"]).collect()
+    }
+    assert got == {
+        "a": ("unchanged", "s0"), "b": ("changed", "s0"),
+        "c": ("removed", "s1"), "d": ("added", "s1"),
+    }
