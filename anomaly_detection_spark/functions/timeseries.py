@@ -179,11 +179,12 @@ def interval_overlap_stats(
     ov = F.when(
         nxt.isNotNull() & (nxt < F.col(end_col)), F.col(end_col) - nxt
     ).otherwise(F.lit(0).cast("long"))
-    flagged = df.select(
-        F.col(key_col).alias("key"), ov.alias("_ov")
-    )
+    # group on key_col UNRENAMED so the aggregation reuses the window's
+    # hash partitioning (aliasing first costs a second exchange on the
+    # same key); rename to the canonical "key" only in the final projection
+    flagged = df.select(F.col(key_col), ov.alias("_ov"))
     return (
-        flagged.groupBy("key")
+        flagged.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum(F.when(F.col("_ov") > 0, 1).otherwise(0)).alias("n_overlaps"),
@@ -191,6 +192,7 @@ def interval_overlap_stats(
             F.max("_ov").alias("max_overlap"),
         )
         .filter(F.col("n_overlaps") > 0)
+        .withColumnRenamed(key_col, "key")
     )
 
 

@@ -179,10 +179,15 @@ def text_encoding_clean(spans_col: str = "spans",
 
     Pure codegen: ``encoding_anomaly_count`` per span summed in-row via
     ``aggregate`` — no explode, no shuffle, rides the fused single scan."""
+    # texts extracted with ``spans.text`` (GetArrayStructFields), NOT
+    # ``transform(spans, s -> s.text)`` — expressions inside higher-order-
+    # function lambdas block parquet nested-schema pruning, which would
+    # make the scan read the media payloads too (same discipline as
+    # span_sequence_prescreen; plan-pinned)
     n_bad = F.aggregate(
-        F.col(spans_col),
+        F.col(f"{spans_col}.text"),
         F.lit(0).cast("long"),
-        lambda acc, s: acc + encoding_anomaly_count(s["text"]).cast("long"),
+        lambda acc, t: acc + encoding_anomaly_count(t).cast("long"),
     )
     return RowRule(
         rule_id=rule_id,

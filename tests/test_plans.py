@@ -478,3 +478,61 @@ def test_interleaved_packing_offsets_broadcast(spark):
     plan = plan_of(QUERIES["interleaved_packing"][0](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_single_window_shuffle(spark):
+    """interval_overlap_stats: the per-key sort window is the ONLY data
+    shuffle — the rollup aggregation reuses the window's hash partitioning
+    (grouping on the unrenamed key), so adding the overlap check to a
+    validation run costs exactly one exchange."""
+    from anomaly_detection_spark.functions.timeseries import interval_overlap_stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 0, 5), ("a", 2, 3, 9)], "u string, i long, s long, e long"
+    )
+    plan = plan_of(interval_overlap_stats(df, "u", "s", "e", "i"))
+    assert plan.count(") Exchange") == 1  # section headers = node count
+    assert "Window" in plan
+
+
+def test_calendar_gaps_no_explode_single_exchange(spark):
+    """calendar_gaps materializes the expected calendar in-row (sequence +
+    array_except): no Generate (explode) node, exactly one exchange (the
+    per-key aggregation) — per-key state bounded by the calendar span."""
+    from anomaly_detection_spark.functions.timeseries import calendar_gaps
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01"), ("a", "2024-01-05")], "u string, d string"
+    )
+    plan = plan_of(calendar_gaps(df, "u", "d"))
+    assert "Generate" not in plan
+    assert plan.count(") Exchange") == 1  # section headers = node count
+
+
+def test_snapshot_diff_is_single_full_outer_equi_join(spark):
+    """snapshot_diff: one full-outer SortMergeJoin on the key, never a
+    cartesian/nested-loop — the shape that stays a co-located merge when
+    both snapshots are bucketed by doc_id."""
+    from anomaly_detection_spark.snapshots import snapshot_diff
+
+    a = spark.createDataFrame([("a", "h1")], "doc_id string, fp string")
+    b = spark.createDataFrame([("a", "h2")], "doc_id string, fp string")
+    plan = plan_of(snapshot_diff(a, b))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_encoding_rule_scan_prunes_to_span_text(docs_on_disk):
+    """The encoding-hygiene rule reads ONLY spans.text (plus ids) from
+    parquet — media_ref/kind payloads must not be in the ReadSchema."""
+    from anomaly_detection_spark.rules import builtin
+
+    rule = builtin.text_encoding_clean()
+    bound = docs_on_disk.withColumns(rule.bind).filter(rule.violation).select(
+        "partition", "doc_id"
+    )
+    plan = plan_of(bound)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" in read_schema[0]
+    assert "media_ref" not in read_schema[0]
