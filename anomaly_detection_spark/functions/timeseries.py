@@ -232,7 +232,10 @@ def calendar_gaps(
             F.size(expected).alias("n_days_expected"),
             F.size("_present").alias("n_days_present"),
             F.size(missing).alias("n_missing"),
-            F.element_at(missing, 1).alias("first_missing"),
+            # get() (0-based) is NULL-safe on empty arrays; element_at(·, 1)
+            # throws under ANSI whenever the optimizer evaluates the
+            # projection before the n_missing > 0 filter
+            F.get(missing, 0).alias("first_missing"),
         )
         .filter(F.col("n_missing") > 0)
     )
