@@ -35,6 +35,46 @@ from anomaly_detection_spark.rules.core import (
 )
 
 
+def cap_violations(violations: DataFrame, max_per_pair: int,
+                   salt_buckets: int = 16) -> DataFrame:
+    """Deterministic exemplar sample: keep at most ``max_per_pair`` violation
+    rows per (partition, rule_id), the smallest by (doc_id, detail).
+
+    At 10^12 documents a rule that fails broadly would emit a violations
+    table the size of the corpus; verdict counts must stay EXACT (they come
+    from the full frame), but the *persisted* violation rows only need to be
+    representative. Selection is a pure function of row content — no
+    ``rand()``, no layout dependence — so resumed/re-run increments pick the
+    same exemplars.
+
+    Skew-safe two-phase top-k: a hot (partition, rule_id) pair — one rule
+    failing on 10^9 docs — would put all its rows in a single window task.
+    Phase 1 ranks within (pair, salt) so the hot pair splits ``salt_buckets``
+    ways and survivors are ≤ salt_buckets × K per pair; phase 2's final rank
+    then runs on that bounded set. Ties (byte-identical rows) are
+    interchangeable, so the output multiset is deterministic even though
+    row_number's choice among them isn't.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.asc_nulls_first("doc_id"), F.asc_nulls_first("detail")]
+    # hash the payload, not a partition id: spread must be layout-independent
+    salt = F.pmod(F.xxhash64("doc_id", "detail"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("partition", "rule_id", "_s").orderBy(*order)
+    w_final = Window.partitionBy("partition", "rule_id").orderBy(*order)
+    pruned = (
+        violations.withColumn("_s", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= max_per_pair)
+        .drop("_s", "_r")
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w_final))
+        .filter(F.col("_r") <= max_per_pair)
+        .drop("_r")
+    )
+
+
 @dataclass
 class ValidationResult:
     verdicts: DataFrame

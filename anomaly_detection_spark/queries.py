@@ -5718,6 +5718,58 @@ FROM j GROUP BY source ORDER BY source
 """
 
 
+def q_violation_exemplars(spark, sf):
+    """engine.cap_violations through the REAL code path: the violations sink
+    at 10^12 docs must stay bounded even when a rule fails broadly, so the
+    engine keeps K deterministic exemplars per (partition, rule_id) —
+    smallest (doc_id, detail) — while verdict counts (checked elsewhere)
+    stay exact. Two rule streams are derived from documents (short docs,
+    zh-language docs), capped at K=3 via the skew-safe two-phase top-k
+    (salted rank → final rank; a hot pair never lands in one window task).
+    Reference analogue: the reference truncates its per-category anomaly
+    lists for reporting (report_generator.py top-N rollups)."""
+    from anomaly_detection_spark.engine import cap_violations
+
+    d = load(spark, sf, "documents")
+    short = d.filter(F.col("n_chars") < 200).select(
+        F.col("source").alias("partition"),
+        F.lit("short_doc").alias("rule_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("n_chars="), F.col("n_chars").cast("string")).alias("detail"),
+    )
+    zh = d.filter(F.col("lang") == "zh").select(
+        F.col("source").alias("partition"),
+        F.lit("lang_zh").alias("rule_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("lang="), F.col("lang")).alias("detail"),
+    )
+    return cap_violations(short.unionByName(zh), 3).orderBy(
+        "partition", "rule_id", "doc_id")
+
+
+SQL_VIOLATION_EXEMPLARS = """
+WITH v AS (
+  SELECT source AS partition, 'short_doc' AS rule_id,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         'n_chars=' || CAST(n_chars AS VARCHAR) AS detail
+  FROM documents WHERE n_chars < 200
+  UNION ALL
+  SELECT source AS partition, 'lang_zh' AS rule_id,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         'lang=' || lang AS detail
+  FROM documents WHERE lang = 'zh'
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY partition, rule_id
+    ORDER BY doc_id ASC NULLS FIRST, detail ASC NULLS FIRST
+  ) AS rn FROM v
+)
+SELECT partition, rule_id, doc_id, detail
+FROM ranked WHERE rn <= 3
+ORDER BY partition, rule_id, doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5853,4 +5905,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "date_gap_check": (q_date_gap_check, SQL_DATE_GAP_CHECK),
     "semantic_prune": (q_semantic_prune, SQL_SEMANTIC_PRUNE),
     "commit_diff": (q_commit_diff, SQL_COMMIT_DIFF),
+    "violation_exemplars": (q_violation_exemplars, SQL_VIOLATION_EXEMPLARS),
 }

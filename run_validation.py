@@ -90,6 +90,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "span-kind histogram (from --emit-histograms); "
                          "enables PSI drift against it WITHOUT rescanning "
                          "the baseline snapshot")
+    ap.add_argument("--max-violations-per-pair", type=int, default=None,
+                    help="cap the violations SINK at K deterministic "
+                         "exemplar rows per (partition, rule_id) — smallest "
+                         "(doc_id, detail), skew-safe two-phase top-k. "
+                         "Verdict/metric counts stay exact. Incompatible "
+                         "with --quarantine, which must route on the FULL "
+                         "violating-id set")
     ap.add_argument("--quarantine", default=None,
                     help="also write the INPUT docs routed by verdict: one "
                          "parquet dir partitioned by route=(clean|"
@@ -97,7 +104,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "violating docs go to remediation. Single scan of "
                          "the corpus, one join against the distinct "
                          "violating-id set (AQE broadcasts it when small)")
-    return ap.parse_args(argv)
+    args = ap.parse_args(argv)
+    if args.max_violations_per_pair is not None and args.quarantine:
+        ap.error("--max-violations-per-pair caps the violations sink, but "
+                 "--quarantine routes documents from that sink and needs "
+                 "the full violating-id set — drop one of the two")
+    if args.max_violations_per_pair is not None \
+            and args.max_violations_per_pair < 1:
+        ap.error("--max-violations-per-pair must be >= 1")
+    return args
 
 
 def append_missing_pairs(spark, df, path: str,
@@ -299,16 +314,26 @@ def main(argv: list[str] | None = None) -> int:
         # run's own verdicts dir, which mode=overwrite is about to replace
         prev_verdicts = spark.read.parquet(args.diff_prev).localCheckpoint()
 
+    # Sink policy, not engine semantics: verdict/metric counts were already
+    # derived from the FULL (persisted) violations frame inside run(), so
+    # capping here bounds what lands on disk without touching correctness.
+    sink_violations = result.violations
+    if args.max_violations_per_pair is not None:
+        from anomaly_detection_spark.engine import cap_violations
+
+        sink_violations = cap_violations(
+            result.violations, args.max_violations_per_pair)
+
     mode = "overwrite"
     if args.resume and manifest is not None:
         if manifest.completed_pairs(args.snapshot_id).limit(1).count() > 0:
             mode = "append"
     if mode == "append":
-        append_missing_pairs(spark, result.violations, f"{args.output}/violations")
+        append_missing_pairs(spark, sink_violations, f"{args.output}/violations")
         append_missing_pairs(spark, result.verdicts, f"{args.output}/verdicts")
         append_missing_pairs(spark, result.metrics, f"{args.output}/metrics")
     else:
-        result.violations.write.mode(mode).parquet(f"{args.output}/violations")
+        sink_violations.write.mode(mode).parquet(f"{args.output}/violations")
         result.verdicts.write.mode(mode).parquet(f"{args.output}/verdicts")
         result.metrics.write.mode(mode).parquet(f"{args.output}/metrics")
     if prev_verdicts is not None:
