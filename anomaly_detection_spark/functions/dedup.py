@@ -213,6 +213,76 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def band_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 8, bands: int = 2, n: int = 3) -> DataFrame:
+    """Public band-bucket export: (id, bucket) for every band of every doc,
+    from ONE narrow signature pass (no shuffle). Persist this next to each
+    validated snapshot — it is the state that makes near-dup detection
+    *incremental*: the next commit probes this table instead of
+    re-minhashing the corpus (see ``incremental_lsh_candidates``)."""
+    return _band_buckets(df, text_col, id_col, k, bands, n)
+
+
+def incremental_lsh_candidates(corpus_buckets: DataFrame, appended: DataFrame,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               k: int = 8, bands: int = 2, n: int = 3,
+                               max_bucket: int | None = 1000) -> DataFrame:
+    """Near-dup candidates between ONE appended commit and the existing
+    corpus WITHOUT re-hashing the corpus — the incremental twin of
+    ``lsh_candidate_pairs``, shaped like ``incremental_exact_dups``:
+    validate only the new files on each appends-only snapshot commit.
+
+    ``corpus_buckets`` is the persisted (id, bucket) band table of the
+    PREVIOUS snapshot (written by ``band_buckets`` when that snapshot was
+    validated; same k/bands/n). Only the commit's text is minhashed
+    (commit-sized, narrow, no shuffle); its bucket set is then broadcast
+    and the corpus band table — small fixed-width rows, never the 100 TB
+    text — is probed map-side. The big side never shuffles.
+
+    Hot buckets (empty/boilerplate text) are dropped on both sides by
+    ``max_bucket``, like ``lsh_candidate_pairs``' prefilter:
+
+    * commit side — counted directly (commit-sized agg);
+    * corpus side — pushed-down scan filter on an optional ``bucket_sz``
+      column when ``corpus_buckets`` carries one (maintain it at write
+      time — the recommended layout, ONE corpus-table scan per commit);
+      otherwise sizes are counted restricted to the commit's bucket set
+      (a second map-side-filtered pass over the band table — still never
+      the text).
+
+    Returns (new_id, corpus_id, bucket ∩ count as n_shared_buckets),
+    distinct pairs. Same-id pairs are possible only if the commit rewrites
+    an existing doc_id — by the appends-only contract ids are fresh.
+    Verify candidates with ``ngram_jaccard_pairs`` as usual."""
+    new_bkts = _band_buckets(appended, text_col, id_col, k, bands, n) \
+        .select(F.col(id_col).alias("new_id"), "bucket")
+    if max_bucket is not None:
+        over_new = (
+            new_bkts.groupBy("bucket").agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > max_bucket).select("bucket")
+        )
+        new_bkts = new_bkts.join(F.broadcast(over_new), "bucket", "left_anti")
+    has_sz = "bucket_sz" in corpus_buckets.columns
+    if has_sz and max_bucket is not None:
+        probe = corpus_buckets.filter(F.col("bucket_sz") <= max_bucket) \
+            .select(F.col(id_col).alias("corpus_id"), "bucket")
+    else:
+        probe = corpus_buckets.select(F.col(id_col).alias("corpus_id"), "bucket")
+    if max_bucket is not None and not has_sz:
+        new_set = new_bkts.select("bucket").distinct()
+        over_corpus = (
+            corpus_buckets.join(F.broadcast(new_set), "bucket")
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > max_bucket).select("bucket")
+        )
+        probe = probe.join(F.broadcast(over_corpus), "bucket", "left_anti")
+    return (
+        probe.join(F.broadcast(new_bkts), "bucket")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_hex16(col: Column | str, n: int = 1) -> Column:

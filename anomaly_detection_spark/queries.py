@@ -5770,6 +5770,149 @@ ORDER BY partition, rule_id, doc_id
 """
 
 
+def q_fd_check(spark, sf):
+    """functional_dependency dataset rule (rules/builtin.functional_dependency)
+    through the REAL rule build: determinant → dependent single-valuedness,
+    the Deequ-family FD screen (same media_ref must always carry the same
+    kind; here n_chars → lang on the fixture, which violates on shared
+    lengths). TWO map-side-combinable hash aggs — phase 1 dedupes
+    (determinant, dependent) pairs before the exchange, phase 2's count(*)
+    over the pair frame IS the exact distinct-dependent count; no
+    count_distinct expand, no join-back corpus re-scan. Reference analogue:
+    the one-department-per-user org map (org_analyzer.py:26-34), which would
+    silently keep the last duplicate instead of flagging it."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    d = load(spark, sf, "documents").select(
+        F.col("source").alias("partition"), "n_chars", "lang")
+    rule = builtin.functional_dependency("n_chars", "lang")
+    return rule.build(d, RuleContext()).orderBy("partition", "doc_id")
+
+
+SQL_FD_CHECK = """
+WITH viol AS (
+  SELECT n_chars, COUNT(*) AS n_dep FROM (
+    SELECT DISTINCT n_chars, lang FROM documents WHERE n_chars IS NOT NULL
+  ) GROUP BY n_chars HAVING COUNT(*) > 1
+)
+SELECT DISTINCT d.source AS partition,
+       'fd:n_chars->lang' AS rule_id,
+       CAST(v.n_chars AS VARCHAR) AS doc_id,
+       'lang takes ' || CAST(v.n_dep AS VARCHAR)
+         || ' distinct values for one n_chars' AS detail
+FROM viol v JOIN documents d ON d.n_chars = v.n_chars
+ORDER BY partition, doc_id
+"""
+
+
+def q_freshness_check(spark, sf):
+    """freshness dataset rule (rules/builtin.freshness) through the REAL
+    rule build: per-event-type staleness vs the snapshot's newest event —
+    the "did partition X stop ingesting?" screen run before a training-data
+    cutoff. ONE map-side-combined max agg over the corpus; the global max
+    comes from an unpartitioned window over the per-partition RESULT frame
+    (bounded rows — not the corpus-sized window trap). Lag in exact integer
+    microseconds. Reference analogue: the retention/recency window of
+    risk_history_tracker.py:152-161."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    e = load(spark, sf, "events")
+    rule = builtin.freshness("ts", 1200)
+    return rule.build(e, RuleContext(partition_col="event_type")) \
+        .orderBy("partition")
+
+
+SQL_FRESHNESS_CHECK = """
+WITH per AS (
+  SELECT event_type AS partition, epoch_us(max(ts)) AS mx
+  FROM events GROUP BY 1
+), g AS (SELECT max(mx) AS gmx FROM per)
+SELECT partition, 'freshness:ts' AS rule_id,
+       CAST(NULL AS VARCHAR) AS doc_id,
+       'stale by ' || CAST(g.gmx - per.mx AS VARCHAR) || 'us' AS detail
+FROM per, g WHERE g.gmx - per.mx > 1200 * 1000000
+ORDER BY partition
+"""
+
+
+def q_incremental_lsh(spark, sf):
+    """Incremental near-dup candidates (dedup.incremental_lsh_candidates):
+    validate ONE appended commit against the existing corpus WITHOUT
+    re-minhashing the corpus — probe the previous snapshot's persisted
+    band-bucket table (dedup.band_buckets; derived on the fly here so the
+    oracle can recompute it) with the commit's broadcast bucket set. Only
+    commit text is hashed; the corpus band table is scanned map-side and
+    the big side never shuffles — the LSH twin of incremental_dedup.
+    Fixture: every src19 doc re-keyed +1,000,000; odd ids keep text
+    verbatim (must candidate with their originals), the rest get a suffix
+    (near-dup or drop, as the min-hashes fall)."""
+    from anomaly_detection_spark.functions import dedup as dd
+
+    raw = load(spark, sf, "documents")
+    appended = raw.filter(F.col("source") == "src19").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" <novel>"))).alias("text"),
+    )
+    corpus_buckets = dd.band_buckets(raw.select("doc_id", "text"),
+                                     k=4, bands=2)
+    return dd.incremental_lsh_candidates(
+        corpus_buckets, appended, k=4, bands=2,
+    ).orderBy("new_id", "corpus_id")
+
+
+SQL_INCREMENTAL_LSH = f"""
+WITH app AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN text ELSE text || ' <novel>' END AS text
+  FROM documents WHERE source = 'src19'
+),
+ct AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+csig AS (
+  SELECT doc_id,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))) AS mh3
+  FROM ct
+),
+cb AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM csig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM csig WHERE mh2 IS NOT NULL
+),
+at_ AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM app),
+asig AS (
+  SELECT doc_id,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))) AS mh3
+  FROM at_
+),
+ab AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM asig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM asig WHERE mh2 IS NOT NULL
+),
+ab2 AS (
+  SELECT * FROM ab WHERE bucket NOT IN (
+    SELECT bucket FROM ab GROUP BY bucket HAVING COUNT(*) > 1000)
+),
+cb2 AS (
+  SELECT * FROM cb WHERE bucket NOT IN (
+    SELECT cb.bucket FROM cb WHERE cb.bucket IN (SELECT bucket FROM ab2)
+    GROUP BY cb.bucket HAVING COUNT(*) > 1000)
+)
+SELECT ab2.doc_id AS new_id, cb2.doc_id AS corpus_id,
+       COUNT(*) AS n_shared_buckets
+FROM cb2 JOIN ab2 USING (bucket)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5906,4 +6049,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_prune": (q_semantic_prune, SQL_SEMANTIC_PRUNE),
     "commit_diff": (q_commit_diff, SQL_COMMIT_DIFF),
     "violation_exemplars": (q_violation_exemplars, SQL_VIOLATION_EXEMPLARS),
+    "fd_check": (q_fd_check, SQL_FD_CHECK),
+    "freshness_check": (q_freshness_check, SQL_FRESHNESS_CHECK),
+    "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
 }

@@ -432,6 +432,103 @@ def unique_values(col: str, rule_id: str | None = None) -> DatasetRule:
     return DatasetRule(rule_id=rid, build=build)
 
 
+def functional_dependency(determinant: str, dependent: str,
+                          rule_id: str | None = None) -> DatasetRule:
+    """Functional-dependency check ``determinant → dependent``: every
+    distinct determinant value must map to exactly ONE dependent value
+    (e.g. the same media_ref must always carry the same span kind, the
+    same SKU the same unit). The violation row's doc_id is the offending
+    determinant value — the key a remediation job would re-resolve —
+    mirroring how ``unique`` reports the duplicated key itself.
+
+    Plan for 10^12 rows: TWO map-side-combinable hash aggs and nothing
+    else. Phase 1 dedupes (determinant, dependent) pairs — the shuffle
+    carries at most one row per distinct pair per map task, so a column
+    with heavy value repetition (the common case for an FD) collapses
+    before the exchange. Phase 2 groups the pair frame (already tiny) by
+    determinant; ``count(*)`` over it IS the exact distinct-dependent
+    count — no count_distinct expand, no join-back re-scan of the table.
+    NULL dependents count as one value (null-safe grouping); NULL
+    determinants are skipped (``not_null`` owns those).
+
+    Reference analogue: the org-consistency screens that require one
+    department/supervisor per user (org_analyzer.py:26-34 builds exactly
+    this one-valued map and would silently keep the last duplicate)."""
+    rid = rule_id or f"fd:{determinant}->{dependent}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p = ctx.partition_col
+        pairs = (
+            docs.filter(F.col(determinant).isNotNull())
+            .groupBy(determinant, dependent)
+            .agg(F.collect_set(p).alias("_ps"))
+        )
+        viol = (
+            pairs.groupBy(determinant)
+            .agg(
+                F.count(F.lit(1)).alias("_n_dep"),
+                F.array_distinct(F.flatten(F.collect_list("_ps"))).alias("_ps"),
+            )
+            .filter(F.col("_n_dep") > 1)
+        )
+        return viol.select(
+            F.explode("_ps").alias("partition"),
+            F.lit(rid).alias("rule_id"),
+            F.col(determinant).cast("string").alias("doc_id"),
+            F.concat(
+                F.lit(f"{dependent} takes "), F.col("_n_dep").cast("string"),
+                F.lit(f" distinct values for one {determinant}"),
+            ).alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
+
+
+def freshness(ts_col: str, max_lag_seconds: int,
+              rule_id: str | None = None) -> DatasetRule:
+    """Staleness check: a partition whose newest ``ts_col`` lags the
+    snapshot's global newest by more than ``max_lag_seconds`` fails —
+    the "did partition X stop ingesting?" screen every snapshot
+    validation runs before training-data cutoff.
+
+    Plan: ONE map-side-combined ``max`` agg over the corpus; the global
+    max then comes from an unpartitioned window over the RESULT frame
+    (one row per partition — bounded), so the corpus is scanned once and
+    never twice. Lag is reported in exact integer microseconds
+    (``unix_micros``), no float time math.
+
+    Reference analogue: the run-over-run retention window that prunes
+    history older than MAX_RISK_HISTORY days (risk_history_tracker.py:
+    152-161) — recast as a per-partition recency constraint."""
+    rid = rule_id or f"freshness:{ts_col}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        from pyspark.sql import Window
+
+        p = ctx.partition_col
+        # cast handles TIMESTAMP_NTZ sources (unix_micros wants TIMESTAMP);
+        # the session-TZ shift the cast applies cancels in the difference
+        per = docs.groupBy(F.col(p).alias("partition")).agg(
+            F.max(F.col(ts_col).cast("timestamp")).alias("_mx"))
+        # tiny frame (one row per partition): a global window here is NOT
+        # the corpus-sized single-task trap — input is already aggregated
+        gmx = F.max("_mx").over(Window.partitionBy())
+        lag_us = F.unix_micros(gmx) - F.unix_micros(F.col("_mx"))
+        return (
+            per.withColumn("_lag_us", lag_us)
+            .filter(F.col("_lag_us") > int(max_lag_seconds) * 1_000_000)
+            .select(
+                "partition",
+                F.lit(rid).alias("rule_id"),
+                F.lit(None).cast("string").alias("doc_id"),
+                F.concat(F.lit("stale by "), F.col("_lag_us").cast("string"),
+                         F.lit("us")).alias("detail"),
+            )
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
+
+
 def referential(catalog_col: str = "media_ref", rule_id: str = "referential:media_ref") -> DatasetRule:
     """Dangling media_ref check: explode spans, broadcast left-anti join to the
     media catalog (≈ reference LDAP broadcast-dimension lookup, SURVEY.md J2 —

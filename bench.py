@@ -74,6 +74,12 @@ HEADLINE = [
     "interval_overlaps",
     "commit_diff",
     "semantic_prune",
+    # round-3 final additions: sink exemplars, FD + freshness rules,
+    # incremental near-dup probe
+    "violation_exemplars",
+    "fd_check",
+    "freshness_check",
+    "incremental_lsh",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
