@@ -5913,6 +5913,42 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_orphaned_assets(spark, sf):
+    """orphaned_assets dataset rule (rules/builtin.orphaned_assets) through
+    the REAL rule build: the reverse of referential — catalog assets never
+    referenced by any span, the storage-reclamation audit. The referenced
+    set is a map-side-collapsed distinct over the exploded spans.media_ref
+    field; the dimension-sized catalog anti-joins against it, so the corpus
+    never shuffles. Fixture: the interleaved docs reference m(doc_id%64)
+    and every 3rd doc m(doc_id%17); a 100-asset synthetic catalog leaves
+    m64..m99 (and any unhit low ids) orphaned."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    docs = _interleaved_media_docs(load(spark, sf, "documents"))
+    catalog = spark.range(100).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref"))
+    rule = builtin.orphaned_assets()
+    return rule.build(docs, RuleContext(media_catalog=catalog)) \
+        .orderBy("doc_id")
+
+
+SQL_ORPHANED_ASSETS = """
+WITH referenced AS (
+  SELECT DISTINCT 'm' || CAST(doc_id % 64 AS VARCHAR) AS media_ref FROM documents
+  UNION
+  SELECT DISTINCT 'm' || CAST(doc_id % 17 AS VARCHAR) FROM documents WHERE doc_id % 3 = 0
+), catalog AS (
+  SELECT 'm' || CAST(range AS VARCHAR) AS media_ref FROM range(100)
+)
+SELECT 'catalog' AS partition, 'orphaned_assets' AS rule_id,
+       c.media_ref AS doc_id,
+       'catalog asset never referenced by any span' AS detail
+FROM catalog c ANTI JOIN referenced r USING (media_ref)
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6052,4 +6088,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fd_check": (q_fd_check, SQL_FD_CHECK),
     "freshness_check": (q_freshness_check, SQL_FRESHNESS_CHECK),
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
+    "orphaned_assets": (q_orphaned_assets, SQL_ORPHANED_ASSETS),
 }

@@ -563,6 +563,45 @@ def referential(catalog_col: str = "media_ref", rule_id: str = "referential:medi
     return DatasetRule(rule_id=rule_id, build=build)
 
 
+def orphaned_assets(catalog_col: str = "media_ref",
+                    rule_id: str = "orphaned_assets") -> DatasetRule:
+    """Reverse referential: catalog assets NEVER referenced by any span —
+    the storage-reclamation audit paired with ``referential`` (dangling
+    refs point corpus→catalog; orphans point catalog→corpus). Violation
+    rows carry the asset id so a GC job can act on them.
+
+    Plan at 10^12 docs: the referenced-ref set is a distinct over the
+    exploded ``spans.media_ref`` field (nested-pruned scan; the partial
+    map-side distinct collapses each task's output to ≤ catalog
+    cardinality before the exchange), then the catalog — dimension-sized —
+    anti-joins against it. No broadcast needed in either direction and the
+    corpus itself never shuffles; the exchange carries at most
+    |catalog| × tasks rows.
+
+    Reference analogue: the unused-LDAP-entries gap — the reference builds
+    profiles only for users present in events (user_profile_builder.py:
+    38-44) and never reports dimension rows nothing references."""
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        if ctx.media_catalog is None:
+            raise ValueError("orphaned_assets rule needs ctx.media_catalog")
+        referenced = (
+            docs.select(F.explode(F.col(f"spans.{catalog_col}")).alias(catalog_col))
+            .filter(F.col(catalog_col).isNotNull())
+            .distinct()
+        )
+        orphans = ctx.media_catalog.select(catalog_col).join(
+            referenced, catalog_col, "left_anti")
+        return orphans.select(
+            F.lit("catalog").alias("partition"),
+            F.lit(rule_id).alias("rule_id"),
+            F.col(catalog_col).cast("string").alias("doc_id"),
+            F.lit("catalog asset never referenced by any span").alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rule_id, build=build)
+
+
 def referential_scalable(catalog_col: str = "media_ref",
                          rule_id: str = "referential_scalable:media_ref",
                          m_bits: int = 65536, k: int = 3) -> DatasetRule:

@@ -55,6 +55,12 @@ _BUILDERS = {
         max_run=int(e.get("max_run", 2))
     ),
     "no_pii": lambda e: builtin.no_pii(),
+    "functional_dependency": lambda e: builtin.functional_dependency(
+        e["determinant"], e["dependent"]
+    ),
+    "freshness": lambda e: builtin.freshness(
+        e["col"], int(e["max_lag_seconds"])
+    ),
 }
 
 

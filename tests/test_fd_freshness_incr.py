@@ -182,3 +182,35 @@ def test_incremental_corpus_side_never_rehashed(spark, lsh_corpus):
     assert "md5" in plan  # the commit side is hashed...
     # ...but the checkpointed corpus band table contributes no scan of text
     assert plan.count("LogicalRDD") >= 1 and "lsh_corpus" not in plan
+
+
+# ------------------------------------------------------- orphaned assets
+
+def test_orphaned_assets_exact(spark, docs, catalog):
+    """Catalog ∖ referenced == rule output; the datagen catalog includes
+    assets no span references (planted by construction)."""
+    rule = builtin.orphaned_assets()
+    got = {r["doc_id"] for r in
+           rule.build(docs, RuleContext(media_catalog=catalog)).collect()}
+    referenced = {
+        r["m"] for r in docs.select(
+            F.explode("spans.media_ref").alias("m")).distinct().collect()
+        if r["m"] is not None
+    }
+    want = {r["media_ref"] for r in catalog.collect()} - referenced
+    assert got == want and got  # non-empty: the fixture plants orphans
+
+
+# ------------------------------------------------------- config vocabulary
+
+def test_new_rules_from_config(spark, fd_frame):
+    from anomaly_detection_spark.rules.config import suite_from_config
+
+    suite = suite_from_config(
+        '[{"rule": "functional_dependency", '
+        '"determinant": "media_ref", "dependent": "kind"},'
+        ' {"rule": "freshness", "col": "ts", "max_lag_seconds": 60}]'
+    )
+    assert suite.rule_ids == ["fd:media_ref->kind", "freshness:ts"]
+    got = suite.dataset_rules[0].build(fd_frame, RuleContext())
+    assert got.filter(F.col("doc_id") == "m2").count() == 2  # p0 + p1
