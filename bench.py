@@ -80,6 +80,7 @@ HEADLINE = [
     "fd_check",
     "freshness_check",
     "incremental_lsh",
+    "orphaned_assets",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
