@@ -75,6 +75,100 @@ def cap_violations(violations: DataFrame, max_per_pair: int,
     )
 
 
+def rule_cooccurrence(violations: DataFrame) -> DataFrame:
+    """Which rules fail TOGETHER: for every rule pair, how many documents
+    violate both, plus the Jaccard overlap of their violator sets — the
+    meta-analytics pass a rule author runs over the violations sink to find
+    redundant rules (Jaccard ≈ 1: one rule subsumes the other) and common
+    root causes (a bad upstream commit trips encoding + offsets + caption
+    rules on the same docs).
+
+    Output: ``(rule_a, rule_b, n_a, n_b, n_both, jaccard_ppm)`` with
+    rule_a < rule_b; counts are distinct-document counts and jaccard is
+    exact integer ppm (no float division).
+
+    Plan at a corpus-sized violations table: dedupe (rule_id, doc_id) first
+    — ONE hash agg — then self-join on doc_id. Per-document fan-out is
+    bounded by the suite size R (a doc violates at most R rules), so the
+    join emits ≤ R(R-1)/2 rows per doc — never quadratic in documents. The
+    per-rule totals are a dimension-sized frame (one row per rule) joined
+    back with broadcast hints."""
+    v = violations.select("rule_id", "doc_id").where(
+        F.col("doc_id").isNotNull()).distinct()
+    totals = v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, on="doc_id")
+        .where(F.col("a.rule_id") < F.col("b.rule_id"))
+        .groupBy(
+            F.col("a.rule_id").alias("rule_a"),
+            F.col("b.rule_id").alias("rule_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(totals.select(F.col("rule_id").alias("rule_a"),
+                                   F.col("n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("rule_id").alias("rule_b"),
+                                   F.col("n").alias("n_b")))
+    out = pairs.join(ta, "rule_a").join(tb, "rule_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "rule_a", "rule_b", "n_a", "n_b", "n_both",
+        (F.col("n_both") * 1_000_000).cast("long").alias("_num"), union.alias("_den"),
+    ).select(
+        "rule_a", "rule_b", "n_a", "n_b", "n_both",
+        F.expr("_num div _den").alias("jaccard_ppm"),
+    )
+
+
+def sampled_violation_rates(docs: DataFrame, row_rules: list[RowRule],
+                            ctx: RuleContext | None = None,
+                            sample_pct: int = 5) -> DataFrame:
+    """Pre-flight validation estimate: evaluate the suite's ROW rules on a
+    deterministic ``sample_pct``% slice of the corpus and report estimated
+    per-(partition, rule) violation rates — the cheap first pass a 10^12-doc
+    validation runs before committing to the full scan (is this snapshot
+    obviously broken? which partitions need the full suite first?).
+
+    Sampling is the md5 hash-bucket of the doc id (functions.curation.
+    hash_bucket) — a pure filter that pushes into the scan, membership
+    stable across snapshots so estimates are comparable run-over-run. All
+    rule predicates are fused into ONE aggregation pass over the sample
+    (``sum(case when violated)`` per rule — the same fused-single-scan
+    discipline as the real engine), then unpivoted to one row per
+    (partition, rule). Rates are exact integer ppm OF THE SAMPLE; the
+    extrapolation error is the caller's statistics, not hidden float math.
+
+    Output: ``(partition, rule_id, sample_n, n_viol, est_ppm)``."""
+    from anomaly_detection_spark.functions.curation import hash_bucket
+
+    ctx = ctx or RuleContext()
+    sampled = docs.filter(
+        hash_bucket(F.col(ctx.doc_id_col), 100) < int(sample_pct))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for r in row_rules:
+        aggs.append(
+            F.sum(F.when(r.violation, F.lit(1)).otherwise(F.lit(0))).alias(
+                f"_v_{r.rule_id}"))
+    base = sampled
+    for r in row_rules:
+        for name, expr in r.bind.items():
+            if name not in base.columns:
+                base = base.withColumn(name, expr)
+    per_part = base.groupBy(
+        F.col(ctx.partition_col).alias("partition")).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{r.rule_id}', `_v_{r.rule_id}`" for r in row_rules)
+    long = per_part.select(
+        "partition",
+        F.col("_n").alias("sample_n"),
+        F.expr(f"stack({len(row_rules)}, {stack_args}) "
+               "AS (rule_id, n_viol)"),
+    ).select("partition", "rule_id", "sample_n", "n_viol")
+    return long.withColumn(
+        "est_ppm", F.expr("(n_viol * 1000000) div sample_n"))
+
+
 @dataclass
 class ValidationResult:
     verdicts: DataFrame

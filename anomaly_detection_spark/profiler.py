@@ -339,3 +339,51 @@ def span_kind_counts(
         F.count("*").alias("_c")
     )
     return partial.groupBy("partition", "kind").agg(F.sum("_c").alias("span_count"))
+
+
+def content_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Per-column CONTENT fingerprint: a KMV (k-minimum-values) sketch of
+    each column's distinct values — the k lexicographically smallest md5
+    hashes, collapsed to one digest string. Two columns whose value SETS
+    are equal get equal digests regardless of column name, row order, or
+    physical layout, so joining two snapshots' fingerprint frames on
+    ``sketch`` detects RENAMED columns (schema_match sees a drop + an add;
+    this sees the move). The k surviving hashes are also the standard KMV
+    distinct-count estimator if a caller wants one.
+
+    Plan at 10^12 rows: ONE scan — ``stack`` unpivots the selected columns
+    to (column, hash) rows in place — then ONE hash agg dedupes the pairs
+    (repeated values collapse map-side), then each column's k smallest
+    survive via the engine's skew-safe two-phase top-k
+    (``engine.cap_violations`` — phase 1 ranks within (column, salt) so a
+    high-cardinality column never lands in a single window task), and md5
+    collapses the sorted survivors. No collect_set of unbounded distincts,
+    no global sort.
+
+    Output: ``(column, n_kept, sketch)`` — one row per input column.
+
+    Reference analogue: the reference matches log layouts positionally and
+    breaks silently on renames (data_loader.py hard-codes column lists);
+    this is the content-addressed alternative."""
+    from anomaly_detection_spark.engine import cap_violations
+
+    stack_args = ", ".join(
+        f"'{c}', md5(CAST(`{c}` AS STRING))" for c in cols)
+    pairs = (
+        df.select(F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (partition, doc_id)"))
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+        .select("partition", F.lit("kmv").alias("rule_id"),
+                "doc_id", F.lit("").alias("detail"))
+    )
+    kept = cap_violations(pairs, int(k))
+    return kept.groupBy(F.col("partition").alias("column")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))))
+        .alias("sketch"),
+    )

@@ -5949,6 +5949,303 @@ ORDER BY doc_id
 """
 
 
+def q_ordinal_contiguity(spark, sf):
+    """ordinal_contiguity dataset rule (rules/builtin.ordinal_contiguity)
+    through the REAL rule build: per-order line numbers must be exactly
+    1..n — the partial-write detector (a shard that lost rows leaves a gap
+    even though every surviving row is individually valid). Two planted
+    defects: orders with key%7==0 lose line 2 (gap), orders with key%11==0
+    duplicate line 1 (dup). TWO map-side-combinable hash aggs — pair dedup
+    then pure integer min/max/count comparison; no window, no sort.
+    Reference analogue: behavior_analyzer.py builds per-user sequences
+    positionally and silently assumes completeness."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    gap = li.filter(
+        ~((F.col("l_linenumber") == 2) & (F.col("l_orderkey") % 7 == 0)))
+    dup = li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 11 == 0))
+    fixture = gap.unionByName(dup).withColumn(
+        "partition",
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 4).cast("string")))
+    rule = builtin.ordinal_contiguity("l_orderkey", "l_linenumber")
+    return rule.build(fixture, RuleContext()).orderBy("doc_id")
+
+
+SQL_ORDINAL_CONTIGUITY = """
+WITH fixture AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE NOT (l_linenumber = 2 AND l_orderkey % 7 = 0)
+  UNION ALL
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_linenumber = 1 AND l_orderkey % 11 = 0
+), per AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_linenumber) AS n_distinct,
+         MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+  FROM fixture GROUP BY 1
+)
+SELECT 'p' || CAST(l_orderkey % 4 AS VARCHAR) AS partition,
+       'ordinal_contiguity:l_orderkey/l_linenumber' AS rule_id,
+       CAST(l_orderkey AS VARCHAR) AS doc_id,
+       'l_linenumber not dense from 1: min=' || CAST(mn AS VARCHAR)
+         || ' max=' || CAST(mx AS VARCHAR)
+         || ' distinct=' || CAST(n_distinct AS VARCHAR)
+         || ' rows=' || CAST(n_rows AS VARCHAR) AS detail
+FROM per
+WHERE mn <> 1 OR mx <> n_distinct OR n_rows <> n_distinct
+ORDER BY doc_id
+"""
+
+
+def q_rule_cooccurrence(spark, sf):
+    """engine.rule_cooccurrence: which rules fail TOGETHER — per rule pair
+    the distinct-doc overlap and exact integer-ppm Jaccard, the
+    meta-analytics pass that finds redundant rules (Jaccard ≈ 1) and common
+    root causes over the violations sink. Three planted rule streams where
+    short_doc ⊂ mid_doc (high Jaccard) and lang_zh overlaps both partially.
+    Plan: dedupe (rule, doc) pairs, self-join on doc_id (fan bounded by
+    suite size, never by corpus), broadcast the per-rule totals back.
+    Reference analogue: multidimensional_detector.py's cross-category
+    correlation rollup (high_risk_correlations), recast over rule ids."""
+    from anomaly_detection_spark.engine import rule_cooccurrence
+
+    d = load(spark, sf, "documents")
+
+    def stream(pred, rid):
+        return d.filter(pred).select(
+            F.col("source").alias("partition"),
+            F.lit(rid).alias("rule_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("").alias("detail"),
+        )
+
+    v = (
+        stream(F.col("n_chars") < 200, "short_doc")
+        .unionByName(stream(F.col("lang") == "zh", "lang_zh"))
+        .unionByName(stream(F.col("n_chars") < 400, "mid_doc"))
+    )
+    return rule_cooccurrence(v).orderBy("rule_a", "rule_b")
+
+
+SQL_RULE_COOCCURRENCE = """
+WITH v AS (
+  SELECT DISTINCT 'short_doc' AS rule_id, CAST(doc_id AS VARCHAR) AS doc_id
+  FROM documents WHERE n_chars < 200
+  UNION
+  SELECT DISTINCT 'lang_zh', CAST(doc_id AS VARCHAR)
+  FROM documents WHERE lang = 'zh'
+  UNION
+  SELECT DISTINCT 'mid_doc', CAST(doc_id AS VARCHAR)
+  FROM documents WHERE n_chars < 400
+), t AS (
+  SELECT rule_id, COUNT(*) AS n FROM v GROUP BY 1
+), p AS (
+  SELECT a.rule_id AS rule_a, b.rule_id AS rule_b, COUNT(*) AS n_both
+  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.rule_id < b.rule_id
+  GROUP BY 1, 2
+)
+SELECT rule_a, rule_b, ta.n AS n_a, tb.n AS n_b, n_both,
+       (n_both * 1000000) // (ta.n + tb.n - n_both) AS jaccard_ppm
+FROM p
+JOIN t ta ON ta.rule_id = p.rule_a
+JOIN t tb ON tb.rule_id = p.rule_b
+ORDER BY rule_a, rule_b
+"""
+
+
+def q_column_fingerprints(spark, sf):
+    """profiler.content_fingerprint: KMV content sketches matching RENAMED
+    columns across snapshots by value-set identity — schema_match sees a
+    drop + an add, this sees the move. prev = three orders columns; cur =
+    the same data with o_orderstatus→status and o_custkey→cust_id renamed
+    (must match by sketch) and o_orderpriority value-perturbed (must NOT
+    match — an actual content change, not a rename). One stack-unpivot
+    scan per side, pair dedup, skew-safe two-phase top-k (cap_violations)
+    for the k smallest hashes. Reference analogue: data_loader.py matches
+    log columns positionally and breaks silently on renames."""
+    from anomaly_detection_spark.profiler import content_fingerprint
+
+    o = load(spark, sf, "orders")
+    prev_fp = content_fingerprint(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"], k=16)
+    cur = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.concat(F.lit("pri:"), F.col("o_orderpriority")).alias("priority_tag"),
+        F.col("o_custkey").alias("cust_id"),
+    )
+    cur_fp = content_fingerprint(
+        cur, ["status", "priority_tag", "cust_id"], k=16)
+    return (
+        prev_fp.select(F.col("column").alias("prev_col"), "sketch")
+        .join(cur_fp.select(F.col("column").alias("cur_col"), "sketch"),
+              "sketch", "full_outer")
+        .select("prev_col", "cur_col", "sketch")
+        .orderBy("sketch")
+    )
+
+
+SQL_COLUMN_FINGERPRINTS = """
+WITH prev_vals AS (
+  SELECT 'o_orderstatus' AS col, md5(o_orderstatus) AS h
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  UNION
+  SELECT 'o_orderpriority', md5(o_orderpriority)
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION
+  SELECT 'o_custkey', md5(CAST(o_custkey AS VARCHAR))
+  FROM orders WHERE o_custkey IS NOT NULL
+), prev_k AS (
+  SELECT col, h, ROW_NUMBER() OVER (PARTITION BY col ORDER BY h) AS rn
+  FROM prev_vals
+), prev_fp AS (
+  SELECT col AS prev_col, md5(string_agg(h, ',' ORDER BY h)) AS sketch
+  FROM prev_k WHERE rn <= 16 GROUP BY col
+), cur_vals AS (
+  SELECT 'status' AS col, md5(o_orderstatus) AS h
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  UNION
+  SELECT 'priority_tag', md5('pri:' || o_orderpriority)
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION
+  SELECT 'cust_id', md5(CAST(o_custkey AS VARCHAR))
+  FROM orders WHERE o_custkey IS NOT NULL
+), cur_k AS (
+  SELECT col, h, ROW_NUMBER() OVER (PARTITION BY col ORDER BY h) AS rn
+  FROM cur_vals
+), cur_fp AS (
+  SELECT col AS cur_col, md5(string_agg(h, ',' ORDER BY h)) AS sketch
+  FROM cur_k WHERE rn <= 16 GROUP BY col
+)
+SELECT prev_col, cur_col, sketch
+FROM prev_fp FULL OUTER JOIN cur_fp USING (sketch)
+ORDER BY sketch
+"""
+
+
+def q_sampled_validation(spark, sf):
+    """engine.sampled_violation_rates: the 10^12-doc PRE-FLIGHT — evaluate
+    row rules on a deterministic 5% md5-bucket sample and report estimated
+    per-(partition, rule) violation ppm before committing to the full
+    scan. Sampling is a pure pushed-down filter (stable membership, so
+    estimates compare run-over-run); all predicates fuse into ONE agg pass
+    over the sample; rates are exact integer ppm of the sample.
+    Reference analogue: the reference always scans everything
+    (main.py runs every analyzer on the full frame) — this is the triage
+    pass that decides where that cost goes first."""
+    from anomaly_detection_spark.engine import sampled_violation_rates
+    from anomaly_detection_spark.rules.core import RowRule, RuleContext
+
+    d = load(spark, sf, "documents").withColumnRenamed("source", "partition")
+    rules = [
+        RowRule("short_doc", F.col("n_chars") < 200, F.lit("")),
+        RowRule("lang_zh", F.col("lang") == "zh", F.lit("")),
+    ]
+    return sampled_violation_rates(d, rules, RuleContext(), sample_pct=5) \
+        .orderBy("partition", "rule_id")
+
+
+SQL_SAMPLED_VALIDATION = """
+WITH s AS (
+  SELECT source AS partition, n_chars, lang FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < 5
+), agg AS (
+  SELECT partition, COUNT(*) AS sample_n,
+         CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_short,
+         CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zh
+  FROM s GROUP BY 1
+)
+SELECT partition, 'short_doc' AS rule_id, sample_n, v_short AS n_viol,
+       (v_short * 1000000) // sample_n AS est_ppm
+FROM agg
+UNION ALL
+SELECT partition, 'lang_zh', sample_n, v_zh, (v_zh * 1000000) // sample_n
+FROM agg
+ORDER BY partition, rule_id
+"""
+
+
+def q_moments_profile(spark, sf):
+    """Higher-moment column profile: per-priority skewness and excess
+    kurtosis of order totals, derived CLOSED-FORM from exact integer power
+    sums (decimal(38,0) sums of cents^1..4 — the same
+    order-insensitive-exact discipline as the engine's variance profile,
+    extended two moments up). Both engines aggregate exact integers, then
+    perform the identical double-precision expression tree, so results are
+    bit-identical; m2^1.5 is written m2*sqrt(m2) because sqrt is IEEE
+    correctly-rounded where pow is not. One map-side-combined hash agg.
+    Reference analogue: statistical_analyzer.py's per-feature moment
+    summary (mean/std/skew/kurt via scipy.stats.describe)."""
+    o = load(spark, sf, "orders")
+    c = _cents(F.col("o_totalprice"))
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    x2 = c * c  # ≤ 2.5e15, fits long
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(c)).alias("s1"),
+        F.sum(d38(x2)).alias("s2"),
+        F.sum(d38(x2) * c).alias("s3"),
+        F.sum(d38(x2) * x2).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m1 = s1d / nd
+    m2 = s2d / nd - m1 * m1
+    m3 = s3d / nd - F.lit(3.0) * m1 * s2d / nd + F.lit(2.0) * m1 * m1 * m1
+    m4 = (s4d / nd - F.lit(4.0) * m1 * s3d / nd
+          + F.lit(6.0) * m1 * m1 * s2d / nd
+          - F.lit(3.0) * m1 * m1 * m1 * m1)
+    return agg.select(
+        "priority",
+        F.col("n"),
+        F.round(s1d / nd / F.lit(100.0), 6).alias("mean_price"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy("priority")
+
+
+SQL_MOMENTS_PROFILE = """
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), agg AS (
+  SELECT priority, COUNT(*) AS n,
+         SUM(CAST(c AS HUGEINT)) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+  FROM c GROUP BY 1
+), d AS (
+  SELECT priority, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+  FROM agg
+), m AS (
+  SELECT priority, n, nd, s1d, s2d, s3d, s4d, s1d / nd AS m1 FROM d
+), mm AS (
+  SELECT priority, n, nd, s1d, s2d, s3d, s4d, m1,
+         s2d / nd - m1 * m1 AS m2,
+         s3d / nd - 3.0 * m1 * s2d / nd + 2.0 * m1 * m1 * m1 AS m3,
+         s4d / nd - 4.0 * m1 * s3d / nd + 6.0 * m1 * m1 * s2d / nd
+           - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM m
+)
+SELECT priority, n,
+       ROUND(s1d / nd / 100.0, 6) AS mean_price,
+       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+FROM mm ORDER BY priority
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6089,4 +6386,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "freshness_check": (q_freshness_check, SQL_FRESHNESS_CHECK),
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
     "orphaned_assets": (q_orphaned_assets, SQL_ORPHANED_ASSETS),
+    "ordinal_contiguity": (q_ordinal_contiguity, SQL_ORDINAL_CONTIGUITY),
+    "rule_cooccurrence": (q_rule_cooccurrence, SQL_RULE_COOCCURRENCE),
+    "column_fingerprints": (q_column_fingerprints, SQL_COLUMN_FINGERPRINTS),
+    "sampled_validation": (q_sampled_validation, SQL_SAMPLED_VALIDATION),
+    "moments_profile": (q_moments_profile, SQL_MOMENTS_PROFILE),
 }

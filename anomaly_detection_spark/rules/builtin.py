@@ -529,6 +529,68 @@ def freshness(ts_col: str, max_lag_seconds: int,
     return DatasetRule(rule_id=rid, build=build)
 
 
+def ordinal_contiguity(group_col: str, ord_col: str, start: int = 1,
+                       rule_id: str | None = None) -> DatasetRule:
+    """Dense-sequence integrity: within each ``group_col`` group the
+    ``ord_col`` ordinals must be exactly ``start, start+1, …, start+n-1``
+    — no gaps, no duplicates, no stray start. The classic line-number /
+    page-number / chunk-index invariant: a shard that lost rows in a
+    partial write shows up here as a gap even when every surviving row is
+    individually valid. The violation's doc_id is the offending group key.
+
+    Plan for 10^12 rows: TWO map-side-combinable hash aggs, the same
+    shape as ``functional_dependency``. Phase 1 dedupes (group, ordinal)
+    pairs — repeated ordinals collapse before the exchange, and the raw
+    multiplicity survives as an exact per-pair count. Phase 2 groups the
+    pair frame by the key; ``count(*)`` IS the exact distinct-ordinal
+    count, so gap/dup detection is pure integer comparison
+    (min == start, max-start+1 == n_distinct, n_rows == n_distinct) with
+    no count_distinct expand, no sort, no window. NULL ordinals are
+    skipped (``not_null`` owns those).
+
+    Reference analogue: the reference's sessionizers assume per-user event
+    streams are complete and in order (behavior_analyzer.py builds
+    sequences positionally); this is the check that assumption rests on."""
+    rid = rule_id or f"ordinal_contiguity:{group_col}/{ord_col}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p = ctx.partition_col
+        pairs = (
+            docs.filter(F.col(ord_col).isNotNull())
+            .groupBy(group_col, ord_col)
+            .agg(F.count(F.lit(1)).alias("_dup"),
+                 F.collect_set(p).alias("_ps"))
+        )
+        per_key = pairs.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.sum("_dup").alias("_n_rows"),
+            F.min(F.col(ord_col).cast("long")).alias("_mn"),
+            F.max(F.col(ord_col).cast("long")).alias("_mx"),
+            F.array_distinct(F.flatten(F.collect_list("_ps"))).alias("_ps"),
+        )
+        s = F.lit(int(start))
+        bad = per_key.filter(
+            (F.col("_mn") != s)
+            | (F.col("_mx") - s + 1 != F.col("_n_distinct"))
+            | (F.col("_n_rows") != F.col("_n_distinct"))
+        )
+        detail = F.concat(
+            F.lit(f"{ord_col} not dense from {int(start)}: min="),
+            F.col("_mn").cast("string"),
+            F.lit(" max="), F.col("_mx").cast("string"),
+            F.lit(" distinct="), F.col("_n_distinct").cast("string"),
+            F.lit(" rows="), F.col("_n_rows").cast("string"),
+        )
+        return bad.select(
+            F.explode("_ps").alias("partition"),
+            F.lit(rid).alias("rule_id"),
+            F.col(group_col).cast("string").alias("doc_id"),
+            detail.alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
+
+
 def referential(catalog_col: str = "media_ref", rule_id: str = "referential:media_ref") -> DatasetRule:
     """Dangling media_ref check: explode spans, broadcast left-anti join to the
     media catalog (≈ reference LDAP broadcast-dimension lookup, SURVEY.md J2 —

@@ -61,6 +61,9 @@ _BUILDERS = {
     "freshness": lambda e: builtin.freshness(
         e["col"], int(e["max_lag_seconds"])
     ),
+    "ordinal_contiguity": lambda e: builtin.ordinal_contiguity(
+        e["group_col"], e["ord_col"], start=int(e.get("start", 1))
+    ),
 }
 
 

@@ -81,6 +81,11 @@ HEADLINE = [
     "freshness_check",
     "incremental_lsh",
     "orphaned_assets",
+    "ordinal_contiguity",
+    "rule_cooccurrence",
+    "column_fingerprints",
+    "sampled_validation",
+    "moments_profile",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

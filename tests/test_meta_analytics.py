@@ -1,0 +1,203 @@
+"""ordinal_contiguity rule, rule co-occurrence, content fingerprints,
+sampled validation rates, and the exact-power-sum moments — each exercised
+on planted frames with hand-computed truth (SURVEY.md §5: the oracle is a
+tiny, obviously-correct reimplementation on the same data).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.engine import (
+    rule_cooccurrence,
+    sampled_violation_rates,
+)
+from anomaly_detection_spark.profiler import content_fingerprint
+from anomaly_detection_spark.rules import builtin
+from anomaly_detection_spark.rules.core import RowRule, RuleContext
+
+
+# ------------------------------------------------------ ordinal_contiguity
+
+@pytest.fixture(scope="module")
+def ord_frame(spark):
+    # key: (ordinals) — planted cases
+    #   k_ok    (1,2,3)        dense → pass
+    #   k_gap   (1,2,4)        missing 3 → fail (max ≠ distinct)
+    #   k_dup   (1,2,2,3)      duplicate 2 → fail (rows ≠ distinct)
+    #   k_start (2,3)          doesn't start at 1 → fail (min ≠ 1)
+    #   k_trap  (1,2,2,4)      dup AND gap that cancel in count-vs-max
+    #                          (count=4=max) → must STILL fail
+    #   k_null  (1,NULL,2)     NULL ordinal skipped → pass
+    rows = (
+        [("p0", "k_ok", i) for i in (1, 2, 3)]
+        + [("p0", "k_gap", i) for i in (1, 2, 4)]
+        + [("p1", "k_dup", i) for i in (1, 2, 2, 3)]
+        + [("p1", "k_start", i) for i in (2, 3)]
+        + [("p0", "k_trap", i) for i in (1, 2, 2, 4)]
+        + [("p1", "k_null", 1), ("p1", "k_null", None), ("p1", "k_null", 2)]
+    )
+    return spark.createDataFrame(
+        rows, "partition string, grp string, ord int")
+
+
+def test_ordinal_contiguity_planted(ord_frame):
+    rule = builtin.ordinal_contiguity("grp", "ord")
+    out = rule.build(ord_frame, RuleContext()).collect()
+    bad = {r["doc_id"] for r in out}
+    assert bad == {"k_gap", "k_dup", "k_start", "k_trap"}
+    by_key = {r["doc_id"]: r["detail"] for r in out}
+    assert by_key["k_gap"] == (
+        "ord not dense from 1: min=1 max=4 distinct=3 rows=3")
+    assert by_key["k_dup"] == (
+        "ord not dense from 1: min=1 max=3 distinct=3 rows=4")
+    assert by_key["k_start"] == (
+        "ord not dense from 1: min=2 max=3 distinct=2 rows=2")
+    # the count-vs-max cancellation trap: 4 rows, max 4 — only the
+    # distinct-ordinal comparison catches it
+    assert by_key["k_trap"] == (
+        "ord not dense from 1: min=1 max=4 distinct=3 rows=4")
+    rids = {r["rule_id"] for r in out}
+    assert rids == {"ordinal_contiguity:grp/ord"}
+
+
+def test_ordinal_contiguity_start_offset(spark):
+    # 0-based ordinals validate with start=0 and fail with the default
+    frame = spark.createDataFrame(
+        [("p", "k", 0), ("p", "k", 1), ("p", "k", 2)],
+        "partition string, grp string, ord int")
+    assert builtin.ordinal_contiguity("grp", "ord", start=0).build(
+        frame, RuleContext()).count() == 0
+    assert builtin.ordinal_contiguity("grp", "ord").build(
+        frame, RuleContext()).count() == 1
+
+
+def test_ordinal_contiguity_config_vocab(spark):
+    from anomaly_detection_spark.rules.config import suite_from_config
+
+    suite = suite_from_config(
+        '[{"rule": "ordinal_contiguity", "group_col": "grp",'
+        ' "ord_col": "ord", "start": 0}]')
+    assert len(suite.dataset_rules) == 1
+    frame = spark.createDataFrame(
+        [("p", "k", 0), ("p", "k", 2)], "partition string, grp string, ord int")
+    assert suite.dataset_rules[0].build(frame, RuleContext()).count() == 1
+
+
+# ------------------------------------------------------- rule_cooccurrence
+
+def test_rule_cooccurrence_exact(spark):
+    # rule A violates docs {1,2,3}, rule B {2,3,4}, rule C {9} (disjoint).
+    # duplicate violation rows for the same (rule, doc) must not inflate
+    # the distinct counts.
+    rows = (
+        [("p", "A", str(d), "") for d in (1, 2, 3)]
+        + [("p", "A", "2", "dup-row")]
+        + [("p", "B", str(d), "") for d in (2, 3, 4)]
+        + [("p", "C", "9", "")]
+    )
+    v = spark.createDataFrame(
+        rows, "partition string, rule_id string, doc_id string, detail string")
+    out = {(r["rule_a"], r["rule_b"]): r for r in rule_cooccurrence(v).collect()}
+    assert set(out) == {("A", "B")}  # disjoint pairs don't appear
+    r = out[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 3, 2)
+    assert r["jaccard_ppm"] == (2 * 1_000_000) // 4
+
+
+# ----------------------------------------------------- content_fingerprint
+
+def test_content_fingerprint_rename_and_order_invariance(spark):
+    a = spark.createDataFrame(
+        [(x, str(x * 7)) for x in range(50)], "num int, txt string")
+    # same value sets, renamed columns, reversed row order
+    b = spark.createDataFrame(
+        [(str(x * 7), x) for x in reversed(range(50))],
+        "words string, quantity int")
+    fa = {r["column"]: r for r in content_fingerprint(
+        a, ["num", "txt"], k=8).collect()}
+    fb = {r["column"]: r for r in content_fingerprint(
+        b, ["quantity", "words"], k=8).collect()}
+    assert fa["num"]["sketch"] == fb["quantity"]["sketch"]
+    assert fa["txt"]["sketch"] == fb["words"]["sketch"]
+    assert fa["num"]["sketch"] != fa["txt"]["sketch"]
+    assert fa["num"]["n_kept"] == 8  # capped at k
+    # a value change anywhere in the k smallest hashes changes the sketch
+    c = a.withColumn("num", F.col("num") + 1000)
+    fc = {r["column"]: r for r in content_fingerprint(
+        c, ["num", "txt"], k=8).collect()}
+    assert fc["num"]["sketch"] != fa["num"]["sketch"]
+
+
+def test_content_fingerprint_small_column_keeps_all(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (None,)], "v int")
+    row = content_fingerprint(a, ["v"], k=16).collect()[0]
+    assert row["n_kept"] == 2  # distinct non-null values only
+
+
+# ------------------------------------------------- sampled_violation_rates
+
+def test_sampled_violation_rates_matches_manual(spark):
+    import hashlib
+
+    rows = [("p%d" % (i % 2), i, i * 3 % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "partition string, doc_id long, val int")
+    rules = [RowRule("low", F.col("val") < 10, F.lit("")),
+             RowRule("high", F.col("val") >= 90, F.lit(""))]
+    out = {(r["partition"], r["rule_id"]): r
+           for r in sampled_violation_rates(df, rules, sample_pct=20).collect()}
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    sample = [(p, d, v) for p, d, v in rows if bucket(d) < 20]
+    for part in ("p0", "p1"):
+        n = sum(1 for p, _, _ in sample if p == part)
+        lo = sum(1 for p, _, v in sample if p == part and v < 10)
+        hi = sum(1 for p, _, v in sample if p == part and v >= 90)
+        assert out[(part, "low")]["sample_n"] == n
+        assert out[(part, "low")]["n_viol"] == lo
+        assert out[(part, "low")]["est_ppm"] == lo * 1_000_000 // n
+        assert out[(part, "high")]["n_viol"] == hi
+
+
+def test_sampled_rates_with_bound_columns(spark):
+    # a rule whose predicate references a bound expression still fuses
+    df = spark.createDataFrame(
+        [("p", 1, "ab"), ("p", 2, "abcdef")],
+        "partition string, doc_id long, text string")
+    rule = RowRule("too_short", F.col("_len") < 4, F.lit(""),
+                   bind={"_len": F.length("text")})
+    out = sampled_violation_rates(df, [rule], sample_pct=100).collect()
+    assert out[0]["n_viol"] == 1 and out[0]["sample_n"] == 2
+
+
+# ------------------------------------------------------------ moments math
+
+def test_moments_closed_form_matches_numpy(spark):
+    import numpy as np
+
+    from anomaly_detection_spark.queries import q_moments_profile
+
+    # recompute skew/kurt for one priority class straight from the data
+    vals = np.array([101.01, 250.50, 99.99, 3100.0, 500.25, 777.77])
+    pdf = spark.createDataFrame(
+        [(float(v), "1-URGENT") for v in vals],
+        "o_totalprice double, o_orderpriority string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pdf.write.parquet(f"{td}/orders.parquet")
+        row = q_moments_profile(spark, td).collect()[0]
+    cents = np.round(vals * 100).astype(np.int64)
+    m1 = cents.mean()
+    m2 = ((cents - m1) ** 2).mean()
+    m3 = ((cents - m1) ** 3).mean()
+    m4 = ((cents - m1) ** 4).mean()
+    assert row["n"] == len(vals)
+    assert math.isclose(row["mean_price"], cents.mean() / 100, rel_tol=1e-9)
+    assert math.isclose(row["skewness"], m3 / m2 ** 1.5, rel_tol=1e-6)
+    assert math.isclose(
+        row["kurtosis_excess"], m4 / m2 ** 2 - 3.0, rel_tol=1e-6)
