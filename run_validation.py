@@ -104,6 +104,38 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "violating docs go to remediation. Single scan of "
                          "the corpus, one join against the distinct "
                          "violating-id set (AQE broadcasts it when small)")
+    ap.add_argument("--preflight", type=int, default=None, metavar="PCT",
+                    help="triage pass before the full scan: evaluate the "
+                         "suite's ROW rules on a deterministic PCT%% "
+                         "md5-bucket sample of doc_id (stable membership, "
+                         "pure pushed-down filter) and write estimated "
+                         "per-(partition, rule) violation ppm to "
+                         "{output}/preflight. Dataset rules (uniqueness, "
+                         "referential) are excluded — their statistics "
+                         "don't survive sampling")
+    ap.add_argument("--preflight-only", action="store_true",
+                    help="stop after the preflight estimate (the "
+                         "is-this-snapshot-obviously-broken run); requires "
+                         "--preflight")
+    ap.add_argument("--cooccurrence-report", action="store_true",
+                    help="also write {output}/rule_cooccurrence: per rule "
+                         "pair the distinct-doc overlap and integer-ppm "
+                         "Jaccard over the FULL violations sink — finds "
+                         "redundant rules (Jaccard ≈ 1e6) and shared root "
+                         "causes. With --max-violations-per-pair the sink "
+                         "holds exemplars only, so overlaps are "
+                         "exemplar-based")
+    ap.add_argument("--fingerprint-cols", default=None, metavar="C1,C2,...",
+                    help="also write {output}/column_fingerprints: a KMV "
+                         "content sketch per named top-level column — two "
+                         "snapshots' sketches match iff the value SETS "
+                         "match, so renames are detectable where "
+                         "schema_match only sees drop+add")
+    ap.add_argument("--fingerprint-prev", default=None,
+                    help="a previous run's column_fingerprints dir; writes "
+                         "{output}/column_renames classifying each sketch "
+                         "as stable/renamed/added/removed; requires "
+                         "--fingerprint-cols")
     args = ap.parse_args(argv)
     if args.max_violations_per_pair is not None and args.quarantine:
         ap.error("--max-violations-per-pair caps the violations sink, but "
@@ -112,6 +144,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     if args.max_violations_per_pair is not None \
             and args.max_violations_per_pair < 1:
         ap.error("--max-violations-per-pair must be >= 1")
+    if args.preflight is not None and not (1 <= args.preflight <= 99):
+        ap.error("--preflight must be a percentage in 1..99")
+    if args.preflight_only and args.preflight is None:
+        ap.error("--preflight-only requires --preflight")
+    if args.fingerprint_prev and not args.fingerprint_cols:
+        ap.error("--fingerprint-prev requires --fingerprint-cols")
     return args
 
 
@@ -209,6 +247,34 @@ def main(argv: list[str] | None = None) -> int:
         spark, docs, rules, media_catalog=catalog,
         snapshot_id=args.snapshot_id, manifest=manifest,
     )
+
+    if args.preflight is not None:
+        # triage BEFORE paying for the full scan: row rules fused into one
+        # agg pass over a deterministic md5-bucket sample of the corpus
+        from pyspark.sql import functions as F
+
+        from anomaly_detection_spark.engine import sampled_violation_rates
+
+        pre = sampled_violation_rates(
+            docs, rules.row_rules, run.ctx, sample_pct=args.preflight)
+        pre.write.mode("overwrite").parquet(f"{args.output}/preflight")
+        worst = (
+            spark.read.parquet(f"{args.output}/preflight")
+            .orderBy(F.desc("est_ppm"), "partition", "rule_id")
+            .limit(1).collect()
+        )
+        if worst:
+            w = worst[0]
+            print(f"PREFLIGHT pct={args.preflight} "
+                  f"worst={w['partition']}/{w['rule_id']} "
+                  f"est_ppm={w['est_ppm']} sample_n={w['sample_n']}")
+        else:
+            print(f"PREFLIGHT pct={args.preflight} empty-sample")
+        if args.preflight_only:
+            if owns_session:
+                spark.stop()
+            return 0
+
     result = run.run(resume=args.resume, commit_manifest=False)
 
     def write_verdict_diff(prev) -> None:
@@ -278,6 +344,50 @@ def main(argv: list[str] | None = None) -> int:
         ).drop("_q").write.mode("overwrite").partitionBy(
             "route").parquet(args.quarantine)
 
+    def write_cooccurrence() -> None:
+        """Rule co-occurrence meta-analytics over the FULL violations sink
+        (not just this run's increment — a resumed run must measure overlap
+        on the complete picture): per rule pair, distinct-doc overlap and
+        exact integer-ppm Jaccard. Self-join fan-out is bounded by the
+        suite size, never by the corpus."""
+        from anomaly_detection_spark.engine import rule_cooccurrence
+
+        v = spark.read.parquet(f"{args.output}/violations")
+        rule_cooccurrence(v).write.mode("overwrite").parquet(
+            f"{args.output}/rule_cooccurrence")
+
+    def write_fingerprints() -> None:
+        """KMV content sketches of the named columns (one stack-unpivot
+        scan of the input), plus — when --fingerprint-prev names an earlier
+        run's sketches — the rename classification: equal sketches with
+        different names are RENAMES, which schema_match can only report as
+        a drop + an add."""
+        from pyspark.sql import functions as F
+
+        from anomaly_detection_spark.profiler import content_fingerprint
+
+        cols = [c.strip() for c in args.fingerprint_cols.split(",")
+                if c.strip()]
+        content_fingerprint(docs, cols).write.mode("overwrite").parquet(
+            f"{args.output}/column_fingerprints")
+        if args.fingerprint_prev:
+            prev = spark.read.parquet(args.fingerprint_prev)
+            cur = spark.read.parquet(f"{args.output}/column_fingerprints")
+            joined = (
+                prev.select(F.col("column").alias("prev_col"), "sketch")
+                .join(cur.select(F.col("column").alias("cur_col"), "sketch"),
+                      "sketch", "full_outer")
+            )
+            status = (
+                F.when(F.col("prev_col").isNull(), F.lit("added"))
+                .when(F.col("cur_col").isNull(), F.lit("removed"))
+                .when(F.col("prev_col") == F.col("cur_col"), F.lit("stable"))
+                .otherwise(F.lit("renamed"))
+            )
+            joined.select("prev_col", "cur_col", "sketch",
+                          status.alias("status")).write.mode(
+                "overwrite").parquet(f"{args.output}/column_renames")
+
     if result.nothing_pending:
         # every planned pair is already committed: leave the existing sink
         # outputs untouched (overwriting them with the empty frames would
@@ -293,6 +403,10 @@ def main(argv: list[str] | None = None) -> int:
             write_histograms()
         if args.quarantine:
             write_quarantine()
+        if args.cooccurrence_report:
+            write_cooccurrence()
+        if args.fingerprint_cols:
+            write_fingerprints()
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
               "(resume: nothing pending, outputs unchanged)")
         if owns_session:
@@ -348,6 +462,10 @@ def main(argv: list[str] | None = None) -> int:
         write_histograms()
     if args.quarantine:
         write_quarantine()
+    if args.cooccurrence_report:
+        write_cooccurrence()
+    if args.fingerprint_cols:
+        write_fingerprints()
     if manifest is not None:
         manifest.commit(result.metrics)
 

@@ -175,6 +175,80 @@ def test_sampled_rates_with_bound_columns(spark):
     assert out[0]["n_viol"] == 1 and out[0]["sample_n"] == 2
 
 
+# ---------------------------------------------------------- CLI integration
+
+def test_cli_preflight_only_and_meta_reports(spark, docs, catalog, tmp_path):
+    """The run_validation front door for the meta-analytics pass:
+    --preflight-only triages without paying for the full suite (no verdicts
+    sink is written); a full run with --cooccurrence-report and
+    --fingerprint-cols/--fingerprint-prev writes the co-occurrence grid and
+    classifies a renamed column as 'renamed' (and an unchanged one as
+    'stable')."""
+    import os
+
+    import run_validation
+
+    docs.write.parquet(str(tmp_path / "docs"))
+    catalog.write.parquet(str(tmp_path / "catalog"))
+    out1 = str(tmp_path / "out1")
+    common = ["--catalog", str(tmp_path / "catalog")]
+
+    # triage pass: preflight sink only, full suite never runs
+    rc = run_validation.main(
+        ["--input", str(tmp_path / "docs"), "--output", out1,
+         "--preflight", "20", "--preflight-only"] + common)
+    assert rc == 0
+    pre = spark.read.parquet(f"{out1}/preflight")
+    assert {"partition", "rule_id", "sample_n", "n_viol", "est_ppm"} \
+        <= set(pre.columns)
+    assert pre.count() > 0
+    assert not os.path.exists(f"{out1}/verdicts")
+
+    # full run: fingerprints + co-occurrence
+    out2 = str(tmp_path / "out2")
+    rc = run_validation.main(
+        ["--input", str(tmp_path / "docs"), "--output", out2,
+         "--cooccurrence-report", "--fingerprint-cols", "doc_id,partition"]
+        + common)
+    assert rc == 0
+    co = spark.read.parquet(f"{out2}/rule_cooccurrence")
+    assert {"rule_a", "rule_b", "n_both", "jaccard_ppm"} <= set(co.columns)
+    fp1 = spark.read.parquet(f"{out2}/column_fingerprints")
+    assert fp1.count() == 2
+
+    # second snapshot with partition RENAMED to shard: sketch-join flags it
+    docs.withColumnRenamed("partition", "shard").withColumn(
+        "partition", F.col("shard")).write.parquet(str(tmp_path / "docs2"))
+    out3 = str(tmp_path / "out3")
+    rc = run_validation.main(
+        ["--input", str(tmp_path / "docs2"), "--output", out3,
+         "--fingerprint-cols", "doc_id,shard",
+         "--fingerprint-prev", f"{out2}/column_fingerprints"] + common)
+    assert rc == 0
+    renames = {r["status"]: (r["prev_col"], r["cur_col"])
+               for r in spark.read.parquet(
+                   f"{out3}/column_renames").collect()}
+    assert renames["renamed"] == ("partition", "shard")
+    assert renames["stable"] == ("doc_id", "doc_id")
+
+
+def test_cli_meta_flag_validation():
+    import run_validation
+
+    with pytest.raises(SystemExit):
+        run_validation.parse_args(
+            ["--input", "x", "--catalog", "y", "--output", "z",
+             "--preflight-only"])
+    with pytest.raises(SystemExit):
+        run_validation.parse_args(
+            ["--input", "x", "--catalog", "y", "--output", "z",
+             "--preflight", "0"])
+    with pytest.raises(SystemExit):
+        run_validation.parse_args(
+            ["--input", "x", "--catalog", "y", "--output", "z",
+             "--fingerprint-prev", "p"])
+
+
 # ------------------------------------------------------------ moments math
 
 def test_moments_closed_form_matches_numpy(spark):
