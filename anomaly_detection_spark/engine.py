@@ -121,6 +121,79 @@ def rule_cooccurrence(violations: DataFrame) -> DataFrame:
     )
 
 
+def violation_slices(docs: DataFrame, violations: DataFrame,
+                     dims: list[str], min_support: int = 20,
+                     ctx: RuleContext | None = None) -> DataFrame:
+    """Root-cause slice localization: for each failing rule and each
+    (dimension, value) slice of the corpus, the violation rate inside the
+    slice vs the rule's overall rate — ranked by lift, this answers "WHERE
+    is this rule failing?" (all the mojibake is in source=crawl-7; the
+    short docs are 90% lang=zh). The slice-finder pass a rule author runs
+    right after the verdict grid says something is red.
+
+    Output: ``(rule_id, dim, value, slice_n, slice_viol, rate_ppm,
+    overall_ppm, lift_x1000)`` — one row per (rule, slice) with at least
+    one violation and ``slice_n >= min_support`` (tiny slices produce
+    unstable lifts). All ratios are exact integer arithmetic: ppm of the
+    slice / corpus, lift scaled ×1000 via integer division of the two ppm
+    values — no float division anywhere, so results are engine-portable
+    bit-for-bit.
+
+    Plan at 10^12 docs: ONE stack-unpivot scan of the corpus projecting
+    (doc_id, dim, value) — column-pruned to exactly the dims — feeding two
+    map-side-combined hash aggs (slice sizes; slice×rule counts after one
+    equi-join with the deduped violating-id set, fan-out per violating doc
+    = len(dims), never corpus-shaped). Per-rule totals and the corpus
+    count are dimension-sized frames broadcast back. NULL dim values form
+    their own slice (value NULL) — missingness is often the root cause."""
+    ctx = ctx or RuleContext()
+    did = ctx.doc_id_col
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in dims)
+    unpiv = docs.select(
+        F.col(did).cast("string").alias("doc_id"),
+        F.expr(f"stack({len(dims)}, {stack_args}) AS (dim, value)"),
+    ).select("doc_id", "dim", "value")
+    slice_n = unpiv.groupBy("dim", "value").agg(
+        F.count(F.lit(1)).alias("slice_n"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")).withColumn("_j", F.lit(1))
+
+    v = violations.select(
+        "rule_id", F.col("doc_id").cast("string").alias("doc_id")
+    ).where(F.col("doc_id").isNotNull()).distinct()
+    rule_tot = v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n_viol"))
+    slice_viol = (
+        v.join(unpiv, "doc_id")
+        .groupBy("rule_id", "dim", "value")
+        .agg(F.count(F.lit(1)).alias("slice_viol"))
+    )
+    # null-safe on value: the NULL slice must survive the join, not vanish
+    # into equi-join semantics (missingness is often the root cause)
+    sv, sn = slice_viol.alias("sv"), slice_n.alias("sn")
+    out = (
+        sv.join(sn, (F.col("sv.dim") == F.col("sn.dim"))
+                & F.col("sv.value").eqNullSafe(F.col("sn.value")))
+        .select("sv.rule_id", "sv.dim", "sv.value", "sv.slice_viol",
+                "sn.slice_n")
+        .join(F.broadcast(rule_tot), "rule_id")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(n_docs), "_j")
+        .drop("_j")
+        .where(F.col("slice_n") >= int(min_support))
+    )
+    return (
+        out.withColumn(
+            "rate_ppm", F.expr("(slice_viol * 1000000) div slice_n"))
+        .withColumn(
+            "overall_ppm", F.expr("(n_viol * 1000000) div n_docs"))
+        .withColumn(
+            "lift_x1000", F.expr("(rate_ppm * 1000) div overall_ppm"))
+        .select("rule_id", "dim", "value", "slice_n", "slice_viol",
+                "rate_ppm", "overall_ppm", "lift_x1000")
+    )
+
+
 def sampled_violation_rates(docs: DataFrame, row_rules: list[RowRule],
                             ctx: RuleContext | None = None,
                             sample_pct: int = 5) -> DataFrame:

@@ -6246,6 +6246,77 @@ FROM mm ORDER BY priority
 """
 
 
+def q_violation_slices(spark, sf):
+    """engine.violation_slices: root-cause slice localization — for each
+    failing rule × (dimension, value) corpus slice, the violation rate in
+    the slice vs the rule's overall rate as an exact integer lift. Answers
+    "WHERE is this rule failing?" straight off the violations sink (all
+    the mojibake is in one source; the short docs are mostly one lang).
+    Two planted rule streams over documents, sliced by lang and source.
+    Plan: one stack-unpivot scan of the corpus (column-pruned to the
+    dims), deduped violating ids joined once (fan-out = #dims per
+    violating doc), dimension-sized totals broadcast back; every ratio is
+    integer ppm / ×1000 division. Reference analogue:
+    multidimensional_detector.py's per-department / per-role anomaly-rate
+    breakdowns, generalized to any dimension set."""
+    from anomaly_detection_spark.engine import violation_slices
+
+    d = load(spark, sf, "documents")
+
+    def stream(pred, rid):
+        return d.filter(pred).select(
+            F.col("source").alias("partition"),
+            F.lit(rid).alias("rule_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("").alias("detail"),
+        )
+
+    v = (
+        stream(F.col("n_chars") < 200, "short_doc")
+        .unionByName(stream(F.col("lang") == "zh", "lang_zh"))
+    )
+    return violation_slices(d, v, ["lang", "source"], min_support=10) \
+        .orderBy("rule_id", "dim", "value")
+
+
+SQL_VIOLATION_SLICES = """
+WITH unpiv AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'lang' AS dim,
+         CAST(lang AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'source', CAST(source AS VARCHAR)
+  FROM documents
+), sn AS (
+  SELECT dim, value, COUNT(*) AS slice_n FROM unpiv GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), v AS (
+  SELECT DISTINCT 'short_doc' AS rule_id, CAST(doc_id AS VARCHAR) AS doc_id
+  FROM documents WHERE n_chars < 200
+  UNION
+  SELECT DISTINCT 'lang_zh', CAST(doc_id AS VARCHAR)
+  FROM documents WHERE lang = 'zh'
+), rt AS (
+  SELECT rule_id, COUNT(*) AS n_viol FROM v GROUP BY 1
+), sv AS (
+  SELECT rule_id, dim, value, COUNT(*) AS slice_viol
+  FROM v JOIN unpiv USING (doc_id) GROUP BY 1, 2, 3
+)
+SELECT rule_id, sv.dim AS dim, sv.value AS value, slice_n, slice_viol,
+       (slice_viol * 1000000) // slice_n AS rate_ppm,
+       (n_viol * 1000000) // n_docs AS overall_ppm,
+       (((slice_viol * 1000000) // slice_n) * 1000)
+         // ((n_viol * 1000000) // n_docs) AS lift_x1000
+FROM sv
+JOIN sn ON sv.dim = sn.dim AND sv.value IS NOT DISTINCT FROM sn.value
+JOIN rt USING (rule_id)
+CROSS JOIN nd
+WHERE slice_n >= 10
+ORDER BY rule_id, sv.dim, sv.value
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6391,4 +6462,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "column_fingerprints": (q_column_fingerprints, SQL_COLUMN_FINGERPRINTS),
     "sampled_validation": (q_sampled_validation, SQL_SAMPLED_VALIDATION),
     "moments_profile": (q_moments_profile, SQL_MOMENTS_PROFILE),
+    "violation_slices": (q_violation_slices, SQL_VIOLATION_SLICES),
 }

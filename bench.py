@@ -86,6 +86,7 @@ HEADLINE = [
     "column_fingerprints",
     "sampled_validation",
     "moments_profile",
+    "violation_slices",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -125,6 +125,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "causes. With --max-violations-per-pair the sink "
                          "holds exemplars only, so overlaps are "
                          "exemplar-based")
+    ap.add_argument("--slice-dims", default=None, metavar="C1,C2,...",
+                    help="also write {output}/violation_slices: per failing "
+                         "rule × (dimension, value) slice of the corpus, "
+                         "the violation rate vs the rule's overall rate as "
+                         "an exact integer lift — WHERE is each rule "
+                         "failing? One unpivot scan over the named "
+                         "columns, violating ids joined once")
     ap.add_argument("--fingerprint-cols", default=None, metavar="C1,C2,...",
                     help="also write {output}/column_fingerprints: a KMV "
                          "content sketch per named top-level column — two "
@@ -356,6 +363,17 @@ def main(argv: list[str] | None = None) -> int:
         rule_cooccurrence(v).write.mode("overwrite").parquet(
             f"{args.output}/rule_cooccurrence")
 
+    def write_slices() -> None:
+        """Slice-lift localization over the FULL violations sink (resume-
+        safe: the complete picture, not this run's increment) against the
+        input corpus, over the user-named dimension columns."""
+        from anomaly_detection_spark.engine import violation_slices
+
+        dims = [c.strip() for c in args.slice_dims.split(",") if c.strip()]
+        v = spark.read.parquet(f"{args.output}/violations")
+        violation_slices(docs, v, dims, ctx=run.ctx).write.mode(
+            "overwrite").parquet(f"{args.output}/violation_slices")
+
     def write_fingerprints() -> None:
         """KMV content sketches of the named columns (one stack-unpivot
         scan of the input), plus — when --fingerprint-prev names an earlier
@@ -405,6 +423,8 @@ def main(argv: list[str] | None = None) -> int:
             write_quarantine()
         if args.cooccurrence_report:
             write_cooccurrence()
+        if args.slice_dims:
+            write_slices()
         if args.fingerprint_cols:
             write_fingerprints()
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
@@ -464,6 +484,8 @@ def main(argv: list[str] | None = None) -> int:
         write_quarantine()
     if args.cooccurrence_report:
         write_cooccurrence()
+    if args.slice_dims:
+        write_slices()
     if args.fingerprint_cols:
         write_fingerprints()
     if manifest is not None:

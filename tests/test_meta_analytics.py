@@ -108,6 +108,54 @@ def test_rule_cooccurrence_exact(spark):
     assert r["jaccard_ppm"] == (2 * 1_000_000) // 4
 
 
+# -------------------------------------------------------- violation_slices
+
+def test_violation_slices_planted_lift(spark):
+    """100 docs: lang is 'zh' for doc 0..19, 'en' otherwise; the rule
+    violates exactly docs 0..9 (all zh) → the zh slice concentrates ALL
+    violations. Hand-computed integer lift: rate(zh)=10/20=500000 ppm,
+    overall=10/100=100000 ppm, lift = 500000*1000 // 100000 = 5000."""
+    from anomaly_detection_spark.engine import violation_slices
+
+    docs = spark.createDataFrame(
+        [(str(i), "zh" if i < 20 else "en", "s%d" % (i % 2))
+         for i in range(100)],
+        "doc_id string, lang string, src string")
+    v = spark.createDataFrame(
+        [("p", "r1", str(i), "") for i in range(10)]
+        + [("p", "r1", "3", "dup-row")],  # dup (rule, doc) must not inflate
+        "partition string, rule_id string, doc_id string, detail string")
+    out = {(r["dim"], r["value"]): r
+           for r in violation_slices(docs, v, ["lang", "src"],
+                                     min_support=5).collect()}
+    zh = out[("lang", "zh")]
+    assert (zh["slice_n"], zh["slice_viol"]) == (20, 10)
+    assert zh["rate_ppm"] == 500_000
+    assert zh["overall_ppm"] == 100_000
+    assert zh["lift_x1000"] == 5000
+    assert ("lang", "en") not in out  # zero violations → no row
+    # src is uncorrelated: docs 0..9 are 5 even + 5 odd
+    assert out[("src", "s0")]["lift_x1000"] == 1000
+    assert out[("src", "s1")]["lift_x1000"] == 1000
+
+
+def test_violation_slices_min_support_and_null_dim(spark):
+    from anomaly_detection_spark.engine import violation_slices
+
+    docs = spark.createDataFrame(
+        [(str(i), None if i < 30 else "en") for i in range(100)],
+        "doc_id string, lang string")
+    v = spark.createDataFrame(
+        [("p", "r", str(i), "") for i in range(25)],
+        "partition string, rule_id string, doc_id string, detail string")
+    out = violation_slices(docs, v, ["lang"], min_support=5).collect()
+    # NULL lang is its own slice — missingness as root cause
+    null_row = [r for r in out if r["value"] is None]
+    assert len(null_row) == 1 and null_row[0]["slice_viol"] == 25
+    # min_support above every slice size suppresses all rows
+    assert violation_slices(docs, v, ["lang"], min_support=200).count() == 0
+
+
 # ----------------------------------------------------- content_fingerprint
 
 def test_content_fingerprint_rename_and_order_invariance(spark):
@@ -204,15 +252,19 @@ def test_cli_preflight_only_and_meta_reports(spark, docs, catalog, tmp_path):
     assert pre.count() > 0
     assert not os.path.exists(f"{out1}/verdicts")
 
-    # full run: fingerprints + co-occurrence
+    # full run: fingerprints + co-occurrence + slice lifts
     out2 = str(tmp_path / "out2")
     rc = run_validation.main(
         ["--input", str(tmp_path / "docs"), "--output", out2,
-         "--cooccurrence-report", "--fingerprint-cols", "doc_id,partition"]
+         "--cooccurrence-report", "--fingerprint-cols", "doc_id,partition",
+         "--slice-dims", "partition"]
         + common)
     assert rc == 0
     co = spark.read.parquet(f"{out2}/rule_cooccurrence")
     assert {"rule_a", "rule_b", "n_both", "jaccard_ppm"} <= set(co.columns)
+    sl = spark.read.parquet(f"{out2}/violation_slices")
+    assert {"rule_id", "dim", "value", "lift_x1000"} <= set(sl.columns)
+    assert sl.count() > 0 and sl.filter("dim <> 'partition'").count() == 0
     fp1 = spark.read.parquet(f"{out2}/column_fingerprints")
     assert fp1.count() == 2
 
