@@ -378,8 +378,11 @@ class ValidationRun:
                 rule.build(docs, self.ctx).select(*VIOLATION_COLUMNS)
             )
 
+        # rule dimension carries each rule's verdict BUDGET (ppm of scanned
+        # rows allowed to violate before the partition fails; 0 = strict)
         rules_dim = self.spark.createDataFrame(
-            [(rid,) for rid in self.rules.rule_ids], "rule_id string"
+            self.rules.rule_budgets,
+            "rule_id string, max_violation_ppm long",
         )
         grid = parts.crossJoin(F.broadcast(rules_dim))
         if pending_pairs is not None:
@@ -400,8 +403,16 @@ class ValidationRun:
                 "rule_id",
                 F.coalesce(F.col("violation_count"), F.lit(0)).alias("violation_count"),
                 "rows_scanned",
+                "max_violation_ppm",
             )
-            .withColumn("pass", F.col("violation_count") == 0)
+            # SLO verdict, pure integer: pass while count/rows ≤ budget ppm.
+            # budget 0 reduces to the strict count == 0 (rows_scanned ≥ 1
+            # for every grid row — partitions come from a groupBy of docs)
+            .withColumn(
+                "pass",
+                F.col("violation_count") * F.lit(1_000_000)
+                <= F.col("max_violation_ppm") * F.col("rows_scanned"),
+            )
             .select("partition", "rule_id", "pass", "violation_count", "rows_scanned")
         )
 

@@ -6317,6 +6317,126 @@ ORDER BY rule_id, sv.dim, sv.value
 """
 
 
+def q_slo_verdicts(spark, sf):
+    """Per-rule violation BUDGETS through the real engine: the verdict is
+    pass while violation_count/rows_scanned ≤ max_violation_ppm — the
+    data-quality-SLO form (a crawl source tolerates 15% short docs before
+    the partition is rejected; zh-language docs are budget-0 strict).
+    Exercises ValidationRun end-to-end with documents partitioned by
+    source; the comparison is pure integer (count × 1e6 ≤ ppm × rows),
+    bit-identical across engines. Reference analogue: config.py's
+    per-detector thresholds (e.g. risk_thresholds) — there a score
+    cutoff, here a declarative verdict budget on any rule."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules.core import RowRule, RuleSet
+
+    d = load(spark, sf, "documents")
+    rules = RuleSet(row_rules=[
+        RowRule("short_doc_slo", F.col("n_chars") < 200, F.lit(""),
+                max_violation_ppm=150_000),
+        RowRule("lang_zh_strict", F.col("lang") == "zh", F.lit("")),
+    ])
+    run = ValidationRun(spark, d, rules, partition_col="source")
+    return run.run(persist=False).verdicts.orderBy("partition", "rule_id")
+
+
+SQL_SLO_VERDICTS = """
+WITH parts AS (
+  SELECT source AS partition, COUNT(*) AS rows_scanned,
+         CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_short,
+         CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zh
+  FROM documents GROUP BY 1
+)
+SELECT partition, 'short_doc_slo' AS rule_id,
+       (v_short * 1000000) <= (150000 * rows_scanned) AS pass,
+       v_short AS violation_count, rows_scanned
+FROM parts
+UNION ALL
+SELECT partition, 'lang_zh_strict', v_zh = 0, v_zh, rows_scanned
+FROM parts
+ORDER BY partition, rule_id
+"""
+
+
+def q_benford_check(spark, sf):
+    """benford_deviation dataset rule through the real rule build: the
+    partition-level Benford first-digit screen (exact integer L1 ppm vs
+    the Benford expectation, min-rows gated) over a two-partition fixture
+    — natural order totals vs a FABRICATED partition whose values are all
+    forced into the 5xxx range (every first digit 5 → L1 ≈ 1.84M ppm,
+    far over any threshold). The fabricated branch derives from integer
+    cents modulo (non-negative longs — the only % both engines agree on).
+    One hash agg with nine SUM(CASE) bins; no window, no pivot.
+    Reference analogue: statistical_analyzer.py distribution-shape
+    screens."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    o = load(spark, sf, "orders")
+    nat = o.select(
+        F.lit("natural").alias("partition"),
+        F.col("o_totalprice"),
+    )
+    fab = o.select(
+        F.lit("fabricated").alias("partition"),
+        (F.lit(5000) + _cents(F.col("o_totalprice")) % 1000)
+        .cast("double").alias("o_totalprice"),
+    )
+    rule = builtin.benford_deviation(
+        "o_totalprice", max_l1_ppm=1_000_000, min_rows=100)
+    return rule.build(nat.unionByName(fab), RuleContext()).orderBy("partition")
+
+
+SQL_BENFORD_CHECK = """
+WITH fixture AS (
+  SELECT 'natural' AS partition, o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT 'fabricated',
+         CAST(5000 + (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000)
+              AS DOUBLE)
+  FROM orders
+), d AS (
+  SELECT partition,
+         CAST(substr(CAST(CAST(FLOOR(v) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS dg
+  FROM fixture WHERE v >= 1
+), per AS (
+  SELECT partition, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN dg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN dg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN dg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN dg = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN dg = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         CAST(SUM(CASE WHEN dg = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         CAST(SUM(CASE WHEN dg = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+         CAST(SUM(CASE WHEN dg = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+         CAST(SUM(CASE WHEN dg = 9 THEN 1 ELSE 0 END) AS BIGINT) AS c9
+  FROM d GROUP BY 1
+), l AS (
+  SELECT partition, n,
+         ABS((c1 * 1000000) // n - 301030)
+         + ABS((c2 * 1000000) // n - 176091)
+         + ABS((c3 * 1000000) // n - 124939)
+         + ABS((c4 * 1000000) // n - 96910)
+         + ABS((c5 * 1000000) // n - 79181)
+         + ABS((c6 * 1000000) // n - 66947)
+         + ABS((c7 * 1000000) // n - 57992)
+         + ABS((c8 * 1000000) // n - 51153)
+         + ABS((c9 * 1000000) // n - 45757) AS l1
+  FROM per
+)
+SELECT partition, 'benford:o_totalprice' AS rule_id,
+       CAST(NULL AS VARCHAR) AS doc_id,
+       'o_totalprice first-digit L1 vs Benford: ' || CAST(l1 AS VARCHAR)
+         || ' ppm over ' || CAST(n AS VARCHAR) || ' rows' AS detail
+FROM l
+WHERE n >= 100 AND l1 > 1000000
+ORDER BY partition
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6463,4 +6583,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sampled_validation": (q_sampled_validation, SQL_SAMPLED_VALIDATION),
     "moments_profile": (q_moments_profile, SQL_MOMENTS_PROFILE),
     "violation_slices": (q_violation_slices, SQL_VIOLATION_SLICES),
+    "slo_verdicts": (q_slo_verdicts, SQL_SLO_VERDICTS),
+    "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
 }

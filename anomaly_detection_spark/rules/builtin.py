@@ -591,6 +591,71 @@ def ordinal_contiguity(group_col: str, ord_col: str, start: int = 1,
     return DatasetRule(rule_id=rid, build=build)
 
 
+#: Benford first-digit expectation, exact integer ppm (sums to 1_000_000)
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+               45757]
+
+
+def benford_deviation(col: str, max_l1_ppm: int = 300_000,
+                      min_rows: int = 1000,
+                      rule_id: str | None = None) -> DatasetRule:
+    """Benford's-law screen as a partition-level rule: the L1 distance (in
+    exact integer ppm) between the observed first-significant-digit
+    distribution of ``col`` and Benford's expectation, flagging partitions
+    where it exceeds ``max_l1_ppm`` — the classic detector for fabricated,
+    truncated, or unit-mangled numeric feeds. Partitions with fewer than
+    ``min_rows`` qualifying values are skipped (small-sample digit
+    distributions are noise, not fraud).
+
+    Only values ≥ 1 participate (FLOOR→string digit extraction, the same
+    engine-portable recipe as the ``benford_totalprice`` profile — neither
+    engine's implicit double→int cast is trusted). One map-side-combined
+    hash agg with nine SUM(CASE) bins per partition; the L1 fold is a
+    constant 9-term expression — no second pass, no window, no pivot.
+
+    Reference analogue: statistical_analyzer.py's distribution-shape
+    screens; Benford generalizes them to any positive numeric column."""
+    rid = rule_id or f"benford:{col}"
+
+    def build(docs: DataFrame, ctx: RuleContext) -> DataFrame:
+        p = ctx.partition_col
+        x = F.col(col)
+        digit = F.substring(
+            F.floor(x).cast("bigint").cast("string"), 1, 1).cast("int")
+        base = docs.filter(x >= 1).select(
+            F.col(p).alias("partition"), digit.alias("_d"))
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.when(F.col("_d") == d, F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"_c{d}")
+            for d in range(1, 10)
+        ]
+        per = base.groupBy("partition").agg(*aggs)
+        l1 = None
+        for d, exp_ppm in enumerate(BENFORD_PPM, start=1):
+            term = F.abs(
+                F.expr(f"(_c{d} * 1000000L) div _n") - F.lit(exp_ppm))
+            l1 = term if l1 is None else l1 + term
+        bad = (
+            per.withColumn("_l1", l1)
+            .filter((F.col("_n") >= int(min_rows))
+                    & (F.col("_l1") > int(max_l1_ppm)))
+        )
+        detail = F.concat(
+            F.lit(f"{col} first-digit L1 vs Benford: "),
+            F.col("_l1").cast("string"),
+            F.lit(" ppm over "), F.col("_n").cast("string"),
+            F.lit(" rows"),
+        )
+        return bad.select(
+            "partition",
+            F.lit(rid).alias("rule_id"),
+            F.lit(None).cast("string").alias("doc_id"),
+            detail.alias("detail"),
+        )
+
+    return DatasetRule(rule_id=rid, build=build)
+
+
 def referential(catalog_col: str = "media_ref", rule_id: str = "referential:media_ref") -> DatasetRule:
     """Dangling media_ref check: explode spans, broadcast left-anti join to the
     media catalog (≈ reference LDAP broadcast-dimension lookup, SURVEY.md J2 —

@@ -64,6 +64,10 @@ _BUILDERS = {
     "ordinal_contiguity": lambda e: builtin.ordinal_contiguity(
         e["group_col"], e["ord_col"], start=int(e.get("start", 1))
     ),
+    "benford_deviation": lambda e: builtin.benford_deviation(
+        e["col"], max_l1_ppm=int(e.get("max_l1_ppm", 300_000)),
+        min_rows=int(e.get("min_rows", 1000))
+    ),
 }
 
 
@@ -81,7 +85,19 @@ def suite_from_config(cfg: str | Iterable[Mapping[str, Any]]) -> RuleSet:
                 f"unknown rule {name!r} in suite config "
                 f"(known: {sorted(_BUILDERS)})"
             )
-        suite.add(_BUILDERS[name](e))
+        rule = _BUILDERS[name](e)
+        if "max_violation_ppm" in e:
+            # verdict budget (SLO): valid on EVERY rule in the vocabulary,
+            # so it's applied generically rather than plumbed through each
+            # builder signature. Rules are frozen dataclasses — replace.
+            from dataclasses import replace
+
+            budget = int(e["max_violation_ppm"])
+            if budget < 0:
+                raise ValueError(
+                    f"max_violation_ppm must be >= 0 (rule {name!r})")
+            rule = replace(rule, max_violation_ppm=budget)
+        suite.add(rule)
     return suite
 
 

@@ -41,6 +41,13 @@ class RowRule:
     violation: Column
     detail: Column
     bind: dict[str, Column] = field(default_factory=dict)
+    #: violation BUDGET: the per-partition verdict is PASS while
+    #: violation_count / rows_scanned ≤ this many parts-per-million — the
+    #: data-quality-SLO form (a crawl source is allowed 0.1% mojibake
+    #: before the partition is rejected). 0 = strict (any violation
+    #: fails), the default. Violation ROWS are still emitted either way —
+    #: the budget gates the verdict, never the evidence.
+    max_violation_ppm: int = 0
 
 
 @dataclass(frozen=True)
@@ -51,6 +58,10 @@ class DatasetRule:
 
     rule_id: str
     build: Callable[[DataFrame, "RuleContext"], DataFrame]
+    #: same verdict budget as RowRule.max_violation_ppm; note the count
+    #: is of VIOLATION ROWS (for group-keyed rules like
+    #: ordinal_contiguity that's violating groups) per scanned row
+    max_violation_ppm: int = 0
 
 
 Rule = RowRule  # the common case
@@ -81,3 +92,12 @@ class RuleSet:
     @property
     def rule_ids(self) -> list[str]:
         return [r.rule_id for r in self.row_rules] + [r.rule_id for r in self.dataset_rules]
+
+    @property
+    def rule_budgets(self) -> list[tuple[str, int]]:
+        """(rule_id, max_violation_ppm) in rule_ids order — the verdict
+        budget dimension the engine joins into the pass/fail grid."""
+        return [
+            (r.rule_id, int(r.max_violation_ppm))
+            for r in self.row_rules + self.dataset_rules
+        ]

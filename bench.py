@@ -87,6 +87,8 @@ HEADLINE = [
     "sampled_validation",
     "moments_profile",
     "violation_slices",
+    "slo_verdicts",
+    "benford_check",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

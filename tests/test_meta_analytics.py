@@ -223,6 +223,39 @@ def test_sampled_rates_with_bound_columns(spark):
     assert out[0]["n_viol"] == 1 and out[0]["sample_n"] == 2
 
 
+# -------------------------------------------------------- benford_deviation
+
+def test_benford_deviation_planted(spark):
+    """Three partitions: 'flat' (every first digit 5 → L1 ≈ 1.84M ppm)
+    must flag; 'close' (digit mix within ~26k ppm of Benford) must pass a
+    100k threshold; 'tiny' (flat but under min_rows) must be skipped."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleContext
+
+    close_mix = [30, 18, 12, 10, 8, 7, 6, 5, 4]  # per 100 rows, digits 1..9
+    rows = (
+        [("flat", 500.0 + i) for i in range(100)]
+        + [("close", float(d * 10 + 1))
+           for d, c in enumerate(close_mix, start=1) for _ in range(c)]
+        + [("tiny", 500.0)] * 20
+        + [("flat", 0.5)]  # sub-1 values are excluded from digit stats
+    )
+    docs = spark.createDataFrame(rows, "partition string, v double")
+    rule = builtin.benford_deviation("v", max_l1_ppm=100_000, min_rows=50)
+    out = rule.build(docs, RuleContext()).collect()
+    assert [r["partition"] for r in out] == ["flat"]
+    # all 100 qualifying rows are digit 5: L1 = (1e6-79181) + (1e6-79181)
+    assert "1841638 ppm over 100 rows" in out[0]["detail"]
+    assert out[0]["doc_id"] is None
+
+    # config vocabulary
+    from anomaly_detection_spark.rules.config import suite_from_config
+    suite = suite_from_config(
+        '[{"rule": "benford_deviation", "col": "v",'
+        ' "max_l1_ppm": 100000, "min_rows": 50}]')
+    assert suite.dataset_rules[0].build(docs, RuleContext()).count() == 1
+
+
 # ---------------------------------------------------------- CLI integration
 
 def test_cli_preflight_only_and_meta_reports(spark, docs, catalog, tmp_path):
