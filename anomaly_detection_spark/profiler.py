@@ -387,3 +387,78 @@ def content_fingerprint(
         F.md5(F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))))
         .alias("sketch"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: dict[str, "F.Column"],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """All-pairs Pearson correlation over k integer-valued columns in ONE
+    aggregation pass: ``(col_x, col_y, n, corr_micro)`` for each of the
+    k(k-1)/2 unordered pairs (plus ``partition`` when ``partition_col``
+    is given) — the numeric-relationship panel of a profiling report.
+
+    ``cols`` maps output names to INTEGER-valued Column expressions
+    (e.g. cents via ``floor(x*100+0.5)``): every power sum — k sums,
+    k square-sums, k(k-1)/2 cross-sums — accumulates as decimal(38,0)
+    (order-independent exact integer addition, DuckDB HUGEINT), so a
+    10^12-row input still yields a bit-identical correlation. The
+    closing ``num/(sqrt·sqrt)`` per pair uses only correctly-rounded
+    IEEE ops; ``corr_micro = floor(r*1e6+0.5)`` is engine-portable.
+
+    Plan shape: one hash agg (map-side combined) producing a SINGLE row
+    (or one per partition) of 1+2k+k(k-1)/2 sums; the pair matrix is a
+    driver-free ``stack`` over that row. The input is read ONCE for all
+    pairs — k=20 columns is 190 correlations for the price of one scan,
+    where the naive per-pair ``df.corr`` would scan 190 times.
+
+    Reference analogue: ``statistical_analyzer.py`` pairwise feature
+    correlation screens, made single-pass and exact.
+    """
+    names = list(cols)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    def d19(c):
+        # multiply in decimal(19) so products stay exactly representable
+        # in the decimal(38) accumulator (|x| < 1e19 → |x*y| < 1e38)
+        return c.cast("decimal(19,0)")
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for a in names:
+        aggs.append(F.sum(d38(cols[a])).alias(f"_s_{a}"))
+        aggs.append(F.sum(d19(cols[a]) * d19(cols[a])).alias(f"_ss_{a}"))
+    for a, b in pairs:
+        aggs.append(F.sum(d19(cols[a]) * d19(cols[b])).alias(f"_sp_{a}__{b}"))
+
+    grouped = df.groupBy(partition_col) if partition_col else df.groupBy()
+    wide = grouped.agg(*aggs)
+
+    n = F.col("_n")
+    for a, b in pairs:
+        num = (n * F.col(f"_sp_{a}__{b}")
+               - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast("double")
+        dx = (n * F.col(f"_ss_{a}")
+              - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast("double")
+        dy = (n * F.col(f"_ss_{b}")
+              - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast("double")
+        r = num / (F.sqrt(dx) * F.sqrt(dy))
+        wide = wide.withColumn(
+            f"_r_{a}__{b}",
+            F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long"))
+
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `_r_{a}__{b}`" for a, b in pairs)
+    keep = ([F.col(partition_col)] if partition_col else []) + [
+        F.col("_n").cast("long").alias("n")]
+    return wide.select(
+        *keep,
+        F.expr(f"stack({len(pairs)}, {stack_args})"
+               " AS (col_x, col_y, corr_micro)"),
+    ).select(*(
+        ([partition_col] if partition_col else [])
+        + ["col_x", "col_y", "n", "corr_micro"]
+    ))

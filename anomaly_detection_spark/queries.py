@@ -6437,6 +6437,166 @@ ORDER BY partition
 """
 
 
+def q_corr_matrix(spark, sf):
+    """All-pairs Pearson panel over lineitem's four numeric measures in
+    ONE aggregation pass (profiler.correlation_matrix): 6 correlations
+    from a single scan and a single 1-row hash agg of exact
+    decimal(38,0) power sums — where per-pair ``df.corr`` would scan 6
+    times. corr_micro = floor(r*1e6+0.5), bit-identical cross-engine.
+    Reference analogue: statistical_analyzer.py pairwise feature
+    screens."""
+    from anomaly_detection_spark.profiler import correlation_matrix
+
+    li = load(spark, sf, "lineitem")
+    cols = {
+        "quantity": _cents(F.col("l_quantity")),
+        "extendedprice": _cents(F.col("l_extendedprice")),
+        "discount": _cents(F.col("l_discount")),
+        "tax": _cents(F.col("l_tax")),
+    }
+    return correlation_matrix(li, cols).orderBy("col_x", "col_y")
+
+
+SQL_CORR_MATRIX = """
+WITH c AS (
+  SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS e,
+         CAST(ROUND(l_discount*100) AS BIGINT) AS d,
+         CAST(ROUND(l_tax*100) AS BIGINT) AS t
+  FROM lineitem
+), s AS (
+  SELECT COUNT(*) AS n,
+    SUM(q) AS s_q, SUM(e) AS s_e, SUM(d) AS s_d, SUM(t) AS s_t,
+    SUM(CAST(q AS HUGEINT)*q) AS ss_q, SUM(CAST(e AS HUGEINT)*e) AS ss_e,
+    SUM(CAST(d AS HUGEINT)*d) AS ss_d, SUM(CAST(t AS HUGEINT)*t) AS ss_t,
+    SUM(CAST(q AS HUGEINT)*e) AS sp_qe, SUM(CAST(q AS HUGEINT)*d) AS sp_qd,
+    SUM(CAST(q AS HUGEINT)*t) AS sp_qt, SUM(CAST(e AS HUGEINT)*d) AS sp_ed,
+    SUM(CAST(e AS HUGEINT)*t) AS sp_et, SUM(CAST(d AS HUGEINT)*t) AS sp_dt
+  FROM c
+), r AS (
+  SELECT 'quantity' AS col_x, 'extendedprice' AS col_y, n,
+         CAST(n*sp_qe - s_q*s_e AS DOUBLE) AS num,
+         CAST(n*ss_q - s_q*s_q AS DOUBLE) AS dx,
+         CAST(n*ss_e - s_e*s_e AS DOUBLE) AS dy FROM s
+  UNION ALL SELECT 'quantity', 'discount', n,
+         CAST(n*sp_qd - s_q*s_d AS DOUBLE),
+         CAST(n*ss_q - s_q*s_q AS DOUBLE),
+         CAST(n*ss_d - s_d*s_d AS DOUBLE) FROM s
+  UNION ALL SELECT 'quantity', 'tax', n,
+         CAST(n*sp_qt - s_q*s_t AS DOUBLE),
+         CAST(n*ss_q - s_q*s_q AS DOUBLE),
+         CAST(n*ss_t - s_t*s_t AS DOUBLE) FROM s
+  UNION ALL SELECT 'extendedprice', 'discount', n,
+         CAST(n*sp_ed - s_e*s_d AS DOUBLE),
+         CAST(n*ss_e - s_e*s_e AS DOUBLE),
+         CAST(n*ss_d - s_d*s_d AS DOUBLE) FROM s
+  UNION ALL SELECT 'extendedprice', 'tax', n,
+         CAST(n*sp_et - s_e*s_t AS DOUBLE),
+         CAST(n*ss_e - s_e*s_e AS DOUBLE),
+         CAST(n*ss_t - s_t*s_t AS DOUBLE) FROM s
+  UNION ALL SELECT 'discount', 'tax', n,
+         CAST(n*sp_dt - s_d*s_t AS DOUBLE),
+         CAST(n*ss_d - s_d*s_d AS DOUBLE),
+         CAST(n*ss_t - s_t*s_t AS DOUBLE) FROM s
+)
+SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(num/(sqrt(dx)*sqrt(dy))*1000000 + 0.5) AS BIGINT)
+         AS corr_micro
+FROM r ORDER BY col_x, col_y
+"""
+
+
+def q_checksum_reconcile(spark, sf):
+    """Snapshot reconciliation by order-independent content checksum
+    (functions/reconcile.py): per-source 60-bit md5 row signatures sum
+    mod 1e18 into a metadata-sized (partition, n_rows, checksum) table
+    on each side; the migration verdict is a broadcast join of those
+    tiny tables — the 100 TB copy is read once per side and never
+    shuffled or sorted. Fixture: the 'previous' snapshot plants three
+    failure modes against the current documents table — src19 missing
+    entirely (only_current), ~1/3 of src7 rows dropped by an md5 gate
+    (count_mismatch), ~1/2 of src3 texts corrupted (content_mismatch);
+    every other source must report match. Reference analogue:
+    risk_history_tracker.py:35-101 snapshot diffing, generalized to
+    content equality."""
+    from anomaly_detection_spark.functions.reconcile import (
+        reconcile, table_checksum)
+
+    d = load(spark, sf, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    hid = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    prev = (
+        d.filter(~((F.col("source") == "src7") & (hid % 3 == 0)))
+        .filter(F.col("source") != "src19")
+        .withColumn(
+            "text",
+            F.when((F.col("source") == "src3") & (hid % 2 == 0),
+                   F.concat(F.col("text"), F.lit("~corrupt")))
+            .otherwise(F.col("text")))
+    )
+    return reconcile(
+        table_checksum(d, cols, partition_col="source"),
+        table_checksum(prev, cols, partition_col="source"),
+    ).orderBy("partition")
+
+
+SQL_CHECKSUM_RECONCILE = """
+WITH hid AS (
+  SELECT *, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+         AS _hid
+  FROM documents
+), prev_rows AS (
+  SELECT doc_id,
+         CASE WHEN source = 'src3' AND _hid % 2 = 0
+              THEN text || '~corrupt' ELSE text END AS text,
+         lang, source, n_chars
+  FROM hid
+  WHERE NOT (source = 'src7' AND _hid % 3 = 0) AND source <> 'src19'
+), sig_cur AS (
+  SELECT source, CAST(('0x'||substr(md5(concat_ws(chr(31),
+           CASE WHEN doc_id IS NULL THEN chr(1)
+                ELSE chr(2) || CAST(doc_id AS VARCHAR) END,
+           CASE WHEN text IS NULL THEN chr(1) ELSE chr(2) || text END,
+           CASE WHEN lang IS NULL THEN chr(1) ELSE chr(2) || lang END,
+           CASE WHEN source IS NULL THEN chr(1) ELSE chr(2) || source END,
+           CASE WHEN n_chars IS NULL THEN chr(1)
+                ELSE chr(2) || CAST(n_chars AS VARCHAR) END)),1,15)) AS BIGINT)
+         AS h
+  FROM documents
+), sig_prev AS (
+  SELECT source, CAST(('0x'||substr(md5(concat_ws(chr(31),
+           CASE WHEN doc_id IS NULL THEN chr(1)
+                ELSE chr(2) || CAST(doc_id AS VARCHAR) END,
+           CASE WHEN text IS NULL THEN chr(1) ELSE chr(2) || text END,
+           CASE WHEN lang IS NULL THEN chr(1) ELSE chr(2) || lang END,
+           CASE WHEN source IS NULL THEN chr(1) ELSE chr(2) || source END,
+           CASE WHEN n_chars IS NULL THEN chr(1)
+                ELSE chr(2) || CAST(n_chars AS VARCHAR) END)),1,15)) AS BIGINT)
+         AS h
+  FROM prev_rows
+), cur AS (
+  SELECT source AS partition, COUNT(*) AS n_rows,
+         CAST(SUM(h) % 1000000000000000000 AS BIGINT) AS checksum
+  FROM sig_cur GROUP BY 1
+), prev AS (
+  SELECT source AS partition, COUNT(*) AS n_rows,
+         CAST(SUM(h) % 1000000000000000000 AS BIGINT) AS checksum
+  FROM sig_prev GROUP BY 1
+)
+SELECT COALESCE(cur.partition, prev.partition) AS partition,
+       CASE WHEN prev.n_rows IS NULL THEN 'only_current'
+            WHEN cur.n_rows IS NULL THEN 'only_previous'
+            WHEN cur.n_rows <> prev.n_rows THEN 'count_mismatch'
+            WHEN cur.checksum <> prev.checksum THEN 'content_mismatch'
+            ELSE 'match' END AS status,
+       cur.n_rows AS n_cur, prev.n_rows AS n_prev
+FROM cur FULL OUTER JOIN prev ON cur.partition = prev.partition
+ORDER BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6585,4 +6745,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "violation_slices": (q_violation_slices, SQL_VIOLATION_SLICES),
     "slo_verdicts": (q_slo_verdicts, SQL_SLO_VERDICTS),
     "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
+    "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
+    "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
 }

@@ -89,6 +89,8 @@ HEADLINE = [
     "violation_slices",
     "slo_verdicts",
     "benford_check",
+    "corr_matrix",
+    "checksum_reconcile",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
