@@ -143,6 +143,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                          "{output}/column_renames classifying each sketch "
                          "as stable/renamed/added/removed; requires "
                          "--fingerprint-cols")
+    ap.add_argument("--emit-checksums", default=None, metavar="C1,C2,...",
+                    help="also write {output}/checksums: per-partition "
+                         "(n_rows, checksum) over the named columns — an "
+                         "order/layout-independent md5-sum content "
+                         "checksum (string/integer/boolean/date columns "
+                         "only). The metadata-sized artifact a migration "
+                         "or backfill compares via --checksum-prev")
+    ap.add_argument("--checksum-prev", default=None,
+                    help="a previous run's checksums dir; writes "
+                         "{output}/checksum_reconcile classifying each "
+                         "partition as match / count_mismatch / "
+                         "content_mismatch / only_current / only_previous; "
+                         "requires --emit-checksums with the SAME columns")
     args = ap.parse_args(argv)
     if args.max_violations_per_pair is not None and args.quarantine:
         ap.error("--max-violations-per-pair caps the violations sink, but "
@@ -157,6 +170,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         ap.error("--preflight-only requires --preflight")
     if args.fingerprint_prev and not args.fingerprint_cols:
         ap.error("--fingerprint-prev requires --fingerprint-cols")
+    if args.checksum_prev and not args.emit_checksums:
+        ap.error("--checksum-prev requires --emit-checksums")
     return args
 
 
@@ -406,6 +421,26 @@ def main(argv: list[str] | None = None) -> int:
                           status.alias("status")).write.mode(
                 "overwrite").parquet(f"{args.output}/column_renames")
 
+    def write_checksums() -> None:
+        """Order/layout-independent per-partition content checksum of the
+        scanned rows over the user-named columns (one scan, map-side
+        combined, #partitions result rows) — plus, when --checksum-prev
+        names an earlier run's checksums, the reconciliation verdict: a
+        broadcast-sized join of two metadata tables, never of data."""
+        from anomaly_detection_spark.functions.reconcile import (
+            reconcile, table_checksum)
+
+        cols = [c.strip() for c in args.emit_checksums.split(",")
+                if c.strip()]
+        cur = table_checksum(docs, cols, partition_col=run.ctx.partition_col)
+        cur.write.mode("overwrite").parquet(f"{args.output}/checksums")
+        if args.checksum_prev:
+            prev = spark.read.parquet(args.checksum_prev)
+            reconcile(
+                spark.read.parquet(f"{args.output}/checksums"), prev
+            ).write.mode("overwrite").parquet(
+                f"{args.output}/checksum_reconcile")
+
     if result.nothing_pending:
         # every planned pair is already committed: leave the existing sink
         # outputs untouched (overwriting them with the empty frames would
@@ -427,6 +462,8 @@ def main(argv: list[str] | None = None) -> int:
             write_slices()
         if args.fingerprint_cols:
             write_fingerprints()
+        if args.emit_checksums:
+            write_checksums()
         print(f"VALIDATION_DONE snapshot={args.snapshot_id} failing_pairs=0 "
               "(resume: nothing pending, outputs unchanged)")
         if owns_session:
@@ -488,6 +525,8 @@ def main(argv: list[str] | None = None) -> int:
         write_slices()
     if args.fingerprint_cols:
         write_fingerprints()
+    if args.emit_checksums:
+        write_checksums()
     if manifest is not None:
         manifest.commit(result.metrics)
 

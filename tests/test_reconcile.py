@@ -111,3 +111,56 @@ def test_correlation_matrix_extremes_and_partitions(spark):
     assert out[("g1", "x", "z")] == -1_000_000
     assert out[("g2", "x", "y")] == -1_000_000
     assert 0 < out[("g2", "x", "z")] < 1_000_000  # convex, not linear
+
+
+def test_cli_emit_checksums_and_reconcile(spark, docs, catalog, tmp_path):
+    """Front-door reconciliation: run 1 emits the per-partition checksum
+    table; run 2 over a corpus with one partition's doc tampered and one
+    partition's doc dropped reconciles against it and convicts exactly
+    those partitions."""
+    import run_validation
+
+    docs.write.parquet(str(tmp_path / "docs"))
+    catalog.write.parquet(str(tmp_path / "catalog"))
+    common = ["--catalog", str(tmp_path / "catalog"),
+              "--emit-checksums", "doc_id,partition"]
+
+    out1 = str(tmp_path / "out1")
+    rc = run_validation.main(
+        ["--input", str(tmp_path / "docs"), "--output", out1] + common)
+    assert rc == 0
+    cs = spark.read.parquet(f"{out1}/checksums")
+    assert set(cs.columns) == {"partition", "n_rows", "checksum"}
+    assert cs.count() == 8
+
+    victims = [r["doc_id"] for r in docs.filter(
+        "partition IN ('p1','p2') AND doc_id IS NOT NULL")
+        .groupBy("partition").agg(F.min("doc_id").alias("doc_id")).collect()]
+    assert len(victims) == 2
+    (docs.filter(~F.col("doc_id").eqNullSafe(victims[0]))
+        .withColumn("doc_id", F.when(F.col("doc_id") == victims[1],
+                                     F.lit("tampered-id"))
+                    .otherwise(F.col("doc_id")))
+        .write.parquet(str(tmp_path / "docs2")))
+    out2 = str(tmp_path / "out2")
+    rc = run_validation.main(
+        ["--input", str(tmp_path / "docs2"), "--output", out2,
+         "--checksum-prev", f"{out1}/checksums"] + common)
+    assert rc == 0
+    rec = {r["partition"]: r["status"] for r in spark.read.parquet(
+        f"{out2}/checksum_reconcile").collect()}
+    assert len(rec) == 8 and sorted(rec) == [f"p{i}" for i in range(8)]
+    # one doc dropped -> count; one doc_id rewritten -> content
+    dropped = docs.filter(F.col("doc_id") == victims[0]) \
+        .select("partition").first()["partition"]
+    tampered = docs.filter(F.col("doc_id") == victims[1]) \
+        .select("partition").first()["partition"]
+    assert rec[dropped] == "count_mismatch"
+    assert rec[tampered] == "content_mismatch"
+    assert all(v == "match" for p, v in rec.items()
+               if p not in (dropped, tampered))
+
+    with pytest.raises(SystemExit):
+        run_validation.parse_args(
+            ["--input", "x", "--catalog", "y", "--output", "z",
+             "--checksum-prev", "w"])
