@@ -462,3 +462,111 @@ def correlation_matrix(
         ([partition_col] if partition_col else [])
         + ["col_x", "col_y", "n", "corr_micro"]
     ))
+
+
+def frequent_values(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 5,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Top-k most frequent values per column in ONE scan:
+    ``(column, value, cnt, rank)`` — the heavy-hitters panel of a
+    profiling report (dominant categories, default-value takeover,
+    placeholder flooding). NULLs are excluded (null_rate is its own
+    profile metric); values render as strings so any column type fits
+    one output frame. Deterministic tie-break: count DESC, value ASC.
+
+    Plan: stack-unpivot to (column, value) — fan-out = #cols, one
+    narrow stage — then ONE map-side-combined count agg, then the
+    skew-safe two-phase top-k (the ``engine.cap_violations``
+    discipline): a 10^12-distinct column (doc_id-like) never lands in a
+    single window task, because phase 1 ranks within (column,
+    hash-salt) and phase 2 only sees ≤ salt_buckets × k survivors per
+    column. Correct because every global top-k row is necessarily in
+    its salt slice's top-k.
+
+    Reference analogue: statistical_analyzer.py value_counts screens.
+    """
+    from pyspark.sql.window import Window
+
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    counts = (
+        df.select(F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, value)"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.desc("cnt"), F.asc("value")]
+    salt = F.pmod(F.xxhash64("value"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("column", "_s").orderBy(*order)
+    w_final = Window.partitionBy("column").orderBy(*order)
+    pruned = (
+        counts.withColumn("_s", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= int(k))
+        .drop("_s", "_r")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= int(k))
+        .select("column", "value", "cnt", "rank")
+    )
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Schema discovery for a semi-structured JSON-string column: one
+    row per top-level key — ``(key, n, n_int, n_bool, n_null,
+    n_other, vmin, vmax)`` — plus a ``__invalid__`` row counting
+    non-NULL strings that don't parse as a JSON object at all. The
+    ingestion question "what's actually inside props?" answered from
+    ONE scan, before anyone hard-codes a schema.
+
+    Values parse via ``from_json(map<string,string>)`` (flat view:
+    nested objects/arrays land in n_other — by design, this profiles
+    the top level); type classes by anchored regex on the rendered
+    value, numeric envelope (vmin/vmax) over the integer-typed values
+    only. Key cardinality bounds the output, not row count; one
+    explode + one map-side-combined agg, no window, no UDF.
+
+    Reference analogue: data_loader.py's hard-coded per-log column
+    lists — this is the discovery pass that makes them unnecessary.
+    """
+    src = df.select(
+        *( [F.col(partition_col).alias("partition")] if partition_col else [] ),
+        F.col(json_col).alias("_raw"),
+        F.from_json(F.col(json_col), "map<string,string>").alias("_m"),
+    )
+    keys = ["partition"] if partition_col else []
+    exploded = src.select(
+        *keys,
+        F.isnull("_m").alias("_bad"),
+        F.explode_outer("_m").alias("key", "_v"),
+        F.col("_raw"),
+    ).withColumn(
+        "key",
+        # explode_outer emits one null row for BOTH an empty map (valid
+        # "{}" — drop it) and a null map (unparseable — only then is the
+        # record invalid); _bad keeps the two apart
+        F.when(F.col("key").isNotNull(), F.col("key"))
+        .when(F.col("_bad") & F.col("_raw").isNotNull(),
+              F.lit("__invalid__"))
+    ).filter(F.col("key").isNotNull())
+    is_int = F.col("_v").rlike("^-?[0-9]+$")
+    is_bool = F.col("_v").isin("true", "false")
+    is_null = F.col("_v").isNull() & (F.col("key") != "__invalid__")
+    return exploded.groupBy(*keys, "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_int.cast("long")).alias("n_int"),
+        F.sum(is_bool.cast("long")).alias("n_bool"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum((~(is_int | is_bool) & F.col("_v").isNotNull())
+              .cast("long")).alias("n_other"),
+        F.min(F.when(is_int, F.col("_v").cast("long"))).alias("vmin"),
+        F.max(F.when(is_int, F.col("_v").cast("long"))).alias("vmax"),
+    )

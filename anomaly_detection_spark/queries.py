@@ -6597,6 +6597,86 @@ ORDER BY 1
 """
 
 
+def q_frequent_values(spark, sf):
+    """Per-column heavy hitters (profiler.frequent_values): top-3 values
+    of three documents columns from ONE scan — stack-unpivot, one
+    map-side-combined count agg, then the skew-safe two-phase top-k
+    (salted phase ranks before the per-column final rank, so a
+    doc_id-cardinality column never lands in one window task).
+    Deterministic tie-break count DESC, value ASC. Reference analogue:
+    statistical_analyzer.py value_counts screens."""
+    from anomaly_detection_spark.profiler import frequent_values
+
+    d = load(spark, sf, "documents")
+    return frequent_values(d, ["lang", "source", "n_chars"], k=3) \
+        .orderBy("column", "rank")
+
+
+SQL_FREQUENT_VALUES = """
+WITH vals AS (
+  SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+  FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR)
+  FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE n_chars IS NOT NULL
+), c AS (
+  SELECT "column", value, COUNT(*) AS cnt FROM vals GROUP BY 1, 2
+), r AS (
+  SELECT "column", value, cnt,
+         ROW_NUMBER() OVER (PARTITION BY "column"
+                            ORDER BY cnt DESC, value) AS rank
+  FROM c
+)
+SELECT "column", value, cnt, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3 ORDER BY "column", rank
+"""
+
+
+def q_json_key_profile(spark, sf):
+    """Semi-structured schema discovery (profiler.json_key_profile) over
+    the events.props JSON column: per top-level key, presence count,
+    type-class counts, and the integer value envelope — one explode +
+    one agg, output bounded by key cardinality, never by row count.
+    (The oracle renders values via json_each; both engines see the
+    integer-valued props this corpus carries identically — string/null
+    JSON values have engine-specific renderings covered by the unit
+    tests instead.) Reference analogue: data_loader.py's hard-coded
+    per-log column lists — this is the discovery pass before them."""
+    from anomaly_detection_spark.profiler import json_key_profile
+
+    e = load(spark, sf, "events")
+    return json_key_profile(e, "props").orderBy("key")
+
+
+SQL_JSON_KEY_PROFILE = """
+WITH kv AS (
+  SELECT key, json_extract_string(props, '$.' || key) AS v
+  FROM (
+    SELECT props, unnest(json_keys(props)) AS key
+    FROM events WHERE props IS NOT NULL
+  )
+)
+SELECT key,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(SUM(CASE WHEN v IN ('true','false') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bool,
+       CAST(0 AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN NOT regexp_full_match(v, '-?[0-9]+')
+                      AND v NOT IN ('true','false')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       MIN(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+                THEN CAST(v AS BIGINT) END) AS vmin,
+       MAX(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+                THEN CAST(v AS BIGINT) END) AS vmax
+FROM kv GROUP BY key ORDER BY key
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6747,4 +6827,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
     "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
     "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
+    "frequent_values": (q_frequent_values, SQL_FREQUENT_VALUES),
+    "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
 }

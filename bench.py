@@ -91,6 +91,8 @@ HEADLINE = [
     "benford_check",
     "corr_matrix",
     "checksum_reconcile",
+    "frequent_values",
+    "json_key_profile",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

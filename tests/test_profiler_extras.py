@@ -1,0 +1,69 @@
+"""Heavy-hitters profile and JSON key discovery (profiler additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.profiler import frequent_values, json_key_profile
+
+
+def test_frequent_values_topk_and_ties(spark):
+    rows = (
+        [("a", 10)] * 5 + [("b", 10)] * 3 + [("c", 10)] * 3
+        + [("d", 20)] * 1 + [(None, None)] * 2
+    )
+    df = spark.createDataFrame(rows, "s string, x int")
+    out = {(r["column"], r["rank"]): (r["value"], r["cnt"])
+           for r in frequent_values(df, ["s", "x"], k=2).collect()}
+    assert out[("s", 1)] == ("a", 5)
+    assert out[("s", 2)] == ("b", 3)       # tie b/c broken by value ASC
+    assert out[("x", 1)] == ("10", 11)     # rendered as string
+    assert out[("x", 2)] == ("20", 1)
+    assert ("s", 3) not in out             # k respected, NULLs excluded
+
+
+def test_frequent_values_salted_phase_agrees(spark):
+    # 1 salt bucket vs 16 must give identical output (two-phase top-k is
+    # an optimization, never a semantics change)
+    df = spark.createDataFrame(
+        [(str(i % 37),) for i in range(500)], "v string")
+    a = sorted(map(tuple, frequent_values(df, ["v"], k=7,
+                                          salt_buckets=1).collect()))
+    b = sorted(map(tuple, frequent_values(df, ["v"], k=7,
+                                          salt_buckets=16).collect()))
+    assert a == b and len(a) == 7
+
+
+JSON_ROWS = [
+    ('{"a": 1, "b": "x"}',),
+    ('{"a": 22, "b": null, "c": true}',),
+    ('{"a": -3, "nested": {"z": 1}}',),
+    ('{}',),                # valid empty object: no keys, NOT invalid
+    ('not json at all',),   # -> __invalid__
+    (None,),                # NULL input: ignored entirely
+]
+
+
+def test_json_key_profile_types_and_invalid(spark):
+    df = spark.createDataFrame(JSON_ROWS, "props string")
+    out = {r["key"]: r for r in json_key_profile(df, "props").collect()}
+    assert set(out) == {"a", "b", "c", "nested", "__invalid__"}
+    a = out["a"]
+    assert (a["n"], a["n_int"], a["vmin"], a["vmax"]) == (3, 3, -3, 22)
+    b = out["b"]
+    assert (b["n"], b["n_int"], b["n_null"], b["n_other"]) == (2, 0, 1, 1)
+    assert out["c"]["n_bool"] == 1
+    assert out["nested"]["n_other"] == 1   # flat view: nested = other
+    inv = out["__invalid__"]
+    assert inv["n"] == 1 and inv["n_null"] == 0
+
+
+def test_json_key_profile_partitioned(spark):
+    df = spark.createDataFrame(
+        [("p0", '{"k": 5}'), ("p0", '{"k": 7}'), ("p1", '{"k": 1}')],
+        "part string, props string")
+    out = {(r["partition"], r["key"]): r for r in json_key_profile(
+        df, "props", partition_col="part").collect()}
+    assert out[("p0", "k")]["n"] == 2 and out[("p0", "k")]["vmax"] == 7
+    assert out[("p1", "k")]["vmin"] == 1
