@@ -6597,7 +6597,7 @@ ORDER BY 1
 """
 
 
-def q_frequent_values(spark, sf):
+def q_heavy_hitters(spark, sf):
     """Per-column heavy hitters (profiler.frequent_values): top-3 values
     of three documents columns from ONE scan — stack-unpivot, one
     map-side-combined count agg, then the skew-safe two-phase top-k
@@ -6612,7 +6612,7 @@ def q_frequent_values(spark, sf):
         .orderBy("column", "rank")
 
 
-SQL_FREQUENT_VALUES = """
+SQL_HEAVY_HITTERS = """
 WITH vals AS (
   SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
   FROM documents WHERE lang IS NOT NULL
@@ -6827,6 +6827,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "benford_check": (q_benford_check, SQL_BENFORD_CHECK),
     "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
     "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
-    "frequent_values": (q_frequent_values, SQL_FREQUENT_VALUES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
 }

@@ -91,7 +91,7 @@ HEADLINE = [
     "benford_check",
     "corr_matrix",
     "checksum_reconcile",
-    "frequent_values",
+    "heavy_hitters",
     "json_key_profile",
 ]
 

@@ -7,6 +7,7 @@ Each test asserts on ``explain('formatted')`` output markers.
 
 from __future__ import annotations
 
+import re
 import pytest
 from pyspark.sql import functions as F
 
@@ -536,3 +537,67 @@ def test_encoding_rule_scan_prunes_to_span_text(docs_on_disk):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "text" in read_schema[0]
     assert "media_ref" not in read_schema[0]
+
+
+def test_correlation_matrix_single_pass(spark, tmp_path):
+    """The all-pairs panel must be ONE scan + ONE global agg (one
+    exchange), never per-pair jobs or a window."""
+    from anomaly_detection_spark.profiler import correlation_matrix
+
+    p = str(tmp_path / "num")
+    spark.range(1000).selectExpr(
+        "id AS a", "id * 2 AS b", "id % 7 AS c").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(correlation_matrix(
+        df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}))
+    assert "HashAggregate" in plan
+    # formatted output lists each node twice (tree + detail): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"\(\d+\) Window\b", plan) is None
+    assert re.search(r"\(\d+\) Sort\b", plan) is None
+
+
+def test_table_checksum_one_agg_no_sort(spark, tmp_path):
+    """Order-independence is structural: the checksum plan has one
+    map-side-combined agg and NO sort/window anywhere."""
+    from anomaly_detection_spark.functions.reconcile import table_checksum
+
+    p = str(tmp_path / "snap")
+    spark.range(1000).selectExpr(
+        "CAST(id % 4 AS STRING) AS partition",
+        "CAST(id AS STRING) AS doc_id").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(table_checksum(df, ["doc_id"]))
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"\(\d+\) (Window|Sort)\b", plan) is None
+
+
+def test_frequent_values_salted_windows(spark, tmp_path):
+    """Two Window phases, the first salted (_s) — the skew-safe top-k
+    shape; a single unsalted window over all distinct values would be
+    the 10^12-distinct-column trap."""
+    from anomaly_detection_spark.profiler import frequent_values
+
+    p = str(tmp_path / "fv")
+    spark.range(1000).selectExpr(
+        "CAST(id % 13 AS STRING) AS v").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(frequent_values(df, ["v"], k=3))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert "_s" in plan
+
+
+def test_json_key_profile_explode_then_one_agg(spark, tmp_path):
+    """One Generate (explode) feeding one grouped agg; output bounded by
+    key cardinality — no window, no join."""
+    from anomaly_detection_spark.profiler import json_key_profile
+
+    p = str(tmp_path / "js")
+    spark.range(500).selectExpr(
+        "concat('{\"k\": ', id, '}') AS props").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(json_key_profile(df, "props"))
+    assert "Generate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"\(\d+\) (Window|\w*Join)\b", plan) is None
