@@ -51,6 +51,49 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, int],
     return df.filter(b < pct)
 
 
+def group_cap_sample(df: DataFrame, group_col: str,
+                     max_per_group: int, id_col: str = "doc_id",
+                     salt_buckets: int = 16) -> DataFrame:
+    """Anti-domination cap: keep at most ``max_per_group`` rows per group,
+    chosen deterministically by md5-hash order of ``id_col`` — the
+    curation op that stops one domain/source from flooding a training
+    mix while every group below the cap survives untouched. Selection is
+    a pure function of row identity (no ``rand()``), so reruns and
+    resumed jobs pick the same rows.
+
+    Skew-safe exact top-k (the ``engine.cap_violations`` discipline): a
+    group holding half the corpus would otherwise funnel into ONE window
+    task; phase 1 ranks within (group, hash-salt) and keeps ≤ cap per
+    slice, phase 2 ranks the ≤ salt_buckets x cap survivors per group.
+    Correct because the global smallest-k of a group is contained in the
+    union of its slices' smallest-k. For caps so large that
+    salt_buckets x cap strains one task, compose ``stratified_sample``
+    (pure filter) as a pre-thinning pass instead.
+
+    Reference analogue: the reference caps per-user event history before
+    modeling (user_profile_builder.py windowing); this is the corpus
+    form."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    order = [F.asc("_h"), F.asc(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(salt_buckets))
+    w_local = Window.partitionBy(group_col, "_s").orderBy(*order)
+    w_final = Window.partitionBy(group_col).orderBy(*order)
+    pruned = (
+        df.withColumn("_h", h).withColumn("_s", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= int(max_per_group))
+        .drop("_s", "_r")
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w_final))
+        .filter(F.col("_r") <= int(max_per_group))
+        .drop("_r", "_h")
+    )
+
+
 def domain_mixture(df: DataFrame, domain_col: str = "source",
                    token_col: str = "n_tokens",
                    budget_tokens: int = 1_000_000) -> DataFrame:

@@ -6677,6 +6677,33 @@ FROM kv GROUP BY key ORDER BY key
 """
 
 
+def q_group_cap_sample(spark, sf):
+    """Anti-domination curation cap (curation.group_cap_sample): at most
+    7 docs per source, chosen by deterministic md5-hash order of doc_id —
+    the skew-safe exact two-phase top-k (salted rank, then final rank
+    over ≤ salt_buckets×cap survivors), so a source holding half the
+    corpus never funnels into one window task. Reference analogue:
+    user_profile_builder.py's per-user history windowing, recast as a
+    corpus mixing cap."""
+    from anomaly_detection_spark.functions.curation import group_cap_sample
+
+    d = load(spark, sf, "documents")
+    return group_cap_sample(d, "source", 7).select(
+        "source", "doc_id").orderBy("source", "doc_id")
+
+
+SQL_GROUP_CAP_SAMPLE = """
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rn <= 7 ORDER BY source, doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6829,4 +6856,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
+    "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
 }

@@ -93,6 +93,7 @@ HEADLINE = [
     "checksum_reconcile",
     "heavy_hitters",
     "json_key_profile",
+    "group_cap_sample",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -126,3 +126,31 @@ def test_domain_mixture_upweights_low_resource_domains(spark):
     # epochs: small domain replayed far more than once, big less
     assert out["small"]["epochs_micro"] > 1_000_000
     assert out["big"]["epochs_micro"] < 1_000_000
+
+
+def test_group_cap_sample_caps_and_is_deterministic(spark):
+    from anomaly_detection_spark.functions.curation import group_cap_sample
+
+    rows = ([("big", str(i)) for i in range(200)]
+            + [("small", str(1000 + i)) for i in range(3)])
+    df = spark.createDataFrame(rows, "source string, doc_id string")
+    out = group_cap_sample(df, "source", 5, id_col="doc_id")
+    got = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    # big capped at 5, small (under cap) fully retained
+    assert sum(1 for s, _ in got if s == "big") == 5
+    assert sum(1 for s, _ in got if s == "small") == 3
+
+    # pure function of content: reshuffled input, different salt count,
+    # same selection
+    again = group_cap_sample(
+        df.orderBy(F.desc("doc_id")).repartition(7), "source", 5,
+        salt_buckets=1)
+    assert sorted((r["source"], r["doc_id"])
+                  for r in again.collect()) == got
+
+    # selection follows md5 order of ids (reference model)
+    import hashlib
+    expect = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), str(i))
+        for i in range(200))[:5]
+    assert {d for _, d in expect} == {d for s, d in got if s == "big"}
