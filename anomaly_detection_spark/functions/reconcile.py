@@ -109,3 +109,24 @@ def reconcile(cur: DataFrame, prev: DataFrame) -> DataFrame:
         .otherwise(F.lit("match"))
     )
     return j.select("partition", status.alias("status"), "n_cur", "n_prev")
+
+
+def merge_checksums(*tables: DataFrame) -> DataFrame:
+    """Fold per-commit ``table_checksum`` outputs into the whole-snapshot
+    checksum WITHOUT rescanning any data: row counts add, and the
+    checksum is a sum mod 10^18, so the merge is a union + one tiny
+    groupBy — bit-identical to recomputing over the unioned rows
+    (pinned by test). The incremental contract: checksum each appended
+    commit as it lands, merge the metadata tables, reconcile snapshots
+    that were never scanned whole."""
+    import functools
+
+    unioned = functools.reduce(lambda a, b: a.unionByName(b), tables)
+    # re-reduce via the same decimal accumulator: two commits' checksums
+    # sum to < 2e18, still far inside decimal(38)
+    return unioned.groupBy("partition").agg(
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum(F.col("checksum").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+        .alias("checksum"),
+    )

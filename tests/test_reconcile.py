@@ -164,3 +164,24 @@ def test_cli_emit_checksums_and_reconcile(spark, docs, catalog, tmp_path):
         run_validation.parse_args(
             ["--input", "x", "--catalog", "y", "--output", "z",
              "--checksum-prev", "w"])
+
+
+def test_merge_checksums_equals_recompute(spark, snap):
+    """Per-commit checksums fold to the whole-snapshot checksum exactly
+    (additive mod): merge(commit tables) == checksum(unioned rows),
+    bit for bit."""
+    from anomaly_detection_spark.functions.reconcile import merge_checksums
+
+    c1 = snap.filter("doc_id < '1'")          # string-order split
+    c2 = snap.filter("doc_id >= '1' AND doc_id < '2'")
+    c3 = snap.filter("doc_id >= '2'")
+    assert c1.count() + c2.count() + c3.count() == snap.count()
+    merged = merge_checksums(
+        table_checksum(c1, COLS), table_checksum(c2, COLS),
+        table_checksum(c3, COLS))
+    whole = table_checksum(snap, COLS)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    # single-table passthrough keeps the schema and values
+    assert sorted(map(tuple, merge_checksums(whole).collect())) \
+        == sorted(map(tuple, whole.collect()))
