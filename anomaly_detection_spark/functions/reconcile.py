@@ -72,6 +72,12 @@ def table_checksum(
     (order-independent; DuckDB HUGEINT matches exactly). One hash agg
     with map-side combine; the corpus is read once and never shuffled —
     only #partitions result rows move.
+
+    Streaming-legal as-is: on a ``readStream`` frame this is a plain
+    grouped aggregation (complete output mode) whose state is one row
+    per partition — the running checksum of everything that has landed,
+    equal at every trigger to the batch checksum of the rows so far
+    (parity pinned in ``tests/test_streaming.py``).
     """
     sig = row_signature(cols)
     return df.groupBy(F.col(partition_col).alias("partition")).agg(

@@ -398,3 +398,21 @@ def test_streaming_ks_drift_matches_batch(spark):
         assert all(v >= 200 / (baseline.count() + 200) - 1e-9 for v in got.values())
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def test_streaming_checksum_matches_batch(spark, docs, stream_dirs):
+    """table_checksum is streaming-legal unchanged: the running grouped
+    sum (complete mode, one state row per partition) over the landed
+    batches equals the batch checksum of the same rows bit-for-bit."""
+    from anomaly_detection_spark.functions.reconcile import table_checksum
+
+    src, ckpt = stream_dirs
+    cols = [F.col("doc_id"), F.to_json(F.col("spans"))]
+    stream = read_document_stream(spark, f"{src}/*")
+    got_df = _run_to_memory(
+        table_checksum(stream, cols), spark, "stream_cksum", ckpt,
+        output_mode="complete",
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, table_checksum(docs, cols).collect()))
+    assert got == want and len(want) > 0
