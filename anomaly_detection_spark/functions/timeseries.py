@@ -239,3 +239,55 @@ def calendar_gaps(
         )
         .filter(F.col("n_missing") > 0)
     )
+
+
+def seasonal_residuals(events: DataFrame, ts_col: str = "ts",
+                       key_col: str = "event_type",
+                       min_periods: int = 3) -> DataFrame:
+    """Seasonal-baseline anomaly scores: for each (key, date, hour)
+    activity bucket, the deviation of its count from that (key,
+    hour-of-day)'s cross-day baseline, in exact micro-z units —
+    ``(key, day, hour, cnt, n_days, z_micro)``. The time_analyzer
+    question "is 3 AM activity unusual FOR 3 AM?" — a global threshold
+    would flag every quiet hour and miss a loud one.
+
+    Exactness: hourly counts are integers, so the per-(key, hour)
+    mean/variance derive from integer power sums, and the closing
+    population z = (n·x − Σx)/sqrt(n·Σx² − (Σx)²) uses only
+    correctly-rounded IEEE ops — ``z_micro = floor(z·1e6 + 0.5)`` is
+    bit-identical cross-engine. Slots with fewer than ``min_periods``
+    observed days or zero variance are dropped (a 1-day baseline isn't a
+    baseline).
+
+    Plan: two map-side-combined aggs (events → hourly counts → per-slot
+    power sums) and ONE broadcast-sized join back (the profile is
+    #keys × 24 rows) — the corpus shuffles once on the bucket key,
+    never on the profile side. Reference analogue:
+    ``time_analyzer.py:40-54`` per-hour activity baselining.
+    """
+    hourly = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prof = hourly.groupBy("key", "hour").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    )
+    j = hourly.join(F.broadcast(prof), ["key", "hour"])
+    n = F.col("n_days")
+    num = (n * F.col("cnt") - F.col("sx")).cast("double")
+    var_n2 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    z = num / F.sqrt(var_n2)
+    return (
+        j.filter((n >= int(min_periods))
+                 & (n * F.col("sxx") > F.col("sx") * F.col("sx")))
+        .select(
+            "key", "day", "hour", "cnt", "n_days",
+            F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("z_micro"),
+        )
+    )

@@ -6704,6 +6704,49 @@ SELECT source, doc_id FROM r WHERE rn <= 7 ORDER BY source, doc_id
 """
 
 
+def q_seasonal_residuals(spark, sf):
+    """Seasonal-baseline anomaly scores (timeseries.seasonal_residuals):
+    each (event_type, date, hour) bucket scored against that hour-of-day's
+    cross-day baseline in exact micro-z units — "is 3 AM activity unusual
+    FOR 3 AM?". Two map-side-combined aggs + one broadcast join of the
+    #keys×24-row profile; the corpus shuffles once. z from integer power
+    sums, bit-identical cross-engine. Reference analogue:
+    time_analyzer.py:40-54 per-hour baselining."""
+    from anomaly_detection_spark.functions.timeseries import (
+        seasonal_residuals)
+
+    e = load(spark, sf, "events")
+    return (
+        seasonal_residuals(e)
+        # ISO string on both sides: DuckDB DATE materializes to pandas
+        # datetime64 ("... 00:00:00") and would hash-mismatch Spark's date
+        .withColumn("day", F.col("day").cast("string"))
+        .orderBy("key", "day", "hour")
+    )
+
+
+SQL_SEASONAL_RESIDUALS = """
+WITH hourly AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         EXTRACT(hour FROM ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), prof AS (
+  SELECT key, hour, COUNT(*) AS n_days,
+         SUM(cnt) AS sx, SUM(cnt * cnt) AS sxx
+  FROM hourly GROUP BY 1, 2
+)
+SELECT h.key, CAST(h.day AS VARCHAR) AS day,
+       CAST(h.hour AS INTEGER) AS hour, h.cnt, p.n_days,
+       CAST(FLOOR(
+         CAST(p.n_days * h.cnt - p.sx AS DOUBLE)
+         / sqrt(CAST(p.n_days * p.sxx - p.sx * p.sx AS DOUBLE))
+         * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM hourly h JOIN prof p ON h.key = p.key AND h.hour = p.hour
+WHERE p.n_days >= 3 AND p.n_days * p.sxx > p.sx * p.sx
+ORDER BY h.key, h.day, h.hour
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6857,4 +6900,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
+    "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),
 }

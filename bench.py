@@ -94,6 +94,7 @@ HEADLINE = [
     "heavy_hitters",
     "json_key_profile",
     "group_cap_sample",
+    "seasonal_residuals",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -67,3 +67,35 @@ def test_json_key_profile_partitioned(spark):
         df, "props", partition_col="part").collect()}
     assert out[("p0", "k")]["n"] == 2 and out[("p0", "k")]["vmax"] == 7
     assert out[("p1", "k")]["vmin"] == 1
+
+
+def test_seasonal_residuals_planted_anomaly(spark):
+    """Hour-of-day baseline: a spike scores high z against ITS hour's
+    cross-day baseline; constant slots (zero variance) and thin
+    baselines (n_days < min_periods) are dropped."""
+    import datetime as dt
+
+    from anomaly_detection_spark.functions.timeseries import (
+        seasonal_residuals)
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    for d in range(5):
+        day = base + dt.timedelta(days=d)
+        n = 30 if d == 4 else 10          # hour 0: spike on the last day
+        rows += [("k", day + dt.timedelta(minutes=i % 60)) for i in range(n)]
+        rows += [("k", day.replace(hour=1) + dt.timedelta(minutes=i))
+                 for i in range(7)]       # hour 1: constant -> zero var
+    rows += [("thin", base.replace(hour=2)), ("thin", base + dt.timedelta(days=1, hours=2))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = seasonal_residuals(df, min_periods=3).collect()
+    got = {(r["key"], str(r["day"]), r["hour"]): r for r in out}
+    assert all(k[0] == "k" and k[2] == 0 for k in got), got.keys()
+    # exact reference: x=[10,10,10,10,30], spike z = (5*30-70)/sqrt(5*1300-4900)
+    import math
+    z = (5 * 30 - 70) / math.sqrt(5 * 1300 - 70 * 70)
+    spike = got[("k", "2024-03-05", 0)]
+    assert spike["z_micro"] == math.floor(z * 1e6 + 0.5)
+    assert spike["cnt"] == 30 and spike["n_days"] == 5
+    lows = [r["z_micro"] for k, r in got.items() if k[1] != "2024-03-05"]
+    assert all(v < 0 for v in lows)       # the four 10-count days sit below mean
