@@ -373,6 +373,64 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8, max_df: int = 1000,
+                            min_shared: int = 2) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) of n-gram
+    shingle sets — catches a SHORT document quoted inside a long one,
+    which resemblance Jaccard scores near |A|/|B| ≈ 0 and MinHash-LSH
+    (a Jaccard sketch) rarely even candidates. The dedup lens for
+    quote inclusion, boilerplate embedding, and excerpt pages.
+
+    Candidate generation is a frequency-capped shingle inverted index:
+    shingles appearing in more than ``max_df`` docs are dropped first
+    (stop-shingles carry no identity — same count + broadcast anti-join
+    discipline as ``lsh_candidate_pairs``), pairs must share at least
+    ``min_shared`` surviving shingles (map-side-combined count), and the
+    exact containment closes over ``array_intersect`` on candidates
+    ONLY. Join fan-out is bounded by Σ df² with df ≤ max_df — never
+    all-pairs, and unlike the length-bucket fallback of
+    ``ngram_jaccard_pairs`` it deliberately pairs docs of very
+    DIFFERENT sizes (containment's whole point).
+
+    Returns (id_a, id_b, n_a, n_b, containment) for pairs at or above
+    ``threshold``. Reference analogue: the reference's exact-text dup
+    screens; containment generalizes them to partial inclusion."""
+    base = with_shingles(df, text_col, id_col, n=n, distinct=True)
+    ex = base.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("_g"))
+    over = (
+        ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > int(max_df)).select("_g")
+    )
+    kept = ex.join(F.broadcast(over), "_g", "left_anti")
+    cand = (
+        kept.select(F.col("_id").alias("id_a"), "_g")
+        .join(kept.select(F.col("_id").alias("id_b"), "_g"), "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= int(min_shared))
+        .select("id_a", "id_b")
+    )
+    sets = base.select(F.col(id_col).alias("_id"), "_sh")
+    pairs = (
+        cand
+        .join(sets.select(F.col("_id").alias("id_a"),
+                          F.col("_sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_a, n_b = F.size("sh_a"), F.size("sh_b")
+    cont = F.when(F.least(n_a, n_b) > 0,
+                  inter / F.least(n_a, n_b)).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", n_a.alias("n_a"), n_b.alias("n_b"),
+                     F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= float(threshold))
+    )
+
+
 # ------------------------------------------------- incremental (snapshot append)
 
 def incremental_exact_dups(corpus: DataFrame, appended: DataFrame,

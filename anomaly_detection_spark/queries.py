@@ -6747,6 +6747,51 @@ ORDER BY h.key, h.day, h.hour
 """
 
 
+def q_containment_pairs(spark, sf):
+    """Asymmetric containment dedup (dedup.ngram_containment_pairs):
+    |A∩B|/min(|A|,|B|) over 3-gram shingles — the quote-inclusion lens
+    MinHash-LSH (a Jaccard sketch) misses. Candidates from a
+    frequency-capped shingle inverted index (max_df stop-shingle drop,
+    ≥2 shared rare shingles), exact verify on candidates only; fan-out
+    bounded by Σ df², pairs docs of very different sizes by design."""
+    from anomaly_detection_spark.functions import dedup
+
+    d = load(spark, sf, "documents")
+    return dedup.ngram_containment_pairs(
+        d, threshold=0.8, max_df=100, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({{shingles}}) AS sh FROM t),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 100),
+exk AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), p AS (
+  SELECT id_a, id_b, sa.sh AS sh_a, sb.sh AS sh_b
+  FROM cand
+  JOIN s sa ON sa.doc_id = cand.id_a
+  JOIN s sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       CAST(len(sh_a) AS INTEGER) AS n_a,
+       CAST(len(sh_b) AS INTEGER) AS n_b,
+       ROUND(len(list_intersect(sh_a, sh_b))
+             / LEAST(len(sh_a), len(sh_b)), 6) AS containment
+FROM p
+WHERE ROUND(len(list_intersect(sh_a, sh_b))
+            / LEAST(len(sh_a), len(sh_b)), 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+SQL_CONTAINMENT_PAIRS = SQL_CONTAINMENT_PAIRS.format(
+    toks=_TOKS_SQL, shingles=_SHINGLES_SQL)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6901,4 +6946,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
 }

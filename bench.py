@@ -95,6 +95,7 @@ HEADLINE = [
     "json_key_profile",
     "group_cap_sample",
     "seasonal_residuals",
+    "containment_pairs",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

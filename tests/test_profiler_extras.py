@@ -99,3 +99,35 @@ def test_seasonal_residuals_planted_anomaly(spark):
     assert spike["cnt"] == 30 and spike["n_days"] == 5
     lows = [r["z_micro"] for k, r in got.items() if k[1] != "2024-03-05"]
     assert all(v < 0 for v in lows)       # the four 10-count days sit below mean
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short excerpt inside a long doc: containment = 1.0 while
+    resemblance Jaccard is tiny (the pair ngram_jaccard_pairs' threshold
+    would drop); docs sharing ONLY a stop-shingle (df > max_df) never
+    pair."""
+    from anomaly_detection_spark.functions.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    long_toks = [f"w{i}" for i in range(100)]
+    excerpt = long_toks[40:60]
+    boiler = "all rights reserved"
+    rows = [("L", " ".join(long_toks)),
+            ("S", " ".join(excerpt)),
+            ("U", " ".join(f"u{i}" for i in range(50)))]
+    # 30 filler docs sharing only the boilerplate phrase
+    rows += [(f"f{i}", f"x{i} y{i} {boiler} z{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {(r["id_a"], r["id_b"]): r for r in ngram_containment_pairs(
+        df, threshold=0.8, max_df=10, min_shared=2).collect()}
+    assert set(got) == {("L", "S")}
+    pair = got[("L", "S")]
+    assert pair["containment"] == 1.0          # excerpt fully contained
+    assert pair["n_a"] == 98 and pair["n_b"] == 18
+
+    # the same pair is invisible to resemblance Jaccard at any useful
+    # threshold: J = 18/98
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert ("L", "S") not in {(r["id_a"], r["id_b"]) for r in jac}
+    assert ("S", "L") not in {(r["id_a"], r["id_b"]) for r in jac}
