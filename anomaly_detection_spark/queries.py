@@ -6792,6 +6792,75 @@ SQL_CONTAINMENT_PAIRS = SQL_CONTAINMENT_PAIRS.format(
     toks=_TOKS_SQL, shingles=_SHINGLES_SQL)
 
 
+def q_split_leakage(spark, sf):
+    """Train/test leakage audit: duplicate-content groups whose members
+    land in DIFFERENT hash splits — identical text in train and in
+    val/test silently inflates eval. Splits are the md5-bucket
+    `curation.split_column` assignment (membership is a pure function of
+    doc_id, so the audit is reproducible); duplicate groups come from
+    the exact md5(text) fingerprint. One hash agg over (text_hash) with
+    conditional split counts — map-side combined, no window, no join;
+    the near-dup generalization feeds `lsh_candidate_pairs` output into
+    the same group-spanning test. Returns the leaking groups with
+    per-split member counts, worst (largest) first. Reference analogue:
+    the reference's exact-dup screens, recast as an eval-integrity
+    audit."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    g = (
+        d.select(
+            F.md5("text").alias("text_hash"),
+            curation.split_column("doc_id").alias("split"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+            F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        )
+    )
+    spans = (
+        (F.col("n_train") > 0).cast("int")
+        + (F.col("n_val") > 0).cast("int")
+        + (F.col("n_test") > 0).cast("int")
+    )
+    return (
+        g.filter(spans >= 2)
+        .orderBy(F.desc("n_docs"), "text_hash")
+    )
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH s AS (
+  SELECT md5(text) AS text_hash,
+         CASE
+           WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT text_hash, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM s GROUP BY 1
+)
+SELECT * FROM g
+WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+       + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+       + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2
+ORDER BY n_docs DESC, text_hash
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6947,4 +7016,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
 }

@@ -96,6 +96,7 @@ HEADLINE = [
     "group_cap_sample",
     "seasonal_residuals",
     "containment_pairs",
+    "split_leakage",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
