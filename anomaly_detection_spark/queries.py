@@ -6792,6 +6792,83 @@ SQL_CONTAINMENT_PAIRS = SQL_CONTAINMENT_PAIRS.format(
     toks=_TOKS_SQL, shingles=_SHINGLES_SQL)
 
 
+def q_correlation_drift(spark, sf):
+    """Relationship drift: the all-pairs correlation panel of the current
+    snapshot joined against the previous snapshot's — columns whose
+    RELATIONSHIP changed (a decoupled fee, a broken derived column) even
+    when each column's own distribution profile drifts nowhere. Both
+    panels are single-scan exact-power-sum aggs
+    (profiler.correlation_matrix); the join is 6 rows ⋈ 6 rows and the
+    delta is pure integer micro-units. Fixture: the 'previous' snapshot
+    plants l_tax ≡ l_quantity (corr exactly 1.0), so the
+    (quantity, tax) pair must surface with the largest delta. Reference
+    analogue: statistical_analyzer.py correlation screens, made
+    longitudinal."""
+    from anomaly_detection_spark.profiler import correlation_matrix
+
+    li = load(spark, sf, "lineitem")
+    cols_cur = {
+        "quantity": _cents(F.col("l_quantity")),
+        "extendedprice": _cents(F.col("l_extendedprice")),
+        "tax": _cents(F.col("l_tax")),
+    }
+    cols_prev = dict(cols_cur, tax=_cents(F.col("l_quantity")))
+    cur = correlation_matrix(li, cols_cur)
+    prev = correlation_matrix(li, cols_prev).select(
+        "col_x", "col_y",
+        F.col("corr_micro").alias("prev_corr_micro"))
+    return (
+        cur.join(prev, ["col_x", "col_y"])
+        .select(
+            "col_x", "col_y", "n", "corr_micro", "prev_corr_micro",
+            F.abs(F.col("corr_micro") - F.col("prev_corr_micro"))
+            .alias("delta_micro"),
+        )
+        .orderBy(F.desc("delta_micro"), "col_x", "col_y")
+    )
+
+
+def _corr3_sql(tax_expr: str) -> str:
+    """6-row (col_x, col_y, n, corr_micro) SQL over lineitem's
+    (quantity, extendedprice, tax-cents := ``tax_expr``) — the DuckDB
+    mirror of correlation_matrix for the drift fixture."""
+    names = {"q": "quantity", "e": "extendedprice", "t": "tax"}
+    pairs = [("q", "e"), ("q", "t"), ("e", "t")]
+    sums = ", ".join(
+        [f"SUM({a}) AS s_{a}, SUM(CAST({a} AS HUGEINT)*{a}) AS ss_{a}"
+         for a in names]
+        + [f"SUM(CAST({a} AS HUGEINT)*{b}) AS sp_{a}{b}" for a, b in pairs])
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{names[a]}' AS col_x, '{names[b]}' AS col_y, n, "
+        f"CAST(n*sp_{a}{b} - s_{a}*s_{b} AS DOUBLE) AS num, "
+        f"CAST(n*ss_{a} - s_{a}*s_{a} AS DOUBLE) AS dx, "
+        f"CAST(n*ss_{b} - s_{b}*s_{b} AS DOUBLE) AS dy FROM s"
+        for a, b in pairs)
+    return f"""(
+  WITH c AS (
+    SELECT CAST(ROUND(l_quantity*100) AS BIGINT) AS q,
+           CAST(ROUND(l_extendedprice*100) AS BIGINT) AS e,
+           {tax_expr} AS t
+    FROM lineitem
+  ), s AS (SELECT COUNT(*) AS n, {sums} FROM c)
+  SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+         CAST(FLOOR(num/(sqrt(dx)*sqrt(dy))*1000000 + 0.5) AS BIGINT)
+           AS corr_micro
+  FROM ({rows})
+)"""
+
+
+SQL_CORRELATION_DRIFT = f"""
+SELECT cur.col_x, cur.col_y, cur.n, cur.corr_micro,
+       prev.corr_micro AS prev_corr_micro,
+       ABS(cur.corr_micro - prev.corr_micro) AS delta_micro
+FROM {_corr3_sql("CAST(ROUND(l_tax*100) AS BIGINT)")} cur
+JOIN {_corr3_sql("CAST(ROUND(l_quantity*100) AS BIGINT)")} prev
+  ON cur.col_x = prev.col_x AND cur.col_y = prev.col_y
+ORDER BY delta_micro DESC, cur.col_x, cur.col_y
+"""
+
+
 def q_split_leakage(spark, sf):
     """Train/test leakage audit: duplicate-content groups whose members
     land in DIFFERENT hash splits — identical text in train and in
@@ -7017,4 +7094,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
+    "correlation_drift": (q_correlation_drift, SQL_CORRELATION_DRIFT),
 }

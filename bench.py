@@ -97,6 +97,7 @@ HEADLINE = [
     "seasonal_residuals",
     "containment_pairs",
     "split_leakage",
+    "correlation_drift",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
