@@ -6938,6 +6938,102 @@ ORDER BY n_docs DESC, text_hash
 """
 
 
+def q_event_funnel(spark, sf):
+    """First-touch funnel view → click → purchase: a user reaches step k
+    when every step ≤ k occurred and the FIRST occurrences are in funnel
+    order (m_view ≤ m_click ≤ m_purchase) — the standard loose-funnel
+    semantics. ONE groupBy(user) agg of conditional min-timestamps (one
+    shuffle, map-side combined), then a 150-row flag rollup; counts are
+    exact integers. Reference analogue: behavioral sequence screens in
+    the reference's per-user event analysis."""
+    e = load(spark, sf, "events")
+    m = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("m_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("m_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("m_buy"),
+    )
+    s1 = F.col("m_view").isNotNull()
+    s2 = s1 & F.col("m_click").isNotNull() & (F.col("m_view") <= F.col("m_click"))
+    s3 = s2 & F.col("m_buy").isNotNull() & (F.col("m_click") <= F.col("m_buy"))
+    return m.agg(
+        F.sum(s1.cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_view_click"),
+        F.sum(s3.cast("long")).alias("n_view_click_purchase"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS m_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS m_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS m_buy
+  FROM events GROUP BY 1
+)
+SELECT
+  CAST(SUM(CASE WHEN m_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN m_view IS NOT NULL AND m_click IS NOT NULL
+                 AND m_view <= m_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_click,
+  CAST(SUM(CASE WHEN m_view IS NOT NULL AND m_click IS NOT NULL
+                 AND m_view <= m_click AND m_buy IS NOT NULL
+                 AND m_click <= m_buy THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_click_purchase,
+  COUNT(*) AS n_users
+FROM m
+"""
+
+
+def q_retention_cohorts(spark, sf):
+    """Weekly retention cohorts: users grouped by the Monday-start week
+    of their FIRST event, counted in each subsequent week-offset they
+    were active — the (cohort_week, week_offset, n_users) retention
+    triangle. Two aggs (per-user first event; per-(user, active-day)
+    dedup) and one equi-join on user_id — one shuffle each, exact
+    integer counts, no window. Reference analogue: longitudinal
+    activity tracking in risk_history_tracker.py, recast as cohort
+    retention."""
+    e = load(spark, sf, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("_first"))
+    cohort = first.select(
+        "user_id",
+        F.date_trunc("week", F.col("_first")).cast("date").alias("_cw"),
+    )
+    active = e.select(
+        "user_id", F.to_date("ts").alias("_day")).distinct()
+    j = active.join(cohort, "user_id")
+    off = (F.datediff(F.col("_day"), F.col("_cw")) / 7).cast("long")
+    return (
+        j.select(F.col("_cw").cast("string").alias("cohort_week"),
+                 off.alias("week_offset"), "user_id")
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, MIN(ts) AS f FROM events GROUP BY 1
+), cohort AS (
+  SELECT user_id, CAST(date_trunc('week', f) AS DATE) AS cw FROM first
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT CAST(cw AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', cw, day) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
+FROM active JOIN cohort ON active.user_id = cohort.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7095,4 +7191,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "correlation_drift": (q_correlation_drift, SQL_CORRELATION_DRIFT),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
 }

@@ -98,6 +98,8 @@ HEADLINE = [
     "containment_pairs",
     "split_leakage",
     "correlation_drift",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
