@@ -7034,6 +7034,104 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: conservative regex syntax only (portable between Java regex and RE2)
+FORMAT_PATTERNS = [
+    ("integer", "^-?[0-9]+$"),
+    ("decimal", "^-?[0-9]+\\.[0-9]+$"),
+    ("lower_alpha", "^[a-z]+$"),
+    ("alnum", "^[A-Za-z0-9]+$"),
+    ("iso_date", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("empty", "^$"),
+]
+
+
+def q_format_profile(spark, sf):
+    """Deequ-style format analyzer: per (column, pattern) the exact match
+    count and integer ppm over three documents columns in ONE scan —
+    the contract-discovery pass before someone writes `matches(regex)`
+    rules by hand. Stack-unpivot (fan-out = #cols) then one
+    map-side-combined agg with a SUM(CASE) per pattern; patterns use
+    conservative regex syntax portable across engines. Reference
+    analogue: data_loader.py's implicit format assumptions, made
+    measurable."""
+    d = load(spark, sf, "documents")
+    cols = ["doc_id", "lang", "source"]
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    long = d.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) AS (column, value)"))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null")]
+    for name, rx in FORMAT_PATTERNS:
+        aggs.append(
+            F.sum(F.col("value").rlike(rx).cast("long")).alias(f"n_{name}"))
+    g = long.groupBy("column").agg(*aggs)
+    out_cols = ["column", "n", "n_null"] + [
+        f"n_{name}" for name, _ in FORMAT_PATTERNS]
+    return g.select(*out_cols).orderBy("column")
+
+
+SQL_FORMAT_PROFILE = """
+WITH v AS (
+  SELECT 'doc_id' AS "column", CAST(doc_id AS VARCHAR) AS value
+  FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+)
+SELECT "column", COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(SUM(CASE WHEN regexp_matches(value, '^-?[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+       CAST(SUM(CASE WHEN regexp_matches(value, '^-?[0-9]+\\.[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_decimal,
+       CAST(SUM(CASE WHEN regexp_matches(value, '^[a-z]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_alpha,
+       CAST(SUM(CASE WHEN regexp_matches(value, '^[A-Za-z0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alnum,
+       CAST(SUM(CASE WHEN regexp_matches(
+                        value, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_iso_date,
+       CAST(SUM(CASE WHEN regexp_matches(value, '^$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_transitions(spark, sf):
+    """Per-user event-type Markov transitions: count (prev_type → type)
+    over each user's ts-ordered stream (deterministic tie-break
+    event_id) — the behavioral-sequence matrix the reference's per-user
+    analysis implies. One lag window PARTITIONED BY user (state bounded
+    by per-user history, never corpus-wide) + one map-side-combined
+    count agg."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        t.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7193,4 +7291,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "correlation_drift": (q_correlation_drift, SQL_CORRELATION_DRIFT),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "format_profile": (q_format_profile, SQL_FORMAT_PROFILE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
 }

@@ -100,6 +100,8 @@ HEADLINE = [
     "correlation_drift",
     "event_funnel",
     "retention_cohorts",
+    "format_profile",
+    "event_transitions",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
