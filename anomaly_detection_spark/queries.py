@@ -7132,6 +7132,51 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_regex_rule_check(spark, sf):
+    """The matches_regex format rule through the real engine with an SLO
+    budget: lang must be two lowercase letters (strict — all values
+    comply), source must match ^src[0-4]$ (fails for src5..src19 — a
+    deliberately violated contract) but carries a 790_000-ppm budget, so
+    its verdict stays within SLO in partitions where ≤79% of rows
+    violate. Exercises matches_regex + budgets end-to-end; pure integer
+    verdict compare."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.core import RuleSet
+    from dataclasses import replace
+
+    d = load(spark, sf, "documents")
+    rules = RuleSet(row_rules=[
+        builtin.matches_regex("lang", "^[a-z]{2}$"),
+        replace(builtin.matches_regex("source", "^src[0-4]$"),
+                max_violation_ppm=790_000),
+    ])
+    run = ValidationRun(spark, d, rules, partition_col="lang")
+    return run.run(persist=False).verdicts.orderBy("partition", "rule_id")
+
+
+SQL_REGEX_RULE_CHECK = """
+WITH parts AS (
+  SELECT lang AS partition, COUNT(*) AS rows_scanned,
+         CAST(SUM(CASE WHEN lang IS NOT NULL
+                        AND NOT regexp_matches(lang, '^[a-z]{2}$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+         CAST(SUM(CASE WHEN source IS NOT NULL
+                        AND NOT regexp_matches(source, '^src[0-4]$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_src
+  FROM documents GROUP BY 1
+)
+SELECT partition, 'format:lang' AS rule_id, v_lang = 0 AS pass,
+       v_lang AS violation_count, rows_scanned
+FROM parts
+UNION ALL
+SELECT partition, 'format:source',
+       (v_src * 1000000) <= (790000 * rows_scanned), v_src, rows_scanned
+FROM parts
+ORDER BY partition, rule_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7293,4 +7338,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "format_profile": (q_format_profile, SQL_FORMAT_PROFILE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "regex_rule_check": (q_regex_rule_check, SQL_REGEX_RULE_CHECK),
 }

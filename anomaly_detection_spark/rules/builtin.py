@@ -37,6 +37,29 @@ def not_null(col: str, rule_id: str | None = None) -> RowRule:
     )
 
 
+def matches_regex(col: str, pattern: str,
+                  rule_id: str | None = None) -> RowRule:
+    """Format-contract rule (Deequ hasPattern analogue): every non-NULL
+    value of ``col`` must fully satisfy ``pattern`` (caller supplies
+    anchors — pass '^..$' for a full match). NULLs are NOT format
+    violations (``not_null`` owns missingness; coupling them would make
+    one defect fire two rules). Use conservative regex syntax (no
+    lookaround/backrefs) so the same pattern is portable to RE2-based
+    oracles. Compiled into the fused single-scan row pass like every
+    RowRule; with ``max_violation_ppm`` this becomes the soft form
+    "at least 1-x of the column matches".
+
+    Reference analogue: data_loader.py's implicit per-column format
+    assumptions, made an enforced contract."""
+    c = F.col(col)
+    return RowRule(
+        rule_id=rule_id or f"format:{col}",
+        violation=c.isNotNull() & ~c.cast("string").rlike(pattern),
+        detail=F.concat(F.lit(f"{col} breaks format {pattern}: "),
+                        F.substring(c.cast("string"), 1, 80)),
+    )
+
+
 def non_empty_array(col: str, rule_id: str | None = None) -> RowRule:
     return RowRule(
         rule_id=rule_id or f"non_empty:{col}",

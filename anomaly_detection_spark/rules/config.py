@@ -64,6 +64,7 @@ _BUILDERS = {
     "ordinal_contiguity": lambda e: builtin.ordinal_contiguity(
         e["group_col"], e["ord_col"], start=int(e.get("start", 1))
     ),
+    "matches_regex": lambda e: builtin.matches_regex(e["col"], e["pattern"]),
     "benford_deviation": lambda e: builtin.benford_deviation(
         e["col"], max_l1_ppm=int(e.get("max_l1_ppm", 300_000)),
         min_rows=int(e.get("min_rows", 1000))

@@ -102,6 +102,7 @@ HEADLINE = [
     "retention_cohorts",
     "format_profile",
     "event_transitions",
+    "regex_rule_check",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -84,3 +84,28 @@ def test_budget_config_vocabulary(spark):
     with pytest.raises(ValueError):
         suite_from_config(
             '[{"rule": "not_null", "col": "x", "max_violation_ppm": -1}]')
+
+
+def test_matches_regex_rule_and_config(spark):
+    """Format rule: non-NULL non-matching values violate; NULLs never do
+    (not_null owns missingness); config vocabulary + budget compose."""
+    from anomaly_detection_spark.rules import builtin
+    from anomaly_detection_spark.rules.config import suite_from_config
+
+    docs = spark.createDataFrame(
+        [("p", "1", "ab"), ("p", "2", "a1"), ("p", "3", None),
+         ("p", "4", "xyz")],
+        "partition string, doc_id string, code string")
+    rule = builtin.matches_regex("code", "^[a-z]{2}$")
+    rules = RuleSet(row_rules=[rule])
+    res = ValidationRun(spark, docs, rules).run(persist=False)
+    bad = {r["doc_id"] for r in res.violations.collect()}
+    assert bad == {"2", "4"}           # NULL row "3" is NOT a violation
+    assert not res.verdicts.collect()[0]["pass"]
+
+    suite = suite_from_config(
+        '[{"rule": "matches_regex", "col": "code",'
+        ' "pattern": "^[a-z]{2}$", "max_violation_ppm": 500000}]')
+    res2 = ValidationRun(spark, docs, suite).run(persist=False)
+    # 2 violations of 4 rows = 500_000 ppm, inside budget
+    assert res2.verdicts.collect()[0]["pass"]
