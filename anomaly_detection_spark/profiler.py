@@ -231,6 +231,18 @@ def key_skew(
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+#: format-suggestion vocabulary, most-specific first: the first pattern
+#: covering EVERY non-null value of a string column becomes a suggested
+#: matches_regex contract. Conservative regex syntax (portable to RE2).
+FORMAT_PATTERNS = [
+    ("iso_date", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("integer", "^-?[0-9]+$"),
+    ("decimal", "^-?[0-9]+\\.[0-9]+$"),
+    ("lower_alpha", "^[a-z]+$"),
+    ("alnum", "^[A-Za-z0-9]+$"),
+]
+
+
 def suggest_rules(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -268,6 +280,10 @@ def suggest_rules(
         if isinstance(schema[c], _INTEGRAL):
             aggs.append(F.min(c).cast("long").alias(f"mn_{c}"))
             aggs.append(F.max(c).cast("long").alias(f"mx_{c}"))
+        if isinstance(schema[c], T.StringType):
+            for pname, rx in FORMAT_PATTERNS:
+                aggs.append(F.sum(F.col(c).rlike(rx).cast("long"))
+                            .alias(f"fmt_{pname}_{c}"))
     stats = df.agg(*aggs).collect()[0].asDict()
     rows = stats["__rows"]
 
@@ -297,6 +313,13 @@ def suggest_rules(
                         f"[{stats[f'mn_{c}']},{stats[f'mx_{c}']}]"))
         if c in values:
             out.append((c, "isin", values[c]))
+        elif isinstance(schema[c], T.StringType) and nn > 0:
+            # most-specific fully-covering format becomes a contract;
+            # skipped when isin already pins the exact value set
+            for pname, rx in FORMAT_PATTERNS:
+                if stats[f"fmt_{pname}_{c}"] == nn:
+                    out.append((c, "matches_regex", rx))
+                    break
 
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -4671,6 +4671,9 @@ def q_rule_suggestions(spark, sf):
 def _suggest_sql(cols: list[tuple[str, bool]], isin_max: int) -> str:
     """Oracle twin of profiler.suggest_rules over the NULLIF'd documents
     view: one stats CTE, one UNION ALL branch per (column, rule)."""
+    from anomaly_detection_spark.profiler import (
+        FORMAT_PATTERNS as _sugg_formats)
+
     stats = ["COUNT(*) AS rows"]
     for c, integral in cols:
         stats.append(f"COUNT({c}) AS nn_{c}")
@@ -4678,6 +4681,11 @@ def _suggest_sql(cols: list[tuple[str, bool]], isin_max: int) -> str:
         if integral:
             stats.append(f"CAST(MIN({c}) AS BIGINT) AS mn_{c}")
             stats.append(f"CAST(MAX({c}) AS BIGINT) AS mx_{c}")
+        else:
+            for pname, rx in _sugg_formats:
+                stats.append(
+                    f"SUM(CASE WHEN regexp_matches({c}, '{rx}') "
+                    f"THEN 1 ELSE 0 END) AS fmt_{pname}_{c}")
     branches = []
     for c, integral in cols:
         branches.append(
@@ -4705,6 +4713,22 @@ def _suggest_sql(cols: list[tuple[str, bool]], isin_max: int) -> str:
             f"FROM d WHERE {c} IS NOT NULL) "
             f"FROM s WHERE d_{c} > 0 AND d_{c} <= {isin_max}"
         )
+        if not integral:
+            # format contract: FIRST fully-covering pattern wins, and only
+            # when isin did not already pin the exact value set
+            not_isin = f"NOT (d_{c} > 0 AND d_{c} <= {isin_max})"
+            for i, (pname, rx) in enumerate(_sugg_formats):
+                higher = " AND ".join(
+                    f"fmt_{_sugg_formats[j][0]}_{c} <> nn_{c}"
+                    for j in range(i))
+                cond = f"nn_{c} > 0 AND {not_isin} AND fmt_{pname}_{c} = nn_{c}"
+                if higher:
+                    cond += f" AND {higher}"
+                # DuckDB single-quoted literals keep backslashes as-is,
+                # matching the raw pattern string Spark emits as param
+                branches.append(
+                    f"SELECT '{c}', 'matches_regex', '{rx}' FROM s "
+                    f"WHERE {cond}")
     return (
         "WITH d AS (SELECT doc_id, text, NULLIF(lang, 'zh') AS lang, "
         "source, n_chars FROM documents),\n"

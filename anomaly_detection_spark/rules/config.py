@@ -137,6 +137,9 @@ def suggestions_to_config(suggestions: Iterable) -> list[dict]:
         elif rule == "isin":
             out.append({"rule": "accepted_values", "col": col,
                         "values": param.split("|"), "allow_null": True})
+        elif rule == "matches_regex":
+            out.append({"rule": "matches_regex", "col": col,
+                        "pattern": param})
         else:
             raise ValueError(f"unknown suggestion rule {rule!r} for {col!r}")
     return out

@@ -168,3 +168,36 @@ def test_checked_in_interleaved_suite_loads_and_enforces(spark):
     assert "media_caption_adjacent" in fired
     assert "text_encoding_clean" in fired  # datagen's MOJIBAKE plant
     assert res.verdicts.count() > 0
+
+
+def test_format_suggestion_roundtrip(spark):
+    """A string column fully covered by one pattern (and too wide for
+    isin) suggests matches_regex with the MOST SPECIFIC pattern, which
+    round-trips through suggestions_to_config into an enforcing suite;
+    an isin-eligible column must NOT also get a format suggestion."""
+    from anomaly_detection_spark.engine import ValidationRun
+    from anomaly_detection_spark.profiler import suggest_rules
+    from anomaly_detection_spark.rules.config import (
+        suite_from_config, suggestions_to_config)
+    import json
+
+    rows = [("p", str(i), "c%03d" % i, "ab") for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "partition string, doc_id string, code string, tag string")
+    sugg = suggest_rules(docs, ["code", "tag"], isin_max=8).collect()
+    by = {(r["column"], r["rule"]): r["param"] for r in sugg}
+    assert by[("code", "matches_regex")] == "^[A-Za-z0-9]+$"  # alnum wins
+    assert ("tag", "matches_regex") not in by   # isin pins tag instead
+    assert ("tag", "isin") in by
+
+    cfg = suggestions_to_config(sugg)
+    suite = suite_from_config(json.dumps(cfg))
+    ok = ValidationRun(spark, docs, suite).run(persist=False)
+    assert all(r["pass"] for r in ok.verdicts.collect())
+
+    # enforcement: a drifted snapshot with a malformed code now fails
+    bad = docs.union(spark.createDataFrame(
+        [("p", "x", "c-!!", "ab")], docs.schema))
+    res = ValidationRun(spark, bad, suite).run(persist=False)
+    v = {r["rule_id"]: r["pass"] for r in res.verdicts.collect()}
+    assert v["format:code"] is False
