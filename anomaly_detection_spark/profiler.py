@@ -438,7 +438,29 @@ def correlation_matrix(
 
     Reference analogue: ``statistical_analyzer.py`` pairwise feature
     correlation screens, made single-pass and exact.
+
+    Factored as ``correlation_from_sums(correlation_sums(...))`` — the
+    sums half is MERGEABLE (see ``merge_correlation_sums``), so
+    appends-only snapshots keep a lifetime correlation panel without
+    rescanning old commits.
     """
+    return correlation_from_sums(
+        correlation_sums(df, cols, partition_col), list(cols),
+        partition_col)
+
+
+def correlation_sums(
+    df: DataFrame,
+    cols: dict[str, "F.Column"],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """The mergeable half of ``correlation_matrix``: one hash agg of the
+    exact decimal(38,0) power sums — ``_n``, ``_s_<c>``, ``_ss_<c>``,
+    ``_sp_<a>__<b>`` (one row, or one per partition). Every field is an
+    order-independent integer SUM, so per-commit frames fold exactly
+    (``merge_correlation_sums``); products run in decimal(19) so they
+    stay exactly representable in the decimal(38) accumulator
+    (|x| < 1e19 → |x·y| < 1e38)."""
     names = list(cols)
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
 
@@ -446,8 +468,6 @@ def correlation_matrix(
         return c.cast("decimal(38,0)")
 
     def d19(c):
-        # multiply in decimal(19) so products stay exactly representable
-        # in the decimal(38) accumulator (|x| < 1e19 → |x*y| < 1e38)
         return c.cast("decimal(19,0)")
 
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
@@ -458,8 +478,35 @@ def correlation_matrix(
         aggs.append(F.sum(d19(cols[a]) * d19(cols[b])).alias(f"_sp_{a}__{b}"))
 
     grouped = df.groupBy(partition_col) if partition_col else df.groupBy()
-    wide = grouped.agg(*aggs)
+    return grouped.agg(*aggs)
 
+
+def merge_correlation_sums(*sums: DataFrame) -> DataFrame:
+    """Fold per-commit ``correlation_sums`` frames into the
+    whole-snapshot sums WITHOUT rescanning data — integer sums add, so
+    the merged correlation panel is bit-identical to recomputing over
+    the unioned rows (pinned by test). Global (partition-less) frames
+    merge via a constant key. Metadata-sized work only."""
+    import functools
+
+    unioned = functools.reduce(lambda a, b: a.unionByName(b), sums)
+    keys = [c for c in unioned.columns if not c.startswith("_")]
+    grouped = unioned.groupBy(*keys) if keys else unioned.groupBy()
+    return grouped.agg(*[
+        F.sum(c).cast("decimal(38,0)").alias(c)
+        for c in unioned.columns if c.startswith("_")
+    ])
+
+
+def correlation_from_sums(
+    wide: DataFrame,
+    names: list[str],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Close a ``correlation_sums`` frame into the
+    ``(col_x, col_y, n, corr_micro)`` panel — correctly-rounded IEEE ops
+    over exact integer sums, engine-portable micro units."""
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
     n = F.col("_n")
     for a, b in pairs:
         num = (n * F.col(f"_sp_{a}__{b}")

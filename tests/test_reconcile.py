@@ -185,3 +185,34 @@ def test_merge_checksums_equals_recompute(spark, snap):
     # single-table passthrough keeps the schema and values
     assert sorted(map(tuple, merge_checksums(whole).collect())) \
         == sorted(map(tuple, whole.collect()))
+
+
+def test_merge_correlation_sums_equals_recompute(spark):
+    """Per-commit correlation power sums fold to the whole-corpus panel
+    exactly: merge(commits) closes to the same corr_micro bits as one
+    pass over the union — the incremental correlation contract."""
+    from anomaly_detection_spark.profiler import (
+        correlation_from_sums, correlation_matrix, correlation_sums,
+        merge_correlation_sums)
+
+    xs = list(range(1, 301))
+    rows = [(x, 3 * x + (x * x % 17), (x * 31) % 101) for x in xs]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    cols = {"x": F.col("x"), "y": F.col("y"), "z": F.col("z")}
+    c1, c2 = df.filter("x % 2 = 0"), df.filter("x % 2 = 1")
+    merged = merge_correlation_sums(
+        correlation_sums(c1, cols), correlation_sums(c2, cols))
+    got = sorted(map(tuple, correlation_from_sums(
+        merged, list(cols)).collect()))
+    want = sorted(map(tuple, correlation_matrix(df, cols).collect()))
+    assert got == want and len(want) == 3
+
+    # partitioned form merges per key
+    dfp = df.withColumn("p", (F.col("x") % 3).cast("string"))
+    m2 = merge_correlation_sums(
+        correlation_sums(dfp.filter("x <= 150"), cols, "p"),
+        correlation_sums(dfp.filter("x > 150"), cols, "p"))
+    got2 = sorted(map(tuple, correlation_from_sums(
+        m2, list(cols), "p").collect()))
+    want2 = sorted(map(tuple, correlation_matrix(dfp, cols, "p").collect()))
+    assert got2 == want2 and len(want2) == 9
