@@ -139,6 +139,35 @@ def domain_mixture(df: DataFrame, domain_col: str = "source",
     )
 
 
+def mixture_downsample(df: DataFrame, mixture: DataFrame,
+                       domain_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """APPLY a ``domain_mixture`` plan to the corpus: domains whose
+    ``epochs_micro`` is under 1e6 are over-represented relative to the
+    temperature mixture, so their docs are kept at exactly that rate
+    (md5-bucket of the id vs the rate — deterministic membership, no
+    ``rand()``); domains at or above 1e6 keep every doc (their repeats
+    are an epoch-replay concern, not a filtering one).
+
+    Plan: the mixture table is #domains-sized and broadcast; the corpus
+    pays one scan + a map-side hash probe + a pushed filter — no
+    shuffle. The selection is a pure function of (id, mixture), so
+    resumed jobs and re-runs keep identical rows."""
+    rate = F.least(F.col("epochs_micro"), F.lit(1_000_000))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(1_000_000),
+    )
+    m = mixture.select(domain_col, "epochs_micro")
+    return (
+        df.join(F.broadcast(m), domain_col)
+        .filter(bucket < rate)
+        .drop("epochs_micro")
+    )
+
+
 def shuffle_rank(df: DataFrame, id_col: str = "doc_id",
                  buckets: int = 256) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a unique

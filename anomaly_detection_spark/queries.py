@@ -7201,6 +7201,63 @@ ORDER BY partition, rule_id
 """
 
 
+def q_mixture_downsample(spark, sf):
+    """Apply the temperature mixture to the corpus
+    (curation.mixture_downsample): over-represented domains
+    (epochs_micro < 1e6) are kept at exactly their mixture rate by
+    md5-bucket membership; the mixture table is broadcast and the corpus
+    pays one scan + a pushed filter — no shuffle, no rand(). Output:
+    per-source survivor counts against the original size."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").select(
+        "source", "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"))
+    mix = curation.domain_mixture(d, "source", "n_tokens", 10_000)
+    kept = curation.mixture_downsample(d, mix, "source", "doc_id")
+    return (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_kept")), "source", "left")
+        .select("source", "n_docs",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+SQL_MIXTURE_DOWNSAMPLE = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({{toks}}) AS BIGINT) AS n FROM documents
+), per AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS domain_tokens FROM t GROUP BY 1
+), q AS (
+  SELECT *, CAST(FLOOR(SQRT(domain_tokens)) AS BIGINT) AS isq FROM per
+), d AS (
+  SELECT *, CAST(SUM(isq) OVER () AS BIGINT) AS den FROM q
+), mix AS (
+  SELECT source,
+    CAST(FLOOR(CAST(1000000 AS DOUBLE)
+      * (CAST(isq AS DOUBLE) * CAST(10000 AS DOUBLE))
+      / (CAST(den AS DOUBLE) * CAST(domain_tokens AS DOUBLE)) + 0.5)
+      AS BIGINT) AS epochs_micro
+  FROM d
+), kept AS (
+  SELECT t.source FROM t JOIN mix ON t.source = mix.source
+  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        % 1000000
+        < LEAST(epochs_micro, 1000000)
+)
+SELECT t.source, COUNT(*) AS n_docs,
+       COALESCE(MAX(k.n_kept), 0) AS n_kept
+FROM t
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1) k
+  ON t.source = k.source
+GROUP BY 1 ORDER BY 1
+"""
+SQL_MIXTURE_DOWNSAMPLE = SQL_MIXTURE_DOWNSAMPLE.format(toks=_TOKS_SQL)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7363,4 +7420,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "format_profile": (q_format_profile, SQL_FORMAT_PROFILE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "regex_rule_check": (q_regex_rule_check, SQL_REGEX_RULE_CHECK),
+    "mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
 }

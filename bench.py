@@ -103,6 +103,7 @@ HEADLINE = [
     "format_profile",
     "event_transitions",
     "regex_rule_check",
+    "mixture_downsample",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
