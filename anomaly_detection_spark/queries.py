@@ -7258,6 +7258,88 @@ GROUP BY 1 ORDER BY 1
 SQL_MIXTURE_DOWNSAMPLE = SQL_MIXTURE_DOWNSAMPLE.format(toks=_TOKS_SQL)
 
 
+def q_embedding_int8_topk(spark, sf):
+    """Cosine top-3 over per-vector INT8-quantized embeddings
+    (similarity.int8_quantize): 4× smaller storage than float32, and
+    since cosine is scale-invariant the per-vector quantization scale
+    cancels — ranking is exact integer dot/norm arithmetic with a float
+    close, bit-identical cross-engine. Queries bounded to vec_id < 20
+    (labeled brute-force rerank baseline, like embedding_topk); the
+    production path composes int8 vectors with the IVF/LSH bucket
+    joins."""
+    from anomaly_detection_spark.functions.similarity import int8_quantize
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf, "embeddings").filter(
+        F.array_max(F.transform(
+            F.col("embedding"), lambda v: F.abs(v.cast("double")))) > 0)
+    nrm = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        int8_quantize(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", nrm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        int8_quantize(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", nrm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    cos_micro = F.floor(
+        dot.cast("double")
+        / (F.sqrt(F.col("qn").cast("double"))
+           * F.sqrt(F.col("cn").cast("double")))
+        * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos_micro.alias("cos_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_EMBEDDING_INT8_TOPK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qv
+  FROM base WHERE mx > 0
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS nn
+  FROM qz
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(FLOOR(
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+           / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+           * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_micro DESC, neighbor_id)
+         AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_micro, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7421,4 +7503,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "regex_rule_check": (q_regex_rule_check, SQL_REGEX_RULE_CHECK),
     "mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
+    "embedding_int8_topk": (q_embedding_int8_topk, SQL_EMBEDDING_INT8_TOPK),
 }

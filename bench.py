@@ -104,6 +104,7 @@ HEADLINE = [
     "event_transitions",
     "regex_rule_check",
     "mixture_downsample",
+    "embedding_int8_topk",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
