@@ -188,7 +188,12 @@ def violation_slices(docs: DataFrame, violations: DataFrame,
         .withColumn(
             "overall_ppm", F.expr("(n_viol * 1000000) div n_docs"))
         .withColumn(
-            "lift_x1000", F.expr("(rate_ppm * 1000) div overall_ppm"))
+            "lift_x1000",
+            # overall_ppm floors to 0 below 1-in-1e6 violation rates —
+            # the normal case at 10^12 docs; clamp the divisor so rare
+            # rules report lift against a 1-ppm floor instead of
+            # throwing DIVIDE_BY_ZERO under ANSI mode.
+            F.expr("(rate_ppm * 1000) div greatest(overall_ppm, 1)"))
         .select("rule_id", "dim", "value", "slice_n", "slice_viol",
                 "rate_ppm", "overall_ppm", "lift_x1000")
     )
@@ -216,6 +221,12 @@ def sampled_violation_rates(docs: DataFrame, row_rules: list[RowRule],
     from anomaly_detection_spark.functions.curation import hash_bucket
 
     ctx = ctx or RuleContext()
+    if not row_rules:
+        # stack(0, ) is malformed SQL — a dataset-rule-only suite has no
+        # row predicates to preflight; return the empty panel explicitly.
+        return docs.sparkSession.createDataFrame(
+            [], "partition string, rule_id string, sample_n long, "
+                "n_viol long, est_ppm long")
     sampled = docs.filter(
         hash_bucket(F.col(ctx.doc_id_col), 100) < int(sample_pct))
     aggs = [F.count(F.lit(1)).alias("_n")]

@@ -149,11 +149,19 @@ def mixture_downsample(df: DataFrame, mixture: DataFrame,
     ``rand()``); domains at or above 1e6 keep every doc (their repeats
     are an epoch-replay concern, not a filtering one).
 
+    Contract for domains ABSENT from the plan (e.g. a plan computed on an
+    earlier snapshot applied to a corpus that gained a new source): kept
+    in full (rate coalesced to 1e6), never silently deleted — dropping a
+    whole unseen domain because the plan predates it is the worse
+    failure; recompute the plan to downsample it.
+
     Plan: the mixture table is #domains-sized and broadcast; the corpus
     pays one scan + a map-side hash probe + a pushed filter — no
     shuffle. The selection is a pure function of (id, mixture), so
     resumed jobs and re-runs keep identical rows."""
-    rate = F.least(F.col("epochs_micro"), F.lit(1_000_000))
+    rate = F.least(
+        F.coalesce(F.col("epochs_micro"), F.lit(1_000_000)),
+        F.lit(1_000_000))
     bucket = F.pmod(
         F.conv(F.substring(
             F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
@@ -162,7 +170,7 @@ def mixture_downsample(df: DataFrame, mixture: DataFrame,
     )
     m = mixture.select(domain_col, "epochs_micro")
     return (
-        df.join(F.broadcast(m), domain_col)
+        df.join(F.broadcast(m), domain_col, "left")
         .filter(bucket < rate)
         .drop("epochs_micro")
     )

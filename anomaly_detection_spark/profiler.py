@@ -515,7 +515,11 @@ def correlation_from_sums(
               - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast("double")
         dy = (n * F.col(f"_ss_{b}")
               - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast("double")
-        r = num / (F.sqrt(dx) * F.sqrt(dy))
+        # a constant column has dx (or dy) = 0: correlation is undefined,
+        # surfaced as NULL corr_micro instead of an ANSI DIVIDE_BY_ZERO
+        # that would kill the whole profiling job.
+        r = F.when((dx > 0) & (dy > 0),
+                   num / (F.sqrt(dx) * F.sqrt(dy)))
         wide = wide.withColumn(
             f"_r_{a}__{b}",
             F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long"))

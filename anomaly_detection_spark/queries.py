@@ -6204,22 +6204,39 @@ def q_moments_profile(spark, sf):
     perform the identical double-precision expression tree, so results are
     bit-identical; m2^1.5 is written m2*sqrt(m2) because sqrt is IEEE
     correctly-rounded where pow is not. One map-side-combined hash agg.
-    Reference analogue: statistical_analyzer.py's per-feature moment
-    summary (mean/std/skew/kurt via scipy.stats.describe)."""
+
+    Accumulator bounds (cents ≤ ~5e7): s3 ≤ 1.6e23/row fits decimal(38,0)
+    to ~6e14 rows; cents^4 ≈ 6e30/row would overflow decimal(38,0) near
+    1e7 rows, so the 4th power is NOT summed directly — write
+    x2 = a*1e8 + b (a, b longs) and accumulate the three long-valued
+    pieces of x4 = a²*1e16 + 2ab*1e8 + b² separately (each ≤ ~1e16/row,
+    exact in decimal(38,0) to ~1e22 rows), recombining with the identical
+    double expression in both engines. Reference analogue:
+    statistical_analyzer.py's per-feature moment summary
+    (mean/std/skew/kurt via scipy.stats.describe)."""
     o = load(spark, sf, "orders")
     c = _cents(F.col("o_totalprice"))
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     x2 = c * c  # ≤ 2.5e15, fits long
+    bl = F.pmod(x2, F.lit(100_000_000))  # exact long mod, x2 ≥ 0
+    # (x2 - bl) is a multiple of 1e8 and ≤ 2.5e15 < 2^53, so the double
+    # division is exact and the cast recovers the exact integer quotient.
+    ah = ((x2 - bl) / F.lit(100_000_000)).cast("long")
     agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d38(c)).alias("s1"),
         F.sum(d38(x2)).alias("s2"),
         F.sum(d38(x2) * c).alias("s3"),
-        F.sum(d38(x2) * x2).alias("s4"),
+        F.sum(d38(ah * ah)).alias("s4a"),
+        F.sum(d38(ah * bl)).alias("s4m"),
+        F.sum(d38(bl * bl)).alias("s4b"),
     )
     nd = F.col("n").cast("double")
     s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
-    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = (F.col("s4a").cast("double") * F.lit(1e16)
+           + F.lit(2.0) * F.col("s4m").cast("double") * F.lit(1e8)
+           + F.col("s4b").cast("double"))
     m1 = s1d / nd
     m2 = s2d / nd - m1 * m1
     m3 = s3d / nd - F.lit(3.0) * m1 * s2d / nd + F.lit(2.0) * m1 * m1 * m1
@@ -6240,17 +6257,26 @@ WITH c AS (
   SELECT o_orderpriority AS priority,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
   FROM orders
+), sp AS (
+  SELECT priority, c, c * c AS x2,
+         (c * c) % 100000000 AS bl,
+         (c * c) // 100000000 AS ah
+  FROM c
 ), agg AS (
   SELECT priority, COUNT(*) AS n,
          SUM(CAST(c AS HUGEINT)) AS s1,
-         SUM(CAST(c AS HUGEINT) * c) AS s2,
-         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
-         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
-  FROM c GROUP BY 1
+         SUM(CAST(x2 AS HUGEINT)) AS s2,
+         SUM(CAST(x2 AS HUGEINT) * c) AS s3,
+         SUM(CAST(ah AS HUGEINT) * ah) AS s4a,
+         SUM(CAST(ah AS HUGEINT) * bl) AS s4m,
+         SUM(CAST(bl AS HUGEINT) * bl) AS s4b
+  FROM sp GROUP BY 1
 ), d AS (
   SELECT priority, n, CAST(n AS DOUBLE) AS nd,
          CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
-         CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+         CAST(s3 AS DOUBLE) AS s3d,
+         CAST(s4a AS DOUBLE) * 1e16 + 2.0 * CAST(s4m AS DOUBLE) * 1e8
+           + CAST(s4b AS DOUBLE) AS s4d
   FROM agg
 ), m AS (
   SELECT priority, n, nd, s1d, s2d, s3d, s4d, s1d / nd AS m1 FROM d
@@ -6331,7 +6357,7 @@ SELECT rule_id, sv.dim AS dim, sv.value AS value, slice_n, slice_viol,
        (slice_viol * 1000000) // slice_n AS rate_ppm,
        (n_viol * 1000000) // n_docs AS overall_ppm,
        (((slice_viol * 1000000) // slice_n) * 1000)
-         // ((n_viol * 1000000) // n_docs) AS lift_x1000
+         // GREATEST((n_viol * 1000000) // n_docs, 1) AS lift_x1000
 FROM sv
 JOIN sn ON sv.dim = sn.dim AND sv.value IS NOT DISTINCT FROM sn.value
 JOIN rt USING (rule_id)

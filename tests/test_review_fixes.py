@@ -111,3 +111,72 @@ def test_append_missing_pairs_creates_sink(spark, tmp_path):
                                ["partition", "rule_id", "v"])
     append_missing_pairs(spark, df, path)
     assert spark.read.parquet(path).count() == 1
+
+
+# ----------------------------------------------------- round-4 ADVICE fixes
+
+def test_violation_slices_sub_ppm_overall_rate(spark):
+    """overall_ppm floors to 0 when a rule violates fewer than 1-in-1e6
+    docs (the normal case at 10^12 scale); lift must clamp the divisor
+    instead of throwing DIVIDE_BY_ZERO under ANSI mode."""
+    from anomaly_detection_spark.engine import violation_slices
+
+    docs = (
+        spark.range(2_000_000)
+        .select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+                F.lit("p0").alias("partition"),
+                (F.col("id") % 2).cast("string").alias("lang"))
+    )
+    v = spark.createDataFrame(
+        [("p0", "r_rare", "d0", "")],
+        ["partition", "rule_id", "doc_id", "detail"])
+    out = violation_slices(docs, v, ["lang"], min_support=10).collect()
+    assert out, "rare rule must still produce slice rows"
+    for r in out:
+        assert r["overall_ppm"] == 0
+        assert r["lift_x1000"] is not None  # clamped, not thrown
+
+
+def test_correlation_matrix_constant_column_null_not_error(spark):
+    """A zero-variance column makes Pearson undefined: corr_micro must be
+    NULL, not an ANSI DIVIDE_BY_ZERO that kills the profiling job."""
+    from anomaly_detection_spark.profiler import correlation_matrix
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 2).alias("y"))
+    out = correlation_matrix(df, {
+        "x": F.col("x"), "y": F.col("y"), "k": F.lit(7)})
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"] for r in out.collect()}
+    assert got[("x", "y")] == 1_000_000          # perfect linear pair
+    assert got[("x", "k")] is None               # constant -> undefined
+    assert got[("y", "k")] is None
+
+
+def test_sampled_violation_rates_empty_row_rules(spark):
+    """A dataset-rule-only suite has no row predicates: the preflight must
+    return an empty panel, not emit malformed stack(0, ) SQL."""
+    from anomaly_detection_spark.engine import sampled_violation_rates
+
+    docs = spark.createDataFrame(
+        [("d1", "p0")], ["doc_id", "partition"])
+    out = sampled_violation_rates(docs, [])
+    assert out.columns == [
+        "partition", "rule_id", "sample_n", "n_viol", "est_ppm"]
+    assert out.count() == 0
+
+
+def test_mixture_downsample_unknown_domain_kept(spark):
+    """A plan computed on an earlier snapshot applied to a corpus that
+    gained a new domain must KEEP the new domain in full, not silently
+    delete it via inner-join semantics."""
+    rows = ([("web", f"w{i}") for i in range(50)]
+            + [("new_src", f"n{i}") for i in range(30)])
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    mixture = spark.createDataFrame(
+        [("web", 250_000)], ["source", "epochs_micro"])
+    kept = curation.mixture_downsample(df, mixture, "source", "doc_id")
+    by_src = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("new_src") == 30          # absent domain kept whole
+    assert 0 < by_src.get("web", 0) < 50        # planned domain downsampled
