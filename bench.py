@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -354,14 +355,40 @@ def main() -> None:
     # pass), not raw loop wall-clock — the loop runs everything twice
     total = round(sum(per_query.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The full per-query wall map (70+ entries) outgrew the driver's
+    # stdout tail-capture buffer in r3, leaving the graded artifact with
+    # parsed=null — so the walls go to a side file and the FINAL stdout
+    # line stays compact and always machine-parseable.
+    os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"),
+                exist_ok=True)
+    existing = [
+        int(m.group(1)) for m in (
+            re.match(r"BENCH_r(\d+)\.json$", f)
+            for f in os.listdir(os.path.dirname(__file__) or "."))
+        if m
+    ]
+    rnd = (max(existing) + 1) if existing else 0
+    qpath = os.path.join(os.path.dirname(__file__) or ".", "BENCH",
+                         f"QUERIES_r{rnd:02d}.json")
+    qpayload = {"sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cores": int(CPUS), "queries": per_query}
+    for p in (qpath, os.path.join(os.path.dirname(__file__) or ".",
+                                  "BENCH", "QUERIES_LAST.json")):
+        with open(p, "w") as fh:
+            json.dump(qpayload, fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "validated docs/sec (full rule-suite pass) + headline query wall",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "n_queries": len(per_query),
+        "slowest": slowest,
+        "queries_file": os.path.relpath(qpath,
+                                        os.path.dirname(__file__) or "."),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": vstats["docs_per_sec"],
         "validation_docs": vstats["docs"],
+        "validation_sec": vstats["sec"],
         "cores": int(CPUS),
         # measurement-window context: 1/5/15-min load at process start and
         # end; contended=true means another tenant held >LOAD_WARN cores
