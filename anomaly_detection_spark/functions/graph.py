@@ -273,11 +273,12 @@ def community_labels(edges: DataFrame, weight_col: str = "weight",
     stopping), the vote is an exact integer weight sum, and ties break by
     the smallest label (``min(struct(-w, label))`` — a total order), so
     the result is bit-identical run-to-run and engine-to-engine; the
-    oracle is the same recurrence unrolled as plain SQL. Synchronous LPA
-    can oscillate on symmetric structures (the classic bipartite
-    flip-flop); a fixed round count makes even an oscillation a
-    deterministic, comparable answer — raise ``iters`` for finer
-    convergence, it is still O(1) rounds.
+    oracle is the same recurrence unrolled as plain SQL. Each node also
+    casts a weight-1 vote for its OWN current label — the standard
+    inertia term that breaks synchronous-LPA's oscillations on symmetric
+    structures (the classic two-node flip-flop) deterministically
+    without abandoning the synchronous (order-free, hence distributed)
+    update.
 
     Scale: each round is ONE shuffle join (adjacency ⋈ labels on the
     neighbor id) + two hash aggregations, all map-side combined; the
@@ -291,7 +292,10 @@ def community_labels(edges: DataFrame, weight_col: str = "weight",
         votes = (
             adj.join(labels.select(F.col("node").alias("other"), "label"),
                      "other")
-            .groupBy("node", "label").agg(F.sum("w").alias("_w"))
+            .select("node", "label", F.col("w").alias("_w"))
+            .unionByName(labels.select(
+                "node", "label", F.lit(1).cast("long").alias("_w")))
+            .groupBy("node", "label").agg(F.sum("_w").alias("_w"))
         )
         labels = (
             votes.groupBy("node")

@@ -3042,6 +3042,107 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+_COMMUNITY_ITERS = 4
+
+
+def q_graph_communities(spark, sf):
+    """§2.9d communities proper (reference graph_metrics.py:77
+    greedy_modularity_communities): synchronous weighted label propagation
+    — FIXED 4 rounds, exact integer votes, min-label tie-break, so the
+    oracle is the same recurrence unrolled as plain SQL — then the
+    per-community Newman modularity panel (n_nodes, 2×intra weight,
+    total weighted degree, q_micro contribution).
+
+    Fixture: parts linked when co-ordered in ≥ 2 distinct orders — the
+    supplier graph is a near-clique at small SF (no structure to find),
+    while the part graph is sparse with genuine dense groups (~400
+    communities at sf0.01). The pair join is keyed on l_orderkey whose
+    group size is bounded by parts-per-order (~7), so expansion is
+    linear in lineitems, never quadratic in parts."""
+    from anomaly_detection_spark.functions import graph
+
+    li = load(spark, sf, "lineitem")
+    lo = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    inter = (
+        lo.join(lo.select("o", F.col("p").alias("p2")), "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    )
+    e = graph.weighted_edges(inter, "src", "dst") \
+        .filter(F.col("weight") >= 2)
+    labels = graph.community_labels(e, "weight", iters=_COMMUNITY_ITERS)
+    return graph.community_modularity(e, labels, "weight") \
+        .orderBy("community")
+
+
+def _lpa_unrolled_sql(iters: int) -> str:
+    """The label-propagation recurrence as chained plain-SQL CTEs — one
+    (vote, argmax) pair per round, tie-break ORDER BY w DESC, label ASC
+    mirroring Spark's min(struct(-w, label)), plus the weight-1 self-vote
+    inertia term that breaks synchronous-LPA oscillations."""
+    parts = ["l0 AS (SELECT node, node AS label FROM "
+             "(SELECT DISTINCT node FROM sym))"]
+    for i in range(1, iters + 1):
+        parts.append(f"""v{i} AS (
+  SELECT node, label, SUM(w) AS w FROM (
+    SELECT s.node AS node, l.label AS label, s.w AS w
+    FROM sym s JOIN l{i - 1} l ON s.other = l.node
+    UNION ALL
+    SELECT node, label, 1 AS w FROM l{i - 1}
+  ) GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label, ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY w DESC, label ASC) AS rn
+    FROM v{i}) t WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+_SQL_PART_EDGES = """
+lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+  FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT src AS node, dst AS other, w FROM e
+  UNION ALL
+  SELECT dst AS node, src AS other, w FROM e
+)"""
+
+SQL_GRAPH_COMMUNITIES = f"""
+WITH {_SQL_PART_EDGES},
+{_lpa_unrolled_sql(_COMMUNITY_ITERS)},
+deg AS (SELECT node, SUM(w) AS wdeg FROM sym GROUP BY 1),
+m2 AS (SELECT SUM(w) AS m2 FROM sym),
+intra AS (
+  SELECT la.label AS community, SUM(s.w) AS in2_w
+  FROM sym s
+  JOIN l{_COMMUNITY_ITERS} la ON s.node = la.node
+  JOIN l{_COMMUNITY_ITERS} lb ON s.other = lb.node AND la.label = lb.label
+  GROUP BY 1
+),
+tot AS (
+  SELECT l.label AS community, COUNT(*) AS n_nodes, SUM(d.wdeg) AS tot_w
+  FROM l{_COMMUNITY_ITERS} l JOIN deg d ON l.node = d.node GROUP BY 1
+)
+SELECT t.community AS community, n_nodes,
+       CAST(COALESCE(in2_w, 0) AS BIGINT) AS in2_w,
+       CAST(tot_w AS BIGINT) AS tot_w,
+       CAST(FLOOR(1e6 * (COALESCE(CAST(in2_w AS DOUBLE), 0.0)
+                           / CAST(m2 AS DOUBLE)
+                         - (CAST(tot_w AS DOUBLE) / CAST(m2 AS DOUBLE))
+                           * (CAST(tot_w AS DOUBLE) / CAST(m2 AS DOUBLE)))
+                  + 0.5) AS BIGINT) AS q_micro
+FROM tot t LEFT JOIN intra i ON t.community = i.community
+CROSS JOIN m2
+ORDER BY community
+"""
+
+
 def q_landmark_closeness(spark, sf):
     """§2.9d: closeness centrality against the 8 smallest-id landmark nodes,
     BFS depth ≤ 4 (sampled stand-in for graph_metrics.py:49-50 closeness;
@@ -7454,6 +7555,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "eigenvector_centrality": (q_eigenvector_centrality, SQL_EIGENVECTOR_CENTRALITY),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
+    "graph_communities": (q_graph_communities, SQL_GRAPH_COMMUNITIES),
     "landmark_closeness": (q_landmark_closeness, SQL_LANDMARK_CLOSENESS),
     "graph_anomaly_scores": (q_graph_anomaly_scores, SQL_GRAPH_ANOMALY_SCORES),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

@@ -239,3 +239,53 @@ def test_exact_betweenness_component_cap_excludes_not_crashes(spark):
     pairs = [(0, 1), (1, 2), (0, 2)] + [(i, i + 1) for i in range(10, 14)]
     out = graph.exact_betweenness(edge_df(spark, pairs), max_component=4)
     assert {r["node"] for r in out.collect()} == {"0", "1", "2"}
+
+
+# Two planted 4-cliques bridged by a single edge — the canonical
+# two-community graph: LPA must split it at the bridge, never merge it.
+TWO_CLIQUES = (
+    [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    + [(3, 4)]
+)
+
+
+def test_community_labels_two_cliques(spark):
+    lab = {r["node"]: r["label"] for r in
+           graph.community_labels(edge_df(spark, TWO_CLIQUES)).collect()}
+    # hand-traced recurrence (min-label tie-break): both cliques collapse
+    # to their internal min-label attractor by round 3 and stay there
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 4}
+
+
+def test_community_labels_weight_beats_count(spark):
+    # node 2 has TWO unit edges into the {0,1} side but one weight-5 edge
+    # to node 3: the weighted vote must pull it to 3's community
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    w = [1, 1, 1, 5, 5, 5, 5]
+    lab = {r["node"]: r["label"] for r in
+           graph.community_labels(edge_df(spark, pairs, w)).collect()}
+    assert lab[2] == lab[3] == lab[4] == lab[5]
+    assert lab[0] == lab[1] != lab[2]
+
+
+def test_community_modularity_two_cliques(spark):
+    e = edge_df(spark, TWO_CLIQUES)
+    lab = graph.community_labels(e)
+    out = {r["community"]: r.asDict() for r in
+           graph.community_modularity(e, lab).collect()}
+    # 13 unit edges -> 2m = 26; each clique: in2 = 12, tot deg = 13
+    # q = 12/26 - (13/26)^2 = 0.2115384..., micro-rounded 211538
+    assert set(out) == {0, 4}
+    for c in (0, 4):
+        assert out[c]["n_nodes"] == 4
+        assert out[c]["in2_w"] == 12
+        assert out[c]["tot_w"] == 13
+        assert out[c]["q_micro"] == 211538
+    # one community spanning everything scores LOWER total modularity
+    # than the planted split (the whole point of the panel)
+    whole = graph.connected_components(e).withColumnRenamed(
+        "component", "label")
+    q_one = sum(r["q_micro"] for r in
+                graph.community_modularity(e, whole).collect())
+    assert q_one < out[0]["q_micro"] + out[4]["q_micro"]
