@@ -114,6 +114,117 @@ def outlier_scores(
     )
 
 
+def dbscan_labels(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+    bucket_col: str = "bucket",
+    eps_sq: int = 1_562_500,
+    min_pts: int = 4,
+    max_bucket: int = 2_000,
+) -> DataFrame:
+    """DBSCAN-style density clustering within neighborhood buckets — the
+    *clustering* half of the density-based family whose *outlier* half is
+    ``local_outlier_scores`` (reference: ``/root/reference/anomaly_detection/
+    ml_models/dbscan_model.py:36-125`` sklearn DBSCAN fit).
+
+    Semantics are textbook Ester-et-al DBSCAN restricted to each bucket:
+    a point is **core** when its ε-ball holds ≥ ``min_pts`` points
+    (including itself, the sklearn ``min_samples`` convention), **border**
+    when non-core but within ε of some core point, **noise** otherwise.
+    Clusters are the connected components of the core—core ε-graph; a
+    border point joins the cluster of its minimum-labeled core neighbor
+    (sklearn assigns first-visited — order-dependent; min-label is the
+    deterministic total-order analogue). Cluster ids are the minimum
+    member point id, so labels are stable across partitionings and runs.
+
+    Inputs are integer-quantized vectors (``array<long>``, caller
+    quantizes — milli-units for embeddings) so every squared distance is
+    an exact int64 and the ε test ``d² ≤ eps_sq`` is bit-reproducible in
+    any engine; there is no float anywhere in the pipeline.
+
+    Scale shape: the ε-pair join is the capped per-bucket discipline of
+    ``local_outlier_scores`` — Σ|bucket|² work with oversize buckets
+    dropped via broadcast anti-join, never corpus-quadratic. The ε-edge
+    frame is localCheckpointed because three consumers branch off it
+    (neighbor counts, core-core edges, border assignment); it is bounded
+    by the ε-ball fanout, not the corpus. Boundary points near a bucket
+    seam lose cross-bucket neighbors — the standard blocked-kNN trade,
+    same as LOF's (documented there).
+
+    Returns (id, n_eps, role, cluster): ``n_eps`` = ε-neighbors excluding
+    self, ``role`` ∈ {core, border, noise}, ``cluster`` = min core id of
+    the cluster (NULL for noise; an isolated core point is its own
+    cluster)."""
+    from anomaly_detection_spark.functions import graph
+
+    pts = points.select(
+        F.col(id_col).alias("_id"), F.col(bucket_col).alias("_bkt"),
+        F.col(vec_col).alias("_v"),
+    ).localCheckpoint(eager=False)
+    oversize = (
+        pts.groupBy("_bkt").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("_bkt")
+    )
+    kept = pts.join(F.broadcast(oversize), "_bkt", "left_anti")
+    a = kept.select(F.col("_id").alias("_pa"), "_bkt", F.col("_v").alias("_va"))
+    b = kept.select(F.col("_id").alias("_pb"), "_bkt", F.col("_v").alias("_vb"))
+    d2 = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    eps_pairs = (
+        a.join(b, "_bkt")
+        .filter(F.col("_pa") != F.col("_pb"))
+        .withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(int(eps_sq)))
+        .select("_pa", "_pb")
+        .localCheckpoint(eager=False)
+    )
+    ncnt = eps_pairs.groupBy("_pa").agg(F.count("*").alias("n_eps"))
+    flagged = (
+        pts.select("_id")
+        .join(ncnt.withColumnRenamed("_pa", "_id"), "_id", "left")
+        .select("_id", F.coalesce("n_eps", F.lit(0)).cast("long").alias("n_eps"))
+        .withColumn("_core", F.col("n_eps") + 1 >= F.lit(int(min_pts)))
+    )
+    cores = flagged.filter("_core").select("_id")
+    core_edges = (
+        eps_pairs
+        .join(cores.withColumnRenamed("_id", "_pa"), "_pa")
+        .join(cores.withColumnRenamed("_id", "_pb"), "_pb")
+        .filter(F.col("_pa") < F.col("_pb"))
+        .select(F.col("_pa").alias("src"), F.col("_pb").alias("dst"))
+    )
+    comp = graph.connected_components(core_edges)
+    # isolated core points (no core neighbor in ε) are their own cluster
+    core_lbl = (
+        cores.join(comp.withColumnRenamed("node", "_id"), "_id", "left")
+        .select("_id", F.coalesce("component", "_id").alias("_cluster"))
+    )
+    border_lbl = (
+        eps_pairs
+        .join(cores.withColumnRenamed("_id", "_pa"), "_pa", "left_anti")
+        .join(core_lbl.withColumnRenamed("_id", "_pb"), "_pb")
+        .groupBy("_pa").agg(F.min("_cluster").alias("_cluster"))
+        .withColumnRenamed("_pa", "_id")
+    )
+    return (
+        flagged
+        .join(core_lbl.withColumnRenamed("_cluster", "_ccl"), "_id", "left")
+        .join(border_lbl.withColumnRenamed("_cluster", "_bcl"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_eps",
+            F.when(F.col("_core"), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce("_ccl", "_bcl").alias("cluster"),
+        )
+    )
+
+
 def local_outlier_scores(
     features: DataFrame,
     cols: list[str],

@@ -2188,6 +2188,84 @@ LEFT JOIN kdist ON kdist.pa = f.user_id
 SQL_LOCAL_OUTLIER_SCORES = _lof_oracle_sql()
 
 
+_DBSCAN_EPS = 1250  # milli-units; ~10th pct of within-label pair distance
+_DBSCAN_MIN_PTS = 4
+
+
+def q_density_clusters(spark, sf):
+    """§2.9c density *clustering* (reference dbscan_model.py:36-125 sklearn
+    DBSCAN): core/border/noise labels + min-id cluster assignment over the
+    embeddings table, ε-pairs restricted to the coarse label cell (the
+    capped per-bucket discipline of local_outlier_scores). Vectors quantize
+    to int64 milli-units so the ε test is exact integer math; ε picked at
+    the ~10th percentile of within-cell pair distance so all three roles
+    are populated at sf0.01 (176 core / 179 border / 145 noise)."""
+    from anomaly_detection_spark.functions import ml
+
+    emb = load(spark, sf, "embeddings")
+    qz = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    pts = emb.select("vec_id", F.col("label").alias("bucket"), qz.alias("qv"))
+    labeled = ml.dbscan_labels(
+        pts, id_col="vec_id", vec_col="qv", bucket_col="bucket",
+        eps_sq=_DBSCAN_EPS * _DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS,
+    )
+    return labeled.select(
+        "vec_id", "n_eps", "role",
+        F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+    )
+
+
+SQL_DENSITY_CLUSTERS = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label AS bkt,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings
+), sz AS (SELECT bkt FROM e GROUP BY bkt HAVING COUNT(*) <= 2000),
+kept AS (SELECT e.* FROM e JOIN sz USING (bkt)),
+p AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM kept a JOIN kept b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> (a.q[i]-b.q[i])*(a.q[i]-b.q[i]))) <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+n AS (
+  SELECT e.vec_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_eps
+  FROM e LEFT JOIN (SELECT pa, COUNT(*) AS n FROM p GROUP BY 1) c
+  ON c.pa = e.vec_id
+),
+core AS (SELECT vec_id FROM n WHERE n_eps + 1 >= {_DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT p.pa AS src, p.pb AS dst
+  FROM p JOIN core ca ON ca.vec_id = p.pa JOIN core cb ON cb.vec_id = p.pb
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT ce.dst, reach.lbl FROM reach JOIN ce ON ce.src = reach.node
+),
+clbl AS (SELECT node AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY 1),
+blbl AS (
+  SELECT p.pa AS vec_id, MIN(cl.cluster) AS cluster
+  FROM p JOIN clbl cl ON cl.vec_id = p.pb
+  WHERE p.pa NOT IN (SELECT vec_id FROM core)
+  GROUP BY 1
+)
+SELECT n.vec_id, n.n_eps,
+       CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster, b.cluster, -1) AS cluster
+FROM n
+LEFT JOIN core c ON c.vec_id = n.vec_id
+LEFT JOIN clbl cl ON cl.vec_id = n.vec_id
+LEFT JOIN blbl b ON b.vec_id = n.vec_id
+"""
+
+
 def q_entity_risk_scores(spark, sf):
     """Risk aggregation + tiers (risk_calculator.py:47-50,132; config.py:19-21):
     anomalies := error events with value as 0-100 severity; score in exact
@@ -7540,6 +7618,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # Group F — ML ensemble analogue, risk, graph, seasonality, profile join
     "ml_outlier_ensemble": (q_ml_outlier_ensemble, SQL_ML_OUTLIER_ENSEMBLE),
     "local_outlier_scores": (q_local_outlier_scores, SQL_LOCAL_OUTLIER_SCORES),
+    "density_clusters": (q_density_clusters, SQL_DENSITY_CLUSTERS),
     "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),
