@@ -234,6 +234,7 @@ def local_outlier_scores(
     max_bucket: int = 2_000,
     threshold: float = 1.5,
     checkpoint: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Exact LOF (local outlier factor) within neighborhood buckets — the
     density-based member the global robust-z/IQR ensemble cannot express
@@ -265,6 +266,20 @@ def local_outlier_scores(
     score is rounded to 6 dp — DuckDB-oracle-checkable, unlike a fitted
     sklearn LOF.
 
+    ``nprobe > 1`` shrinks the boundary-point blind spot (reference LOF
+    searches globally, ``lof_model.py:31-128``): each point's CANDIDATE
+    neighbors come from its home bucket PLUS its ``nprobe − 1`` nearest
+    other buckets by centroid distance — the IVF multi-probe idea
+    (``similarity.ivf_multiprobe_topk``) applied to the kNN side of LOF.
+    The codebook is per-bucket exact integer feature sums + counts (tiny,
+    broadcast); probe ranking compares Σ(xᵢ·n − sᵢ)² in double with a
+    fixed term order, so it is engine-reproducible (ranking needs
+    consistency, not exactness — the LOF distances themselves stay exact).
+    Candidates keep their single home bucket, so the pair join stays a
+    per-bucket equi-join at ``nprobe``× the single-probe work. A point
+    whose true neighbors sit just across a grid seam — or whose bucket is
+    a singleton — gains real neighbors instead of a neutral 1.0.
+
     The two ``localCheckpoint``s are load-bearing: ``kdist``/``reach``/
     ``lof`` all branch off ``knn``, and without truncation each branch
     re-executes the whole upstream feature build (a corpus-sized
@@ -285,7 +300,30 @@ def local_outlier_scores(
         .select("_bkt")
     )
     kept = pts.join(F.broadcast(oversize), "_bkt", "left_anti")
-    a = kept.select(
+    probed = kept
+    if nprobe > 1:
+        cent = kept.groupBy(F.col("_bkt").alias("_cb")).agg(
+            F.count("*").alias("_cn"),
+            *[F.sum(c).alias(f"_s_{c}") for c in cols],
+        )
+        cd2 = None
+        for c in cols:
+            t = (
+                F.col(c).cast("double") * F.col("_cn")
+                - F.col(f"_s_{c}").cast("double")
+            )
+            cd2 = t * t if cd2 is None else cd2 + t * t
+        wpr = Window.partitionBy("_id").orderBy(F.asc("_cd2"), F.asc("_cb"))
+        others = (
+            kept.crossJoin(F.broadcast(cent))
+            .filter(F.col("_cb") != F.col("_bkt"))
+            .withColumn("_cd2", cd2)
+            .withColumn("_pr", F.row_number().over(wpr))
+            .filter(F.col("_pr") <= nprobe - 1)
+            .select("_id", F.col("_cb").alias("_bkt"), *cols)
+        )
+        probed = kept.select("_id", "_bkt", *cols).unionByName(others)
+    a = probed.select(
         F.col("_id").alias("_pa"), "_bkt",
         *[F.col(c).alias(f"_a_{c}") for c in cols],
     )

@@ -2145,19 +2145,46 @@ def q_local_outlier_scores(spark, sf):
     )
 
 
-def _lof_oracle_sql() -> str:
+def _lof_oracle_sql(nprobe: int = 1) -> str:
     d2 = " + ".join(
         f"(a.{c} - b.{c}) * (a.{c} - b.{c})" for c in _LOF_COLS
     )
+    if nprobe > 1:
+        cd2 = " + ".join(
+            f"(CAST(k.{c} AS DOUBLE)*c.cn - CAST(c.s_{c} AS DOUBLE))"
+            f"*(CAST(k.{c} AS DOUBLE)*c.cn - CAST(c.s_{c} AS DOUBLE))"
+            for c in _LOF_COLS
+        )
+        probe_ctes = f"""
+cent AS (
+  SELECT bkt, COUNT(*) AS cn,
+         {', '.join(f'CAST(SUM({c}) AS BIGINT) AS s_{c}' for c in _LOF_COLS)}
+  FROM kept GROUP BY bkt),
+others AS (
+  SELECT user_id, pbk FROM (
+    SELECT k.user_id, c.bkt AS pbk,
+           ROW_NUMBER() OVER (PARTITION BY k.user_id
+                              ORDER BY {cd2} ASC, c.bkt ASC) AS pr
+    FROM kept k CROSS JOIN cent c WHERE c.bkt <> k.bkt) t
+  WHERE pr <= {nprobe - 1}),
+probed AS (
+  SELECT user_id, bkt AS pbk, {', '.join(_LOF_COLS)} FROM kept
+  UNION ALL
+  SELECT o.user_id, o.pbk, {', '.join(f'k.{c}' for c in _LOF_COLS)}
+  FROM others o JOIN kept k USING (user_id)),"""
+        pair_src = "probed a JOIN kept b ON a.pbk = b.bkt"
+    else:
+        probe_ctes = ""
+        pair_src = "kept a JOIN kept b ON a.bkt = b.bkt"
     return f"""
 WITH f AS ({_FEATS_SQL}),
 bk AS (SELECT user_id, {', '.join(_LOF_COLS)}, n_types AS bkt FROM f),
 sz AS (SELECT bkt FROM bk GROUP BY bkt HAVING COUNT(*) <= {_LOF_MAX_BUCKET}),
-kept AS (SELECT bk.* FROM bk JOIN sz USING (bkt)),
+kept AS (SELECT bk.* FROM bk JOIN sz USING (bkt)),{probe_ctes}
 pairs AS (
   SELECT a.user_id AS pa, b.user_id AS pb,
          sqrt(CAST({d2} AS DOUBLE)) AS d
-  FROM kept a JOIN kept b ON a.bkt = b.bkt AND a.user_id <> b.user_id),
+  FROM {pair_src} AND a.user_id <> b.user_id),
 knn AS (
   SELECT pa, pb, d FROM (
     SELECT pa, pb, d,
@@ -2186,6 +2213,26 @@ LEFT JOIN kdist ON kdist.pa = f.user_id
 
 
 SQL_LOCAL_OUTLIER_SCORES = _lof_oracle_sql()
+
+
+def q_local_outlier_multiprobe(spark, sf):
+    """§2.9c LOF with nprobe=2 — the boundary-blind-spot fix over
+    single-bucket `local_outlier_scores` (reference lof_model.py searches
+    globally): each point's kNN candidates come from its home feature-grid
+    cell PLUS its nearest other cell by exact-integer centroid distance,
+    so grid-seam points and singleton cells keep real neighbors. Same
+    capped pair-join shape at 2× the work."""
+    from anomaly_detection_spark.functions import ml
+
+    feats = ml.entity_activity_features(load(spark, sf, "events"))
+    return ml.local_outlier_scores(
+        feats.withColumn("bucket", F.col("n_types")),
+        _LOF_COLS, k=_LOF_K, max_bucket=_LOF_MAX_BUCKET,
+        threshold=_LOF_THRESHOLD, nprobe=2,
+    )
+
+
+SQL_LOCAL_OUTLIER_MULTIPROBE = _lof_oracle_sql(nprobe=2)
 
 
 _DBSCAN_EPS = 1250  # milli-units; ~10th pct of within-label pair distance
@@ -7619,6 +7666,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ml_outlier_ensemble": (q_ml_outlier_ensemble, SQL_ML_OUTLIER_ENSEMBLE),
     "local_outlier_scores": (q_local_outlier_scores, SQL_LOCAL_OUTLIER_SCORES),
     "density_clusters": (q_density_clusters, SQL_DENSITY_CLUSTERS),
+    "local_outlier_multiprobe": (q_local_outlier_multiprobe, SQL_LOCAL_OUTLIER_MULTIPROBE),
     "entity_risk_scores": (q_entity_risk_scores, SQL_ENTITY_RISK_SCORES),
     "risk_forecast": (q_risk_forecast, SQL_RISK_FORECAST),
     "risk_forecast_branches": (q_risk_forecast_branches, SQL_RISK_FORECAST_BRANCHES),

@@ -99,6 +99,50 @@ def test_local_outlier_singleton_and_oversize_buckets_neutral(spark):
     assert all(got[f"b{i}"]["n_neighbors"] == 0 for i in range(4))
 
 
+def test_local_outlier_multiprobe_flips_boundary_miss_to_hit(spark):
+    """The cross-bucket blind spot (reference lof_model.py searches
+    globally): a true outlier stranded alone in its grid cell scores a
+    neutral 1.0 single-probe (miss); with nprobe=2 it probes the nearest
+    other cell, gains real neighbors, and flags (hit)."""
+    # bucket 1: tight cluster at x≈100; bucket 9: the planted outlier,
+    # alone in its cell at x=150 — near-ish the cluster but locally sparse
+    rows = [(f"c{i}", 1, 100 + i, 0) for i in range(6)]
+    rows.append(("stranded", 9, 150, 0))
+    feats = spark.createDataFrame(
+        rows, "user_id string, bucket long, x long, y long"
+    )
+    single = {r["user_id"]: r for r in ml.local_outlier_scores(
+        feats, ["x", "y"], bucket_col="bucket", k=3
+    ).collect()}
+    assert not single["stranded"]["is_local_outlier"]  # the miss
+    assert single["stranded"]["n_neighbors"] == 0
+    multi = {r["user_id"]: r for r in ml.local_outlier_scores(
+        feats, ["x", "y"], bucket_col="bucket", k=3, nprobe=2
+    ).collect()}
+    assert multi["stranded"]["is_local_outlier"]  # the hit
+    assert multi["stranded"]["n_neighbors"] == 3
+    assert multi["stranded"]["lof_score"] > 1.5
+    # cluster members keep scoring as inliers under multiprobe
+    for i in range(6):
+        assert not multi[f"c{i}"]["is_local_outlier"]
+
+
+def test_local_outlier_multiprobe_home_bucket_always_probed(spark):
+    """Probe set = home ∪ nearest (nprobe−1) OTHER cells — a point never
+    loses its own bucket-mates, even when another centroid is closer
+    (here c-cluster's centroid sits nearer to 'edge' than its own)."""
+    rows = [(f"c{i}", 1, 100 + i, 0) for i in range(4)]
+    rows += [("edge", 2, 104, 0), ("mate", 2, 130, 0)]
+    feats = spark.createDataFrame(
+        rows, "user_id string, bucket long, x long, y long"
+    )
+    multi = {r["user_id"]: r for r in ml.local_outlier_scores(
+        feats, ["x", "y"], bucket_col="bucket", k=5, nprobe=2
+    ).collect()}
+    # edge sees its 4 probed c-neighbors AND its home mate: 5 candidates
+    assert multi["edge"]["n_neighbors"] == 5
+
+
 def test_local_outlier_duplicate_points_no_infinity(spark):
     """All-identical neighborhoods have zero reach distance; the epsilon
     guard must keep lrd finite and scores well-defined."""
