@@ -176,10 +176,53 @@ def ivf_multiprobe_topk(
                      lambda x: F.round(x.cast("double") * scale).cast("long"))
     e = emb.select(F.col(id_col).alias("_id"), qz.alias("_v"),
                    F.col(bucket_col).alias("_b"))
+    return _ivf_multiprobe_quantized(e, k, nprobe)
+
+
+def int8_ivf_topk(
+    emb: DataFrame, k: int = 3, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """INT8-quantized IVF multi-probe ANN — the composition that actually
+    ships at 100 TB: vectors stored 4× smaller (``int8_quantize``; cosine
+    is scale-invariant so the per-vector scale cancels and the ranking
+    arithmetic is exact integers), searched with the IVF ``nprobe`` plan
+    (tiny broadcast codebook, per-bucket equi-join — ``ivf_multiprobe_
+    topk``'s shape at the quantized representation's storage cost).
+
+    The codebook is built over the int8 components themselves — the
+    representation the storage layer holds — so probe assignment needs no
+    dequantization pass; per-vector scales make it a slightly different
+    centroid than the float path's, which costs a little recall (pinned
+    by the parity test, not assumed). Zero vectors are excluded (int8
+    quantization is undefined for them), matching ``int8_quantize``'s
+    contract."""
+    nonzero = emb.filter(
+        F.array_max(F.transform(
+            F.col(vec_col), lambda v: F.abs(v.cast("double")))) > 0)
+    e = nonzero.select(
+        F.col(id_col).alias("_id"),
+        int8_quantize(F.col(vec_col)).alias("_v"),
+        F.col(bucket_col).alias("_b"),
+    )
+    return _ivf_multiprobe_quantized(e, k, nprobe)
+
+
+def _ivf_multiprobe_quantized(e: DataFrame, k: int, nprobe: int) -> DataFrame:
+    """Shared IVF multi-probe core over a pre-quantized frame
+    ``(_id, _v array<long>, _b)`` — see ``ivf_multiprobe_topk`` for the
+    plan-shape contract (broadcast integer codebook, per-bucket join)."""
     # codebook: exact per-dim int sums (posexplode → two-level hash agg;
-    # collect_list is bucket-sized = dim rows) + per-bucket counts
+    # collect_list is bucket-sized = dim rows) + per-bucket counts.
+    # posexplode_outer, not posexplode: the inner form's inferred
+    # size(_v) > 0 pre-filter duplicates the whole quantize expression
+    # into the scan predicate (no subexpression elimination, and it runs
+    # before sibling filter conjuncts — an ANSI hazard for guarded
+    # expressions); _v is never empty, so the null-pos drop is free
     sums = (
-        e.select("_b", F.posexplode("_v").alias("pos", "x"))
+        e.select("_b", F.posexplode_outer("_v").alias("pos", "x"))
+        .filter(F.col("pos").isNotNull())
         .groupBy("_b", "pos").agg(F.sum("x").alias("s"))
         .groupBy("_b").agg(
             F.transform(
@@ -374,11 +417,16 @@ def int8_quantize(vec_col: Column) -> Column:
     portable: one float→double upcast per element, a fixed-order
     multiply/divide, floor(+0.5).
 
-    Returns array<int> (storage layer may persist as tinyint); callers
-    must exclude zero vectors (max|x| = 0) before quantizing."""
+    Returns array<int> (storage layer may persist as tinyint). A zero
+    vector quantizes to the zero vector (the division is guarded — under
+    ANSI mode an unguarded ``/mx`` throws even when the caller filters
+    zero vectors first, because InferFiltersFromGenerate can inline this
+    expression into a scan predicate that runs before that filter
+    conjunct); callers still exclude zero vectors before any cosine."""
     mx = F.array_max(F.transform(vec_col, lambda v: F.abs(v.cast("double"))))
+    safe_mx = F.when(mx > 0, mx).otherwise(F.lit(1.0))
     return F.transform(
         vec_col,
-        lambda v: F.floor(v.cast("double") * F.lit(127.0) / mx + F.lit(0.5))
+        lambda v: F.floor(v.cast("double") * F.lit(127.0) / safe_mx + F.lit(0.5))
         .cast("long"),
     )

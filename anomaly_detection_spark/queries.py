@@ -7557,6 +7557,61 @@ def q_embedding_int8_topk(spark, sf):
     )
 
 
+def q_embedding_int8_ivf(spark, sf):
+    """INT8 × IVF composed ANN (similarity.int8_ivf_topk) — the production
+    configuration at 100 TB: 4×-compressed vectors searched with the
+    nprobe=2 broadcast-codebook bucket join. Closes the r3 gap where int8
+    rode only the bounded brute-force baseline."""
+    from anomaly_detection_spark.functions.similarity import int8_ivf_topk
+
+    return int8_ivf_topk(
+        load(spark, sf, "embeddings"), k=3, nprobe=2
+    ).orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_INT8_IVF = """
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qe
+  FROM base WHERE mx > 0
+), cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+dimsum AS (
+  SELECT label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
+), probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
+        c.label ASC) AS pr
+    FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM e q JOIN probe p ON p.query_id = q.vec_id
+           JOIN e b ON b.label = p.label AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 SQL_EMBEDDING_INT8_TOPK = """
 WITH base AS (
   SELECT vec_id, embedding,
@@ -7759,4 +7814,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "regex_rule_check": (q_regex_rule_check, SQL_REGEX_RULE_CHECK),
     "mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
     "embedding_int8_topk": (q_embedding_int8_topk, SQL_EMBEDDING_INT8_TOPK),
+    "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
 }
