@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` passes.
 
-The decode step is STUBBED (this container ships no image/audio codecs):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (hash-derived
-dimensions) stands in. Everything around the stub — schema contract,
+Decode support is two-tier. Uncompressed 24-bit BMP decodes FOR REAL via the
+pure-Python codec below (``encode_bmp``/``decode_bmp`` — header validation,
+bottom-up row un-mirroring, padding strip), exercised end-to-end by the
+``media_decode_stats`` registry entry. Other formats (PNG/JPEG/audio) still
+raise ``NotImplementedError`` unless ``fake=True`` — this container ships no
+external codecs — in which case a deterministic fake decoder (hash-derived
+dimensions) stands in. Everything around the codec — schema contract,
 partition-preserving ``mapInPandas`` signature, Arrow batch shapes, metadata
-extraction — is real and tested; swapping in PIL/ffmpeg later changes one
-function body, not the plan.
+extraction — is identical for real and fake paths; swapping in PIL/ffmpeg
+later changes one function body, not the plan.
 
 At 100 TB the important properties are already here:
 * binaries never pass through the driver — ``mapInPandas`` streams Arrow
@@ -21,8 +24,10 @@ At 100 TB the important properties are already here:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,12 +52,151 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
 
 
 def decode_image(payload: bytes, fake: bool = False):
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "for the deterministic stub decoder"
-        )
-    return _fake_decode(payload, "image")
+    """Real decode for uncompressed 24-bit BMP payloads (see ``decode_bmp``);
+    other formats still raise ``NotImplementedError`` unless ``fake=True``
+    (this container ships no external codecs)."""
+    if fake:
+        return _fake_decode(payload, "image")
+    if payload[:2] == b"BM":
+        width, height, _, _ = decode_bmp(payload)
+        return width, height, 1
+    raise NotImplementedError(
+        "only uncompressed 24-bit BMP is decodable in this environment; "
+        "pass fake=True for the deterministic stub decoder"
+    )
+
+
+# ---------------------------------------------------------------------
+# Executable codec: uncompressed 24-bit BMP (pure Python / numpy)
+# ---------------------------------------------------------------------
+# Reference analogue: the reference pipeline treats attachments as opaque
+# blobs and never decodes them; this codec makes the repo's decode hot path
+# executable on real bytes without external image libraries. Format per the
+# public BMP spec: 14-byte file header ('BM', file size, pixel-data offset)
+# + 40-byte BITMAPINFOHEADER (24 bpp, BI_RGB), rows stored bottom-up and
+# padded to 4-byte boundaries.
+
+_BMP_HEADER_LEN = 54
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Encode a real uncompressed 24-bit BMP. ``pixel_fn(x, y, c)`` returns
+    the byte value for image-coordinate pixel (x, y) and stored channel
+    c ∈ {0,1,2} (BGR order, as BMP stores it); y=0 is the TOP image row,
+    which lands in the LAST stored row (bottom-up format)."""
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER_LEN + img_size, 0, 0,
+                         _BMP_HEADER_LEN)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - 3 * width)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            row += bytes((pixel_fn(x, y, 0) & 0xFF,
+                          pixel_fn(x, y, 1) & 0xFF,
+                          pixel_fn(x, y, 2) & 0xFF))
+        rows.append(bytes(row) + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode an uncompressed 24-bit BMP: validates the magic, bit depth and
+    compression fields, honours the pixel-data offset, strips per-row
+    padding, and un-mirrors the bottom-up row order.
+
+    Returns ``(width, height, pixel_sum, topleft_sum)`` where ``pixel_sum``
+    is the exact integer sum of every pixel byte (padding excluded) and
+    ``topleft_sum`` is the channel sum of the TOP-LEFT image pixel — which
+    lives in the LAST stored row, so a decoder that ignores bottom-up
+    ordering gets it wrong."""
+    if len(payload) < _BMP_HEADER_LEN:
+        raise ValueError("truncated BMP header")
+    magic, _file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload (bad magic)")
+    (hdr_size, width, height, _planes, bpp, compression, _img_size,
+     _xppm, _yppm, _clr_used, _clr_imp) = struct.unpack_from(
+        "<IiiHHIIiiII", payload, 14)
+    if hdr_size != 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24-bit supported")
+    if width < 1 or height < 1:
+        raise ValueError("unsupported BMP orientation/dimensions")
+    row_size = (3 * width + 3) // 4 * 4
+    need = data_offset + row_size * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_size * height, offset=data_offset)
+    rows = data.reshape(height, row_size)[:, :3 * width]
+    pixel_sum = int(rows.astype(np.int64).sum())
+    topleft_sum = int(rows[height - 1, :3].astype(np.int64).sum())
+    return width, height, pixel_sum, topleft_sum
+
+
+BMP_MEDIA_SCHEMA = "media_ref string, doc_id long, payload binary"
+BMP_FEATURE_SCHEMA = (
+    "media_ref string, width long, height long, byte_len long, "
+    "pixel_sum long, topleft_sum long"
+)
+
+
+def synth_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic executor-side BMP synthesis: for each id, encode a real
+    BMP with width = 4 + id % 13, height = 3 + id % 7 and pixel bytes
+    v(x, y, c) = (id % 256 + 7x + 13y + 29c) % 256 — a closed form the
+    DuckDB oracle reproduces with generate_series, so the decoded stats are
+    verifiable end-to-end. mapInPandas, partition-preserving, no shuffle;
+    bytes never touch the driver."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                seed = did % 256
+                payloads.append(encode_bmp(
+                    4 + did % 13, 3 + did % 7,
+                    lambda x, y, c, s=seed: (s + 7 * x + 13 * y + 29 * c) % 256,
+                ))
+            yield pd.DataFrame({
+                "media_ref": ["m" + str(int(d)) for d in pdf[id_col]],
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": payloads,
+            })
+
+    return ids.mapInPandas(encode, schema=BMP_MEDIA_SCHEMA)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """Real-decode pass over BMP payloads: parses every byte (header fields,
+    bottom-up rows, padding) and emits exact integer stats. Arrow-batched
+    mapInPandas; partition-preserving, no shuffle."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "width", "height",
+                                   "byte_len", "pixel_sum", "topleft_sum")}
+            for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+                if p is None:
+                    continue
+                w, h, psum, tl = decode_bmp(bytes(p))
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["byte_len"].append(len(p))
+                out["pixel_sum"].append(psum)
+                out["topleft_sum"].append(tl)
+            yield pd.DataFrame({k: pd.array(v, dtype="string" if k == "media_ref" else "int64")
+                                for k, v in out.items()})
+
+    return media.mapInPandas(process, schema=BMP_FEATURE_SCHEMA)
 
 
 def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
