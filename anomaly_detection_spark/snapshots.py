@@ -156,8 +156,24 @@ def read_table(
     """The engine's one reader front door — identical snapshot semantics
     across formats, so ``run_validation.py`` never branches on capability:
 
-    * ``iceberg``  — the genuine runtime reader (requires the Iceberg jar on
-      the cluster classpath); options per the Iceberg Spark source contract.
+    * ``iceberg``  — the genuine runtime reader; options per the public
+      Iceberg Spark source contract (``snapshot-id`` pins a snapshot;
+      ``start-snapshot-id`` [exclusive] + optional ``end-snapshot-id``
+      [inclusive] select an incremental range), applied to
+      ``spark.read.table(<catalog.db.table>)``. Activation needs the
+      Iceberg runtime on the classpath and a catalog, e.g.::
+
+          spark-submit \\
+            --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+            --conf spark.sql.catalog.my_cat=org.apache.iceberg.spark.SparkCatalog \\
+            --conf spark.sql.catalog.my_cat.type=hadoop \\
+            --conf spark.sql.catalog.my_cat.warehouse=<path> \\
+            run_validation.py --format iceberg --input my_cat.db.docs ...
+
+      No jar ships in this sandbox, so the seam's option contract is pinned
+      by ``tests/test_snapshots.py::test_iceberg_seam_option_contract``
+      against a recording reader — the test fails if these option names or
+      the table-call shape ever drift.
     * ``snaplog``  — this module's parquet-backed log, same semantics,
       executable in the sandbox (this path carries the e2e test evidence).
     * ``parquet``  — a plain immutable path; snapshot options are rejected

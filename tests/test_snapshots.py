@@ -263,3 +263,73 @@ def test_spark_submit_snaplog_time_travel_and_incremental(spark):
         assert "drift_psi:span_kind" in drift_rules
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# Iceberg delegation seam: pin the option contract without the jar
+# ---------------------------------------------------------------------
+
+class _RecordingReader:
+    """Stands in for spark.read: records option() calls and the table()
+    target so the test pins exactly what the genuine Iceberg runtime would
+    receive (public Iceberg Spark source contract: snapshot-id,
+    start-snapshot-id exclusive, end-snapshot-id inclusive)."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def option(self, key, value):
+        self.calls["options"].append((key, value))
+        return self
+
+    def table(self, name):
+        self.calls["table"] = name
+        return "SENTINEL_DF"
+
+
+class _FakeSparkForIceberg:
+    def __init__(self):
+        self.calls = {"options": [], "table": None}
+
+    @property
+    def read(self):
+        return _RecordingReader(self.calls)
+
+
+def test_iceberg_seam_option_contract():
+    from anomaly_detection_spark.snapshots import read_table
+
+    # 1. pinned snapshot read -> exactly one option: snapshot-id
+    fake = _FakeSparkForIceberg()
+    out = read_table(fake, "cat.db.docs", fmt="iceberg", snapshot_id="9127")
+    assert out == "SENTINEL_DF"
+    assert fake.calls["table"] == "cat.db.docs"
+    assert fake.calls["options"] == [("snapshot-id", "9127")]
+
+    # 2. bounded incremental read -> start (exclusive) + end (inclusive)
+    fake = _FakeSparkForIceberg()
+    read_table(fake, "cat.db.docs", fmt="iceberg",
+               snapshot_id="9127", incremental_from="9001")
+    assert fake.calls["options"] == [
+        ("start-snapshot-id", "9001"), ("end-snapshot-id", "9127")]
+
+    # 3. open-ended incremental read -> start only
+    fake = _FakeSparkForIceberg()
+    read_table(fake, "cat.db.docs", fmt="iceberg", incremental_from="9001")
+    assert fake.calls["options"] == [("start-snapshot-id", "9001")]
+
+    # 4. latest-snapshot read -> no options at all
+    fake = _FakeSparkForIceberg()
+    read_table(fake, "cat.db.docs", fmt="iceberg")
+    assert fake.calls["options"] == []
+    assert fake.calls["table"] == "cat.db.docs"
+
+
+def test_plain_parquet_rejects_snapshot_options():
+    from anomaly_detection_spark.snapshots import read_table
+
+    fake = _FakeSparkForIceberg()
+    with pytest.raises(ValueError, match="snapshot"):
+        read_table(fake, "/some/path", fmt="parquet", snapshot_id="s1")
+    with pytest.raises(ValueError, match="snapshot"):
+        read_table(fake, "/some/path", fmt="parquet", incremental_from="s0")
