@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values (floats to 9 dp).
 
-Usage: python tools/check_oracle.py [name ...]
+Usage: python tools/check_oracle.py [--json PATH] [name ...]
+
+``--json PATH`` records the sweep (per-query status/rows/secs + summary,
+keyed by the sf directory's basename, merged into PATH if it already holds
+earlier sweeps) — how the committed ``CORRECTNESS_SELF_r{N}.json`` artifacts
+are produced, one run per scale factor.
 """
 
 from __future__ import annotations
@@ -43,6 +48,13 @@ def canon_pdf(pdf, cols):
 
 
 def main():
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -50,8 +62,16 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    names = argv or list(qs)
     failed = []
+    results = {}
+
+    def record(name, status, rows, t0, detail=None):
+        results[name] = {"status": status, "rows": rows,
+                         "secs": round(time.time() - t0, 2)}
+        if detail:
+            results[name]["detail"] = detail[:300]
+
     for name in names:
         t0 = time.time()
         try:
@@ -61,9 +81,11 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failed.append(name)
+            record(name, "FAIL", None, t0, f"spark error: {e}")
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            record(name, "ROWS_ONLY", len(spdf), t0)
             continue
         try:
             dpdf = con.sql(oracles[name]).fetchdf()
@@ -71,10 +93,12 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failed.append(name)
+            record(name, "FAIL", None, t0, f"duckdb error: {e}")
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             failed.append(name)
+            record(name, "FAIL", None, t0, f"columns spark={scols} duck={dcols}")
             continue
         order = sorted(scols)
         a = canon_pdf(spdf, order)
@@ -82,16 +106,48 @@ def main():
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount spark={len(a)} duck={len(b)}")
             failed.append(name)
+            record(name, "FAIL", len(a), t0, f"rowcount spark={len(a)} duck={len(b)}")
         elif a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: values differ, e.g. {diffs}")
             failed.append(name)
+            record(name, "FAIL", len(a), t0, f"values differ, e.g. {diffs}")
         else:
             print(f"PASS {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+            record(name, "PASS", len(a), t0)
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", failed)
     spark.stop()
+
+    if json_path:
+        import json
+        import subprocess
+        from datetime import datetime, timezone
+
+        doc = {}
+        if os.path.exists(json_path):
+            with open(json_path) as f:
+                doc = json.load(f)
+        try:
+            git = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                 capture_output=True, text=True).stdout.strip()
+        except Exception:
+            git = None
+        doc["git"] = git
+        doc["generated_utc"] = datetime.now(timezone.utc).isoformat(timespec="seconds")
+        sweeps = doc.setdefault("sweeps", {})
+        sweeps[os.path.basename(SF_DIR.rstrip("/"))] = {
+            "sf_dir": SF_DIR,
+            "passed": len(names) - len(failed),
+            "total": len(names),
+            "failed": failed,
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
+
     return 1 if failed else 0
 
 
