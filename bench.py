@@ -216,11 +216,12 @@ def run_validation_suite(spark, n_docs: int = N_VALIDATION_DOCS) -> dict:
 
     # warmup: JIT + Python-UDF worker pool spin-up, excluded like any
     # steady-state throughput benchmark; production jobs amortize this once
-    # per executor lifetime, not once per snapshot. Best-of-2 timed passes
-    # because single-JVM runs see multi-second GC/page-cache noise.
+    # per executor lifetime, not once per snapshot. Best-of-N timed passes
+    # (default 3) because single-JVM runs on a shared host see multi-second
+    # GC/page-cache noise and occasional 2-4x whole-pass stalls.
     one_pass()
     walls = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SUITE_PASSES", "3"))):
         t0 = time.time()
         one_pass()
         walls.append(time.time() - t0)
@@ -389,6 +390,10 @@ def main() -> None:
         "docs_per_sec": vstats["docs_per_sec"],
         "validation_docs": vstats["docs"],
         "validation_sec": vstats["sec"],
+        # every timed pass, not just the best — a 2-4x outlier pass here is
+        # direct evidence of a host-level stall inside the window (identical
+        # work), letting a slow headline be adjudicated without a re-run
+        "validation_passes": vstats["all_passes_sec"],
         "cores": int(CPUS),
         # measurement-window context: 1/5/15-min load at process start and
         # end; contended=true means another tenant held >LOAD_WARN cores
