@@ -145,7 +145,11 @@ def dbscan_labels(
 
     Scale shape: the ε-pair join is the capped per-bucket discipline of
     ``local_outlier_scores`` — Σ|bucket|² work with oversize buckets
-    dropped via broadcast anti-join, never corpus-quadratic. The ε-edge
+    excluded from the pair join via broadcast anti-join, never
+    corpus-quadratic. Points of an excluded oversize bucket still appear
+    in the output, as ``noise`` with ``n_eps = 0`` (no pairs were
+    generated for them); callers wanting them distinguishable should
+    lower ``max_bucket`` only alongside a coarser bucketing. The ε-edge
     frame is localCheckpointed because three consumers branch off it
     (neighbor counts, core-core edges, border assignment); it is bounded
     by the ε-ball fanout, not the corpus. Boundary points near a bucket
