@@ -7705,6 +7705,165 @@ FROM r WHERE rank <= 3 ORDER BY query_id, rank
 
 
 # =====================================================================
+# Group N — web-corpus front: HTML extraction, URL canonical dedup
+# =====================================================================
+
+def _synth_html(did, text):
+    """Deterministic per-doc HTML wrapper: style + script blocks (content
+    must be erased wholesale, incl. a '<' inside the script body), a
+    varying heading tag, the doc text, and literal entities — everything
+    html_to_text must handle, reproduced by the oracle with ||."""
+    lvl = (did % 3 + 1).cast("string")
+    return F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head>'
+              '<body><script type="text/js">if(1<2){x();}</script><h'),
+        lvl, F.lit(">Doc "), did.cast("string"),
+        F.lit("</h"), lvl, F.lit('><p class="b">'), text,
+        F.lit(" &amp; tail &lt;x&gt;</p><br/></body></html>"),
+    )
+
+
+def q_html_text_extract(spark, sf):
+    """web.html_to_text over per-doc synthesized HTML: script/style erased
+    wholesale (non-greedy block, '<' inside code), tags stripped, entities
+    decoded (&amp; last), whitespace collapsed. md5 of the extracted text
+    pins EXACT string equality per doc against the oracle running the
+    literal same RE2-safe patterns. Pure codegen string work, no shuffle,
+    scan-speed at 100 TB."""
+    from anomaly_detection_spark.functions.web import html_to_text
+
+    d = load(spark, sf, "documents")
+    h = d.select("doc_id", _synth_html(F.col("doc_id"), F.col("text")).alias("html"))
+    x = h.select("doc_id", "html", html_to_text(F.col("html")).alias("txt"))
+    return x.select(
+        "doc_id",
+        F.length("html").cast("long").alias("raw_len"),
+        F.length("txt").cast("long").alias("text_len"),
+        F.expr("(length(txt) * 1000000) div length(html)").alias("retained_ppm"),
+        F.md5(F.col("txt")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_HTML_TEXT_EXTRACT = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><style>p{color:red}</style></head><body>'
+    || '<script type="text/js">if(1<2){x();}</script><h'
+    || CAST((doc_id % 3 + 1) AS VARCHAR) || '>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</h' || CAST((doc_id % 3 + 1) AS VARCHAR) || '><p class="b">' || text
+    || ' &amp; tail &lt;x&gt;</p><br/></body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS txt
+  FROM h
+)
+SELECT doc_id,
+  CAST(length(html) AS BIGINT) AS raw_len,
+  CAST(length(txt) AS BIGINT) AS text_len,
+  (length(txt) * 1000000) // length(html) AS retained_ppm,
+  md5(txt) AS text_md5
+FROM x ORDER BY doc_id
+"""
+
+
+def q_url_canonical_dedup(spark, sf):
+    """web.url_canonicalize as the URL-dedup equivalence key: per-doc
+    synthesized URLs vary scheme/host case, default ports, utm_* params,
+    param ORDER, fragments and trailing slashes — all transport noise the
+    canonical form removes — then the dup groups are one hash-agg on the
+    canonical string (map-side partials; the only shuffle)."""
+    from anomaly_detection_spark.functions.web import url_canonicalize
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.element_at(F.array(F.lit("http"), F.lit("HTTP"),
+                             F.lit("https"), F.lit("HTTPS")),
+                     (did % 4 + 1).cast("int")),
+        F.lit("://"),
+        F.element_at(F.array(F.lit("WWW.Example"), F.lit("www.example"),
+                             F.lit("www.EXAMPLE")), (did % 3 + 1).cast("int")),
+        (did % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(did % 5 == 0,
+               F.when(did % 4 < 2, F.lit(":80")).otherwise(F.lit(":443")))
+         .otherwise(F.lit("")),
+        F.lit("/cat"), (did % 5).cast("string"),
+        F.element_at(F.array(F.lit(""), F.lit("/")), (did % 2 + 1).cast("int")),
+        F.element_at(F.array(F.lit("?utm_source=rss&id="), F.lit("?id=")),
+                     (did % 2 + 1).cast("int")),
+        (did % 25).cast("string"),
+        F.element_at(F.array(F.lit("&b=2&a=1"), F.lit("&a=1&b=2")),
+                     (did % 2 + 1).cast("int")),
+        F.when(did % 6 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    u = d.select(did.alias("doc_id"), url.alias("url"))
+    c = u.select("doc_id", url_canonicalize(F.col("url")).alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_urls"),
+        F.min("doc_id").alias("first_doc"),
+    ).orderBy("canonical_url")
+
+
+SQL_URL_CANONICAL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+    ['http','HTTP','https','HTTPS'][CAST(doc_id % 4 + 1 AS INTEGER)] || '://'
+    || ['WWW.Example','www.example','www.EXAMPLE'][CAST(doc_id % 3 + 1 AS INTEGER)]
+    || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+    || CASE WHEN doc_id % 5 = 0
+            THEN CASE WHEN doc_id % 4 < 2 THEN ':80' ELSE ':443' END
+            ELSE '' END
+    || '/cat' || CAST(doc_id % 5 AS VARCHAR)
+    || ['','/'][CAST(doc_id % 2 + 1 AS INTEGER)]
+    || ['?utm_source=rss&id=','?id='][CAST(doc_id % 2 + 1 AS INTEGER)]
+    || CAST(doc_id % 25 AS VARCHAR)
+    || ['&b=2&a=1','&a=1&b=2'][CAST(doc_id % 2 + 1 AS INTEGER)]
+    || CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS authority,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS raw_path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+), canon AS (
+  SELECT doc_id,
+    scheme || '://'
+    || CASE WHEN scheme = 'http' AND ends_with(authority, ':80')
+            THEN substring(authority, 1, length(authority) - 3)
+            WHEN scheme = 'https' AND ends_with(authority, ':443')
+            THEN substring(authority, 1, length(authority) - 4)
+            ELSE authority END
+    || CASE WHEN raw_path = '' THEN '/'
+            WHEN raw_path <> '/' AND ends_with(raw_path, '/')
+            THEN substring(raw_path, 1, length(raw_path) - 1)
+            ELSE raw_path END
+    || CASE WHEN p = '' THEN '' ELSE '?' || p END AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS p
+    FROM parts
+  )
+)
+SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -7764,6 +7923,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_thumbnail_dims": (q_media_thumbnail_dims, SQL_MEDIA_THUMBNAIL_DIMS),
     "media_decode_stats": (q_media_decode_stats, SQL_MEDIA_DECODE_STATS),
+    # Group N — web-corpus front
+    "html_text_extract": (q_html_text_extract, SQL_HTML_TEXT_EXTRACT),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
