@@ -62,3 +62,87 @@ def test_url_canonicalize_merges_transport_noise(spark):
     got = {r["c"] for r in
            df.select(url_canonicalize(F.col("url")).alias("c")).collect()}
     assert got == {"http://ex.com/a?a=1&b=2"}
+
+
+def _py_canonicalize(url: str) -> str:
+    """Independent Python model of url_canonicalize (test oracle)."""
+    import re
+    scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url).group(1).lower()
+    auth = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url).group(1).lower()
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    path = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url).group(1)
+    if path == "":
+        path = "/"
+    elif path != "/" and path.endswith("/"):
+        path = path[:-1]
+    m = re.search(r"\?([^#]*)", url)
+    params = sorted(p for p in (m.group(1).split("&") if m else [])
+                    if p and not p.startswith("utm_"))
+    return f"{scheme}://{auth}{path}" + ("?" + "&".join(params) if params else "")
+
+
+def test_url_canonicalize_random_model_parity(spark):
+    """300 seeded-random URLs through every variation axis at once,
+    compared against the independent Python model in ONE Spark pass."""
+    import random
+    rng = random.Random(42)
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "hTTps"])
+        host = rng.choice(["Ex.COM", "www.ex.com", "A-b.ORG", "x.Y.z.net"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        depth = rng.randint(0, 3)
+        path = "".join(f"/p{rng.randint(0, 9)}" for _ in range(depth))
+        path += rng.choice(["", "/"])
+        n_params = rng.randint(0, 4)
+        params = [rng.choice([f"a={rng.randint(0,9)}", f"b={rng.randint(0,9)}",
+                              "utm_source=x", "utm_c=1", f"z={rng.randint(0,9)}"])
+                  for _ in range(n_params)]
+        q = ("?" + "&".join(params)) if params else ""
+        frag = rng.choice(["", "#top", "#s2"])
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in
+           df.select(url_canonicalize(F.col("url")).alias("c")).collect()]
+    assert got == [_py_canonicalize(u) for u in urls]
+
+
+def test_html_to_text_random_model_parity(spark):
+    """Seeded-random tag soup vs an independent Python re-based model."""
+    import random
+    import re as _re
+    rng = random.Random(7)
+
+    def py_model(h: str) -> str:
+        s = _re.sub(r"(?s)<script[^>]*>.*?</script>", " ", h)
+        s = _re.sub(r"(?s)<style[^>]*>.*?</style>", " ", s)
+        s = _re.sub(r"<[^>]*>", " ", s)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+            s = s.replace(ent, ch)
+        return _re.sub(r"\s+", " ", s).strip()
+
+    docs = []
+    words = ["alpha", "beta", "&amp;", "&lt;q&gt;", "x", "42"]
+    for _ in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.randint(0, 4)
+            if kind == 0:
+                parts.append(f"<script a='{rng.randint(0,9)}'>1<2; f();</script>")
+            elif kind == 1:
+                parts.append("<style>b{x:1}</style>")
+            elif kind == 2:
+                tag = rng.choice(["p", "div", "h1", "br/"])
+                parts.append(f"<{tag}>")
+            else:
+                parts.append(rng.choice(words))
+            parts.append(rng.choice([" ", "\n", "\t", ""]))
+        docs.append("".join(parts))
+    df = spark.createDataFrame([(d,) for d in docs], "html string")
+    got = [r["t"] for r in
+           df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [py_model(d) for d in docs]
