@@ -57,6 +57,71 @@ _RE_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _RE_QUERY = r"\?([^#]*)"
 
 
+#: C4-style line-keep predicate inputs (Raffel et al. 2020 §2.2 heuristics,
+#: re-expressed as Column logic): a kept line must end in terminal
+#: punctuation, carry at least ``min_words`` words, and contain neither
+#: curly braces (code/templating) nor the word "javascript" (enable-JS
+#: boilerplate). These are the published public rules, not reference code.
+_TERMINAL_PUNCT = [".", "!", "?", '"']
+
+
+def c4_line_keep(line: Column, min_words: int = 3) -> Column:
+    """Boolean keep-flag for one text line under the C4 cleaning rules.
+    Pure codegen: substring/size/contains, no regex backtracking."""
+    last = F.substring(line, -1, 1)
+    words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    return (
+        last.isin(_TERMINAL_PUNCT)
+        & (words >= F.lit(min_words))
+        & ~line.contains("{")
+        & ~line.contains("}")
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_keep_lines(lines: Column, min_words: int = 3) -> Column:
+    """Filter an ``array<string>`` of lines to those passing
+    :func:`c4_line_keep` — the line-level half of the C4 pipeline (the
+    doc-level half is `text.quality_score` / `repetition` stats). Applied
+    per row inside codegen; no explode, no shuffle."""
+    return F.filter(lines, lambda l: c4_line_keep(l, min_words))
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname with ≥2 labels, the match keys for
+    suffix-based domain blocklists: ``a.b.example.com`` →
+    ``[a.b.example.com, b.example.com, example.com]`` (the bare TLD is
+    never a match key). Expansion factor = label count − 1, bounded ~4."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.array_join(F.slice(labels, i, n), ".")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def host_block_match(host: Column, blocklist: list[str]) -> Column:
+    """First (lexicographically smallest) blocklist entry that matches the
+    host by domain-suffix, or NULL if unblocked. The blocklist is a bounded
+    literal set compiled into the plan — at 100 TB this is scan-speed row
+    logic with zero joins; a large blocklist swaps in a broadcast join on
+    the exploded suffixes with identical semantics."""
+    hits = F.filter(host_suffixes(host), lambda s: s.isin(blocklist))
+    return F.array_min(hits)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two labels of the hostname (``blog.example7.com`` →
+    ``example7.com``) — the per-site aggregation key for crawl stats.
+    A public-suffix-list-aware version slots in as a broadcast join; two
+    labels is the deterministic sandbox stand-in."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(n >= 2, F.array_join(F.slice(labels, n - 1, 2), ".")) \
+        .otherwise(host)
+
+
 def url_canonicalize(col: Column, drop_param_prefix: str = "utm_") -> Column:
     """Canonical form of an absolute http(s) URL, the equivalence key for
     URL-level dedup: scheme and host lowercased, default port stripped

@@ -7863,6 +7863,369 @@ FROM canon GROUP BY 1 ORDER BY 1
 """
 
 
+def q_c4_line_filter(spark, sf):
+    """C4-style line-level cleaning (web.c4_keep_lines, the published
+    Raffel et al. heuristics): per-doc synthesized lines — token groups of
+    doc_id-dependent width, two of three lines given terminal punctuation,
+    every 11th doc injected with a brace/javascript boilerplate line — then
+    the keep-filter (terminal punct AND ≥3 words AND no braces AND no
+    'javascript'). All in-row array codegen via one inline_outer (outer ⇒
+    no InferFiltersFromGenerate duplicate of the array expression); the
+    md5 of the kept text pins exact string equality. Scan-speed at 100 TB."""
+    from anomaly_detection_spark.functions.web import c4_keep_lines
+
+    d = load(spark, sf, "documents")
+    kk = (F.col("doc_id") % 4 + 3).cast("int")
+    base = d.select(
+        "doc_id", kk.alias("k"), text.tokens(F.col("text")).alias("toks"))
+    nl = F.floor((F.size("toks") + F.col("k") - 1) / F.col("k")).cast("int")
+    raw_lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(F.col("toks"), (i - 1) * F.col("k") + 1, F.col("k")),
+                " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit("."))
+             .otherwise(F.lit("")),
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(raw_lines,
+                 F.array(F.lit("if (x) { enable javascript }"))),
+    ).otherwise(raw_lines)
+    # Bind lines (and the kept subset) through single-element transform
+    # lambdas so the whole construction evaluates once per row, then emit
+    # the struct through inline_outer (evaluated once, no inferred filter).
+    res = F.element_at(
+        F.transform(F.array(lines), lambda ls: F.element_at(
+            F.transform(F.array(c4_keep_lines(ls)), lambda kl: F.struct(
+                F.size(ls).cast("long").alias("n_lines"),
+                F.size(kl).cast("long").alias("kept_lines"),
+                F.md5(F.array_join(kl, "\n")).alias("kept_md5"),
+            )),
+            1,
+        )),
+        1,
+    )
+    out = base.select("doc_id", F.inline_outer(F.array(res)))
+    return out.select(
+        "doc_id", "n_lines", "kept_lines",
+        F.expr("(kept_lines * 1000000) div n_lines").alias("kept_ppm"),
+        "kept_md5",
+    ).orderBy("doc_id")
+
+
+SQL_C4_LINE_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 4 + 3 AS INTEGER) AS k, {_TOKS_SQL} AS toks
+  FROM documents
+), l AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+         THEN list_append(raw_lines, 'if (x) {{ enable javascript }}')
+         ELSE raw_lines END AS lines
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        generate_series(1, CAST(FLOOR((len(toks) + k - 1) / k) AS INTEGER)),
+        i -> array_to_string(toks[(i-1)*k+1 : i*k], ' ')
+             || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      ) AS raw_lines
+    FROM t)
+), f AS (
+  SELECT doc_id, lines,
+    list_filter(lines, x ->
+      substr(x, length(x), 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+      AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS kept_lines,
+  (len(kept) * 1000000) // len(lines) AS kept_ppm,
+  md5(array_to_string(kept, chr(10))) AS kept_md5
+FROM f ORDER BY doc_id
+"""
+
+
+#: Literal BM25 query set for the registry entry: terms drawn from the
+#: testdata vocabulary so every query has real hits.
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["window", "agg"]),
+    (3, ["stream", "batch", "spark"]),
+    (4, ["customer", "vector"]),
+]
+
+
+def q_bm25_search(spark, sf):
+    """Okapi BM25 lexical top-k (search.bm25_topk): the bounded literal
+    query-term set is pushed as an IN-filter on the exploded token before
+    any shuffle; tf/df are map-side-combined hash-aggs; df + query map +
+    the 1-row corpus stats are broadcast; per-(query,doc,term)
+    contributions are floored to integer micros BEFORE the sum so the
+    aggregate is order-independent; per-query top-k is a
+    WindowGroupLimit."""
+    from anomaly_detection_spark.functions.search import bm25_topk
+
+    d = load(spark, sf, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=5).orderBy("query_id", "rank")
+
+
+_BM25_TERMS_SQL = ("['hash','join','window','agg','stream','batch',"
+                   "'spark','customer','vector']")
+
+SQL_BM25_SEARCH = f"""
+WITH q(query_id, term) AS (VALUES
+  (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+  (3,'stream'),(3,'batch'),(3,'spark'),(4,'customer'),(4,'vector')
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+), ex AS (
+  SELECT doc_id, dl,
+    unnest(list_filter(toks, x -> list_contains({_BM25_TERMS_SQL}, x))) AS term
+  FROM base
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(FLOOR(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      * ((tf * (1.2 + 1.0))
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sum_dl / n_docs))))
+      * 1000000.0 + 0.5) AS BIGINT) AS c
+  FROM tf JOIN dfq USING (term) JOIN q USING (term) CROSS JOIN stats
+), per AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY 1, 2
+), r AS (
+  SELECT query_id, doc_id, score_micro,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM per
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_micro
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _synth_host(did):
+    """Deterministic per-doc hostname: subdomain × site-family × site-digit,
+    mixing tracker/content domains so suffix-blocklists and per-domain
+    rollups have real variety. Mirrored literally in the oracles."""
+    return F.concat(
+        F.element_at(
+            F.array(F.lit("ads"), F.lit("cdn"), F.lit("www"), F.lit("blog")),
+            (did % 4 + 1).cast("int")),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("tracker"), F.lit("example"), F.lit("news")),
+            (did % 3 + 1).cast("int")),
+        (did % 5).cast("string"),
+        F.lit(".com"),
+    )
+
+
+_SYNTH_HOST_SQL = (
+    "['ads','cdn','www','blog'][CAST(doc_id % 4 + 1 AS INTEGER)] || '.' || "
+    "['tracker','example','news'][CAST(doc_id % 3 + 1 AS INTEGER)] || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.com'"
+)
+
+#: Suffix blocklist: whole registrable domains (tracker0-2.com, news4.com —
+#: every subdomain blocked) plus two subdomain-scoped rules that must NOT
+#: block their siblings (ads.example{{0,1}}.com blocks only the ads host).
+_HOST_BLOCKLIST = [
+    "tracker0.com", "tracker1.com", "tracker2.com",
+    "ads.example0.com", "ads.example1.com", "news4.com",
+]
+
+
+def q_url_host_blocklist(spark, sf):
+    """Suffix-match domain blocklisting (web.host_block_match): the host
+    expands to its ≤4 dot-suffixes in-row and matches against the bounded
+    literal blocklist — zero joins, zero shuffle, scan-speed at 100 TB (a
+    million-entry blocklist swaps in a broadcast equi-join on the exploded
+    suffix with identical semantics). Registrable-level rules block every
+    subdomain; subdomain-scoped rules must not block siblings."""
+    from anomaly_detection_spark.functions.web import host_block_match
+
+    d = load(spark, sf, "documents")
+    h = d.select("doc_id", _synth_host(F.col("doc_id")).alias("host"))
+    m = h.select(
+        "doc_id", "host",
+        host_block_match(F.col("host"), _HOST_BLOCKLIST).alias("matched_rule"),
+    )
+    return m.select(
+        "doc_id", "host",
+        F.col("matched_rule").isNotNull().cast("int").alias("blocked"),
+        "matched_rule",
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST_SQL = ("['tracker0.com','tracker1.com','tracker2.com',"
+                  "'ads.example0.com','ads.example1.com','news4.com']")
+
+SQL_URL_HOST_BLOCKLIST = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_HOST_SQL} AS host FROM documents
+), s AS (
+  SELECT doc_id, host,
+    list_filter(
+      list_transform(
+        generate_series(1, len(string_split(host, '.')) - 1),
+        i -> array_to_string(string_split(host, '.')[i:], '.')),
+      x -> list_contains({_BLOCKLIST_SQL}, x)) AS hits
+  FROM u
+)
+SELECT doc_id, host,
+  CAST(len(hits) > 0 AS INTEGER) AS blocked,
+  list_sort(hits)[1] AS matched_rule
+FROM s ORDER BY doc_id
+"""
+
+
+def q_domain_quality_stats(spark, sf):
+    """Per-registrable-domain crawl rollup (web.registrable_domain): doc
+    count, total chars, mean quality in exact integer micros (each doc's
+    rounded-6dp quality → floor(q·1e6+0.5) BIGINT, summed
+    order-independently, one integer division at the end), distinct
+    languages. ONE hash-agg on the bounded domain key — the per-site QA
+    view every crawl pipeline maintains."""
+    from anomaly_detection_spark.functions.web import registrable_domain
+
+    d = load(spark, sf, "documents")
+    q_micro = F.floor(
+        text.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    h = d.select(
+        registrable_domain(_synth_host(F.col("doc_id"))).alias("domain"),
+        F.col("n_chars"), F.col("lang"), q_micro.alias("q_micro"),
+    )
+    agg = h.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("q_micro").alias("sum_q"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return agg.select(
+        "domain", "n_docs", "total_chars",
+        F.expr("sum_q div n_docs").alias("avg_quality_micro"),
+        "n_langs",
+    ).orderBy("domain")
+
+
+SQL_DOMAIN_QUALITY_STATS = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, text, {_TOKS_SQL} AS toks,
+    len(list_filter({_TOKS_SQL.replace("trim(text)", "trim(lower(text))")},
+        x -> list_contains({_SW_SQL}, x))) * 1.0
+      / GREATEST(len({_TOKS_SQL}), 1) AS swr,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+      / GREATEST(length(text), 1) AS pr
+  FROM documents
+), q AS (
+  SELECT lang, n_chars,
+    ['tracker','example','news'][CAST(doc_id % 3 + 1 AS INTEGER)]
+      || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+    CAST(FLOOR(ROUND((LEAST(length(text) / 200.0, 1.0)
+       + (1.0 - ABS(swr - 0.15) / 0.85)
+       + (1.0 - LEAST(pr * 5.0, 1.0))) / 3.0, 6) * 1000000.0 + 0.5)
+      AS BIGINT) AS q_micro
+  FROM t
+)
+SELECT domain,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(q_micro) // COUNT(*) AS BIGINT) AS avg_quality_micro,
+  COUNT(DISTINCT lang) AS n_langs
+FROM q GROUP BY domain ORDER BY domain
+"""
+
+
+def q_entity_linkage(spark, sf):
+    """Fuzzy record linkage (linkage.best_links): every 7th customer is
+    re-emitted as a 'dirty' source record (lowercased, '#' → space) and
+    linked back by blocked candidate join on (nation, segment) + distinct
+    char-bigram Jaccard (exact integer ppm) + best-match window.
+    ``is_correct`` self-scores the linkage against planted ground truth.
+    Pair count is Σ|block|² over 125 bounded blocks, never n²."""
+    from anomaly_detection_spark.functions import linkage
+
+    c = load(spark, sf, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name"),
+        "c_nationkey", "c_mktsegment",
+    )
+    dirty = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(" ")))
+         .alias("name"),
+        "c_nationkey", "c_mktsegment",
+    )
+    links = linkage.best_links(
+        dirty, clean, ["c_nationkey", "c_mktsegment"],
+        min_ppm=500_000, max_block=1000,
+    )
+    return links.select(
+        "dirty_id", "clean_id", "jacc_ppm",
+        (F.col("dirty_id") - 1000000 == F.col("clean_id"))
+        .cast("int").alias("is_correct"),
+    ).orderBy("dirty_id")
+
+
+SQL_ENTITY_LINKAGE = """
+WITH clean AS (
+  SELECT c_custkey AS rec_id, c_name AS name, c_nationkey, c_mktsegment
+  FROM customer
+), bsz AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS bn FROM clean GROUP BY 1, 2
+), cok AS (
+  SELECT clean.* FROM clean
+  JOIN bsz USING (c_nationkey, c_mktsegment) WHERE bn <= 1000
+), dirty AS (
+  SELECT c_custkey + 1000000 AS rec_id,
+         lower(replace(c_name, '#', ' ')) AS name,
+         c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+), db AS (
+  SELECT rec_id AS dirty_id, c_nationkey, c_mktsegment,
+    list_distinct(list_transform(
+      generate_series(1, length(lower(name)) - 1),
+      i -> substr(lower(name), i, 2))) AS bg
+  FROM dirty
+), cb AS (
+  SELECT rec_id AS clean_id, c_nationkey, c_mktsegment,
+    list_distinct(list_transform(
+      generate_series(1, length(lower(name)) - 1),
+      i -> substr(lower(name), i, 2))) AS bg
+  FROM cok
+), pairs AS (
+  SELECT dirty_id, clean_id,
+    CAST(FLOOR(CAST(1000000 AS DOUBLE) * len(list_intersect(d.bg, c.bg))
+      / GREATEST(len(d.bg) + len(c.bg) - len(list_intersect(d.bg, c.bg)), 1)
+      + 0.5) AS BIGINT) AS jacc_ppm
+  FROM db d JOIN cb c USING (c_nationkey, c_mktsegment)
+), r AS (
+  SELECT dirty_id, clean_id, jacc_ppm,
+    ROW_NUMBER() OVER (PARTITION BY dirty_id
+                       ORDER BY jacc_ppm DESC, clean_id ASC) AS rn
+  FROM pairs WHERE jacc_ppm >= 500000
+)
+SELECT dirty_id, clean_id, jacc_ppm,
+  CAST(dirty_id - 1000000 = clean_id AS INTEGER) AS is_correct
+FROM r WHERE rn = 1 ORDER BY dirty_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7926,6 +8289,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # Group N — web-corpus front
     "html_text_extract": (q_html_text_extract, SQL_HTML_TEXT_EXTRACT),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
+    "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),
+    "entity_linkage": (q_entity_linkage, SQL_ENTITY_LINKAGE),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),

@@ -1,0 +1,158 @@
+"""BM25 lexical retrieval (functions/search.py) and fuzzy record linkage
+(functions/linkage.py): independent pure-Python model parity on seeded
+random fixtures, plus the bounded-pairs contracts (min_ppm gate, oversize
+block drop, deterministic tie-breaks)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions.linkage import (
+    best_links, char_bigrams, jaccard_ppm)
+from anomaly_detection_spark.functions.search import bm25_topk
+
+
+# ---------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------
+
+def _py_bm25(docs, queries, k=5, k1=1.2, b=0.75):
+    """Independent reference implementation, same integer-micro contract."""
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    out = []
+    for qid, terms in queries:
+        df = {t: sum(1 for d in toks if t in toks[d]) for t in terms}
+        scores = {}
+        for d in toks:
+            s = 0
+            for t in terms:
+                tf = toks[d].count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+                s += math.floor(idf * tfn * 1000000.0 + 0.5)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, r + 1, d, s) for r, (d, s) in enumerate(ranked))
+    return out
+
+
+def test_bm25_random_model_parity(spark):
+    rng = random.Random(1234)
+    vocab = ["hash", "join", "sort", "merge", "scan", "agg", "window",
+             "stream", "batch", "filter", "key", "row"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 40))))
+            for i in range(120)]
+    queries = [(1, ["hash", "join"]), (2, ["window"]),
+               (3, ["stream", "batch", "scan"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+           for r in bm25_topk(df, queries, k=5)
+           .orderBy("query_id", "rank").collect()]
+    assert got == _py_bm25(docs, queries, k=5)
+
+
+def test_bm25_rank_ties_break_by_doc_id(spark):
+    # identical docs -> identical scores -> rank order must be doc_id asc
+    docs = [(i, "hash join") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, [(1, ["hash"])], k=3).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2]
+    assert len({r["score_micro"] for r in got}) == 1
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    # 'rare' appears once, 'common' everywhere: the rare-term doc must rank
+    # first for a query containing both (idf dominance).
+    docs = [(0, "common rare"), (1, "common x"), (2, "common y"),
+            (3, "common z"), (4, "common w")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = bm25_topk(df, [(1, ["common", "rare"])], k=1).collect()[0]
+    assert top["doc_id"] == 0
+
+
+# ---------------------------------------------------------------------
+# Record linkage
+# ---------------------------------------------------------------------
+
+def _py_bigrams(s):
+    s = s.lower()
+    return {s[i:i + 2] for i in range(len(s) - 1)}
+
+
+def test_char_bigrams_and_jaccard(spark):
+    row = spark.range(1).select(
+        char_bigrams(F.lit("AbCab")).alias("bg"),
+        jaccard_ppm(F.array(F.lit("ab"), F.lit("bc")),
+                    F.array(F.lit("ab"), F.lit("bc"))).alias("same"),
+        jaccard_ppm(F.array(F.lit("ab")), F.array(F.lit("cd"))).alias("disj"),
+    ).collect()[0]
+    assert set(row["bg"]) == _py_bigrams("AbCab")
+    assert row["same"] == 1000000 and row["disj"] == 0
+
+
+def test_best_links_random_model_parity(spark):
+    """Seeded noisy-duplicate fixture: perturbed names must link back to
+    their source row, scored identically to a pure-Python model."""
+    rng = random.Random(77)
+    first = ["ana", "ben", "carla", "dmitri", "elena", "farid"]
+    last = ["ortiz", "chen", "smith", "novak", "haddad", "kim"]
+    clean = [(i, f"{rng.choice(first)} {rng.choice(last)} {i:04d}", i % 3)
+             for i in range(60)]
+
+    def perturb(name: str) -> str:
+        s = name.upper().replace(" ", "-")
+        return s[:-1] if rng.random() < 0.5 else s
+
+    dirty = [(1000 + i, perturb(n), b) for i, n, b in clean if i % 5 == 0]
+    cdf = spark.createDataFrame(clean, "rec_id long, name string, blk int")
+    ddf = spark.createDataFrame(dirty, "rec_id long, name string, blk int")
+    got = {r["dirty_id"]: (r["clean_id"], r["jacc_ppm"])
+           for r in best_links(ddf, cdf, ["blk"], min_ppm=300000).collect()}
+
+    # independent python model
+    want = {}
+    for did, dn, db in dirty:
+        cands = []
+        for cid, cn, cb in clean:
+            if cb != db:
+                continue
+            a, b = _py_bigrams(dn), _py_bigrams(cn)
+            uni = len(a | b)
+            ppm = math.floor(1000000.0 * len(a & b) / max(uni, 1) + 0.5)
+            if ppm >= 300000:
+                cands.append((ppm, cid))
+        if cands:
+            best = max(cands, key=lambda t: (t[0], -t[1]))
+            want[did] = (best[1], best[0])
+    assert got == want
+    # the planted source is recovered in the overwhelming majority of
+    # cases (bigram ties between near-identical names may break to a
+    # lower clean_id — deterministic, and identical in the model)
+    hits = sum(1 for did, (cid, _) in got.items() if cid == did - 1000)
+    assert hits >= int(0.8 * len(got)) and len(got) >= 8
+
+
+def test_best_links_drops_oversize_blocks(spark):
+    clean = [(i, f"name {i}", 0) for i in range(10)] + [(99, "name 99", 1)]
+    dirty = [(1000, "name 3", 0), (1001, "name 99", 1)]
+    cdf = spark.createDataFrame(clean, "rec_id long, name string, blk int")
+    ddf = spark.createDataFrame(dirty, "rec_id long, name string, blk int")
+    got = best_links(ddf, cdf, ["blk"], min_ppm=100000, max_block=5).collect()
+    # block 0 (11 > 5 members) is dropped wholesale; block 1 still links
+    assert [(r["dirty_id"], r["clean_id"]) for r in got] == [(1001, 99)]
+
+
+def test_best_links_min_ppm_gate(spark):
+    cdf = spark.createDataFrame([(1, "aaaa", 0)], "rec_id long, name string, blk int")
+    ddf = spark.createDataFrame([(2, "zzzz", 0)], "rec_id long, name string, blk int")
+    assert best_links(ddf, cdf, ["blk"], min_ppm=500000).count() == 0

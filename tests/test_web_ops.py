@@ -146,3 +146,99 @@ def test_html_to_text_random_model_parity(spark):
     got = [r["t"] for r in
            df.select(html_to_text(F.col("html")).alias("t")).collect()]
     assert got == [py_model(d) for d in docs]
+
+
+# ---------------------------------------------------------------------
+# C4 line filter + host-suffix blocklist + registrable domain
+# ---------------------------------------------------------------------
+
+from anomaly_detection_spark.functions.web import (  # noqa: E402
+    c4_keep_lines, c4_line_keep, host_block_match, host_suffixes,
+    registrable_domain)
+
+
+@pytest.mark.parametrize("line,keep", [
+    ("this line is fine.", True),
+    ("short.", False),                      # < 3 words
+    ("no terminal punctuation here", False),
+    ("exclamations also count as terminal!", True),
+    ('quoted endings count too"', True),
+    ("question marks are terminal?", True),
+    ("ends with a comma,", False),
+    ("code block { x } stays out.", False),
+    ("Please enable JavaScript to view.", False),
+    ("three words suffice.", True),
+])
+def test_c4_line_keep_cases(spark, line, keep):
+    assert _one(spark, c4_line_keep(F.lit(line))) is keep
+
+
+def test_c4_keep_lines_filters_array(spark):
+    lines = ["good line kept.", "bad", "also fine to keep!",
+             "nope no punct", "js { }."]
+    got = _one(spark, c4_keep_lines(
+        F.array(*[F.lit(l) for l in lines])))
+    assert got == ["good line kept.", "also fine to keep!"]
+
+
+def test_c4_line_keep_min_words_parameter(spark):
+    assert _one(spark, c4_line_keep(F.lit("two words."), min_words=2)) is True
+    assert _one(spark, c4_line_keep(F.lit("two words."), min_words=3)) is False
+
+
+@pytest.mark.parametrize("host,sfx", [
+    ("a.b.example.com", ["a.b.example.com", "b.example.com", "example.com"]),
+    ("example.com", ["example.com"]),
+    ("localhost", []),
+])
+def test_host_suffixes(spark, host, sfx):
+    assert _one(spark, host_suffixes(F.lit(host))) == sfx
+
+
+def test_host_block_match_suffix_semantics(spark):
+    bl = ["tracker.com", "ads.example.com"]
+    # registrable-level rule blocks every subdomain
+    assert _one(spark, host_block_match(F.lit("x.y.tracker.com"), bl)) == "tracker.com"
+    assert _one(spark, host_block_match(F.lit("tracker.com"), bl)) == "tracker.com"
+    # subdomain-scoped rule does NOT block siblings or the apex
+    assert _one(spark, host_block_match(F.lit("ads.example.com"), bl)) == "ads.example.com"
+    assert _one(spark, host_block_match(F.lit("cdn.example.com"), bl)) is None
+    assert _one(spark, host_block_match(F.lit("example.com"), bl)) is None
+    # no partial-label matches: nottracker.com must not match tracker.com
+    assert _one(spark, host_block_match(F.lit("nottracker.com"), bl)) is None
+
+
+@pytest.mark.parametrize("host,dom", [
+    ("blog.example7.com", "example7.com"),
+    ("example.com", "example.com"),
+    ("single", "single"),
+])
+def test_registrable_domain(spark, host, dom):
+    assert _one(spark, registrable_domain(F.lit(host))) == dom
+
+
+def test_c4_random_model_parity(spark):
+    """Seeded-random line arrays vs an independent Python model of the
+    C4 keep rules, one Spark pass."""
+    import random
+    rng = random.Random(99)
+
+    def py_keep(l: str) -> bool:
+        words = [w for w in l.split(" ") if w]
+        return (bool(l) and l[-1] in '.!?"' and len(words) >= 3
+                and "{" not in l and "}" not in l
+                and "javascript" not in l.lower())
+
+    vocab = ["alpha", "beta", "gamma", "JavaScript", "x{y}", "q"]
+    rows = []
+    for _ in range(200):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            body = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randint(1, 5)))
+            lines.append(body + rng.choice([".", "!", "?", '"', "", ","]))
+        rows.append((lines,))
+    df = spark.createDataFrame(rows, "lines array<string>")
+    got = [r["k"] for r in
+           df.select(c4_keep_lines(F.col("lines")).alias("k")).collect()]
+    assert got == [[l for l in lines if py_keep(l)] for (lines,) in rows]
