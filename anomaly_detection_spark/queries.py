@@ -8226,6 +8226,91 @@ FROM r WHERE rn = 1 ORDER BY dirty_id
 """
 
 
+#: Hashed-classifier weight vector (64 buckets, integer micros) and DSIR
+#: target-distribution counts: deterministic literal formulas standing in
+#: for trained-model parameters — a real model's weights drop into the
+#: same literal-array slot (at 1M buckets, a broadcast map). Both are
+#: embedded LITERALLY in the oracles so the engines run the same model.
+_QC_BUCKETS = 64
+_QC_WEIGHTS_MICRO = [
+    ((i * 2654435761) % 1997 - 998) * 1000 for i in range(_QC_BUCKETS)
+]
+_QC_THRESHOLD = 50_000
+_DSIR_TARGET = [(i * 7919) % 97 + 1 for i in range(_QC_BUCKETS)]
+_W_SQL = "[" + ", ".join(str(w) for w in _QC_WEIGHTS_MICRO) + "]"
+_TGT_SQL = "[" + ", ".join(str(t) for t in _DSIR_TARGET) + "]"
+_B_SQL = "CAST(('0x' || substr(md5({t}),1,8)) AS BIGINT) % 64"
+
+
+def q_quality_classifier(spark, sf):
+    """Hashed bag-of-words linear quality classifier
+    (scoring.classify_quality): fastText / GPT-3-quality-filter shape —
+    md5-hashed token buckets, literal integer-micro weight vector,
+    in-row aggregate sum, keep = sum ≥ threshold × n_toks in exact
+    integers. Zero shuffle, zero explode: pure scan-speed codegen.
+    Reference scores rows only via hand rules (rules/builtin.py); this
+    is the trained-model analogue a 100 TB curation pass needs."""
+    from anomaly_detection_spark.functions import scoring
+
+    d = load(spark, sf, "documents")
+    return scoring.classify_quality(
+        d, _QC_WEIGHTS_MICRO, threshold_micro_per_token=_QC_THRESHOLD
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+      t -> CAST({_W_SQL}[CAST({_B_SQL.format(t="t")} + 1 AS INTEGER)] AS BIGINT)
+    ))) AS BIGINT) AS logit_sum_micro
+  FROM t
+)
+SELECT doc_id, n_toks, logit_sum_micro,
+  CAST(logit_sum_micro >= {_QC_THRESHOLD} * n_toks AS INTEGER) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+def q_dsir_importance(spark, sf):
+    """DSIR importance weights (scoring.dsir_log_weights): pass 1 is a
+    map-side-combined hash-agg of the corpus's hashed-unigram
+    distribution to 64 rows, broadcast back as a 1-row map; pass 2
+    scores each doc in-row with per-token log-ratios floored to integer
+    micros BEFORE the sum (order-independent BIGINT — can't hash-flip).
+    The corpus never shuffles on a row key."""
+    from anomaly_detection_spark.functions import scoring
+
+    d = load(spark, sf, "documents")
+    return scoring.dsir_log_weights(d, _DSIR_TARGET).orderBy("doc_id")
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, {_B_SQL.format(t="tok")} AS b
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS raw_total FROM raw
+), lr AS (
+  SELECT b, CAST(FLOOR(ln(
+      CAST(({_TGT_SQL}[CAST(b + 1 AS INTEGER)] + 1) * (raw_total + 64) AS DOUBLE)
+      / CAST({sum(_DSIR_TARGET) + 64} * (cnt + 1) AS DOUBLE)
+    ) * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw CROSS JOIN tot
+), per AS (
+  SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS s
+  FROM ex JOIN lr USING (b) GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+  CAST(COALESCE(per.s, 0) AS BIGINT) AS dsir_logw_micro
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id ORDER BY t.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8294,6 +8379,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),
     "entity_linkage": (q_entity_linkage, SQL_ENTITY_LINKAGE),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
