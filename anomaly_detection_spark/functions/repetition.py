@@ -191,3 +191,46 @@ def boilerplate_ratio(df: DataFrame, phrases: DataFrame,
         _ppm(F.coalesce(F.col("n_boiler"), F.lit(0)), F.col("n_shingles"))
         .alias("boiler_ppm"),
     )
+
+
+def corpus_dup_ngrams(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated n-gram profile — the ExactSubstr family
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, what fraction of its distinct word
+    ``n``-grams also appears in at least ``min_docs − 1`` OTHER documents?
+    High ``dup_ppm`` with no exact/MinHash duplicate marks partial copies
+    and heavy quotation — the memorization-risk tail that document-level
+    dedup misses.
+
+    Shape: distinct per-doc n-grams explode once; a hash-agg counts docs
+    per gram (map-side combine); the join back to the exploded frame is
+    keyed on the gram — the corpus shuffles on the gram key, which is the
+    honest cost of a global substring index (the same topology a suffix-
+    array shard build pays). Docs too short for any n-gram return zeros
+    via the left join from the id spine.
+
+    Returns ``(id, n_grams, dup_grams, dup_ppm)`` for every input row.
+    """
+    sh = with_shingles(df, text_col, id_col, n=n, distinct=True)
+    ex = sh.select(id_col, F.explode("_sh").alias("_g"))
+    gdocs = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_ndocs"))
+    per = (
+        ex.join(gdocs, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_ndocs") >= min_docs).cast("long"))
+            .alias("dup_grams"),
+        )
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long")
+        .alias("dup_grams"),
+        _ppm(F.coalesce(F.col("dup_grams"), F.lit(0)),
+             F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)))
+        .alias("dup_ppm"),
+    )

@@ -154,3 +154,53 @@ def dsir_log_weights(
             ).alias("dsir_logw_micro"),
         )
     )
+
+
+def gumbel_topk_resample(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_micro_col: str = "dsir_logw_micro",
+    seed: str = "gumbel",
+) -> DataFrame:
+    """Sample ``k`` rows without replacement with probability ∝ exp(log
+    weight) — the Gumbel-top-k trick (Efraimidis–Spirtakis weighted
+    reservoir, Gumbel-max form; the resampling half of DSIR): rank by
+    ``log w_i + G_i`` with ``G_i = −ln(−ln(u_i))`` and take the top k.
+
+    ``u_i`` is the md5-uniform of ``seed:id`` — deterministic, so the
+    "sample" is reproducible across runs and engines (no ``rand()``).
+    The selection is a global top-k, which Spark executes as
+    TakeOrderedAndProject: per-partition partial top-k, k rows to the
+    driver stage — no global sort, no single-partition window over the
+    corpus. Ranks are assigned AFTER the limit, over k rows only.
+    Output: ``(rank, id, logw_micro, gumbel_key_micro)``; ties break on
+    ascending id."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.col(logw_micro_col).cast("double") / F.lit(1000000.0) - F.log(
+        -F.log(u)
+    )
+    key_micro = F.floor(key * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    top = (
+        weighted.select(
+            F.col(id_col),
+            F.col(logw_micro_col),
+            key_micro.alias("gumbel_key_micro"),
+        )
+        .orderBy(F.col("gumbel_key_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("gumbel_key_micro").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, logw_micro_col, "gumbel_key_micro"
+    )

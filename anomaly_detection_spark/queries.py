@@ -8310,6 +8310,166 @@ SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
 FROM t LEFT JOIN per ON t.doc_id = per.doc_id ORDER BY t.doc_id
 """
 
+#: Shared DSIR CTE block (pass 1 + per-doc log-weight), reused by the
+#: importance query above and the resample query below.
+_DSIR_CTES_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, {_B_SQL.format(t="tok")} AS b
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS raw_total FROM raw
+), lr AS (
+  SELECT b, CAST(FLOOR(ln(
+      CAST(({_TGT_SQL}[CAST(b + 1 AS INTEGER)] + 1) * (raw_total + 64) AS DOUBLE)
+      / CAST({sum(_DSIR_TARGET) + 64} * (cnt + 1) AS DOUBLE)
+    ) * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw CROSS JOIN tot
+), per AS (
+  SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS s
+  FROM ex JOIN lr USING (b) GROUP BY 1
+)"""
+
+
+def q_dsir_resample(spark, sf):
+    """DSIR end-to-end: importance weights then Gumbel-top-k weighted
+    sampling without replacement (scoring.gumbel_topk_resample) —
+    probability ∝ exp(log weight), u from md5('gumbel:'||id) so the
+    sample is deterministic and engine-reproducible. The top-k executes
+    as TakeOrderedAndProject (per-partition partial top-k), never a
+    global sort or a single-partition window."""
+    from anomaly_detection_spark.functions import scoring
+
+    d = load(spark, sf, "documents")
+    wt = scoring.dsir_log_weights(d, _DSIR_TARGET)
+    return scoring.gumbel_topk_resample(wt, k=50).orderBy("rank")
+
+
+SQL_DSIR_RESAMPLE = f"""{_DSIR_CTES_SQL},
+wt AS (
+  SELECT t.doc_id, CAST(COALESCE(per.s, 0) AS BIGINT) AS dsir_logw_micro
+  FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+), keyed AS (
+  SELECT doc_id, dsir_logw_micro,
+    CAST(FLOOR((CAST(dsir_logw_micro AS DOUBLE) / 1000000.0
+      - ln(-ln((CAST(CAST(('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0))
+    ) * 1000000.0 + 0.5) AS BIGINT) AS gumbel_key_micro
+  FROM wt
+), r AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key_micro DESC, doc_id ASC)
+              AS INTEGER) AS rank,
+         doc_id, dsir_logw_micro, gumbel_key_micro
+  FROM keyed
+)
+SELECT rank, doc_id, dsir_logw_micro, gumbel_key_micro
+FROM r WHERE rank <= 50 ORDER BY rank
+"""
+
+
+def q_corpus_dup_ngrams(spark, sf):
+    """Cross-document repeated 5-gram profile
+    (repetition.corpus_dup_ngrams, the Lee et al. ExactSubstr family):
+    per-doc fraction of distinct word 5-grams appearing in ≥2 docs.
+    Distinct grams explode once, docs-per-gram is a map-side-combined
+    hash-agg, and the join back is keyed on the gram — the one honest
+    corpus shuffle a global substring index costs; short docs return
+    zeros via the id-spine left join."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    return repetition.corpus_dup_ngrams(d, n=5, min_docs=2) \
+        .orderBy("doc_id")
+
+
+_FIVEGRAMS_SQL = """CASE WHEN len(toks) >= 5 THEN
+  list_transform(generate_series(1, len(toks)-4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4])
+  ELSE CAST([] AS VARCHAR[]) END"""
+
+SQL_CORPUS_DUP_NGRAMS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_FIVEGRAMS_SQL}) AS sh FROM t),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+gd AS (SELECT g, COUNT(*) AS ndocs FROM ex GROUP BY 1),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM ex JOIN gd USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(dup_grams, 0) AS BIGINT) AS dup_grams,
+  CAST(FLOOR(1000000.0 * COALESCE(dup_grams, 0)
+             / GREATEST(COALESCE(n_grams, 0), 1) + 0.5) AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity risk bands (privacy.k_anonymity_profile) over customer
+    quasi-identifiers (nation, segment, account-balance kilo-band):
+    class-size hash-agg then a 3-band rollup — the structural
+    re-identification check that regex PII scanning cannot see."""
+    from anomaly_detection_spark.functions import privacy
+
+    c = load(spark, sf, "customer")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return privacy.k_anonymity_profile(
+        qi, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    ).orderBy("k_band")
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN sz = 1 THEN 'unique'
+            WHEN sz < 5 THEN 'small'
+            ELSE 'anonymous' END AS k_band,
+  COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM cls GROUP BY 1 ORDER BY k_band
+"""
+
+
+def q_l_diversity(spark, sf):
+    """l-diversity bands (privacy.l_diversity_profile): per (nation,
+    segment) class, how many DISTINCT balance bands — homogeneous
+    classes leak the sensitive attribute even when k-anonymous."""
+    from anomaly_detection_spark.functions import privacy
+
+    c = load(spark, sf, "customer")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return privacy.l_diversity_profile(
+        qi, ["c_nationkey", "c_mktsegment"], "bal_band", l=10
+    ).orderBy("l_band")
+
+
+SQL_L_DIVERSITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS nd
+  FROM customer GROUP BY 1, 2
+)
+SELECT CASE WHEN nd = 1 THEN 'homogeneous'
+            WHEN nd < 10 THEN 'low'
+            ELSE 'diverse' END AS l_band,
+  COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM cls GROUP BY 1 ORDER BY l_band
+"""
+
 
 # =====================================================================
 # Registry
@@ -8381,6 +8541,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "entity_linkage": (q_entity_linkage, SQL_ENTITY_LINKAGE),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "corpus_dup_ngrams": (q_corpus_dup_ngrams, SQL_CORPUS_DUP_NGRAMS),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
