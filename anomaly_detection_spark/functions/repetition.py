@@ -204,33 +204,43 @@ def corpus_dup_ngrams(df: DataFrame, text_col: str = "text",
     and heavy quotation — the memorization-risk tail that document-level
     dedup misses.
 
-    Shape: distinct per-doc n-grams explode once; a hash-agg counts docs
-    per gram (map-side combine); the join back to the exploded frame is
-    keyed on the gram — the corpus shuffles on the gram key, which is the
-    honest cost of a global substring index (the same topology a suffix-
-    array shard build pays). Docs too short for any n-gram return zeros
-    via the left join from the id spine.
+    Shape: per-doc gram totals are in-row (``size`` of the distinct gram
+    array — no shuffle); duplication comes from ONE hash-aggregate on the
+    gram key (map-side combine, so hot grams — stock phrases appearing in
+    millions of docs — partially aggregate inside each scan task and
+    never pile into one reducer). A gram with doc-count 1 attributes its
+    doc directly (``min(id)`` of a singleton IS the doc), so per-doc
+    unique-gram counts need no join back on the skewed gram key at all:
+    ``dup_grams = n_grams − uniq_grams``, closed by a tiny id-keyed left
+    join. This deliberately replaces the naive gram-keyed join-back,
+    whose hottest gram would land its entire posting list in a single
+    task. Docs too short for any n-gram return zeros.
+
+    Note ``min_docs`` > 2 would need the doc-count distribution per doc
+    and hence the join-back; this function fixes the published
+    ``min_docs=2`` semantics ("appears anywhere else") for the skew-safe
+    plan.
 
     Returns ``(id, n_grams, dup_grams, dup_ppm)`` for every input row.
     """
+    if min_docs != 2:
+        raise ValueError("corpus_dup_ngrams fixes min_docs=2 (see docstring)")
     sh = with_shingles(df, text_col, id_col, n=n, distinct=True)
-    ex = sh.select(id_col, F.explode("_sh").alias("_g"))
-    gdocs = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_ndocs"))
-    per = (
-        ex.join(gdocs, "_g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_ndocs") >= min_docs).cast("long"))
-            .alias("dup_grams"),
-        )
+    sh = sh.select(id_col, "_sh", F.size("_sh").alias("_ng"))
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    uniq = (
+        ex.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_d"))
+        .filter(F.col("_c") == 1)
+        .groupBy(F.col("_d").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("_uniq"))
     )
-    return df.select(id_col).join(per, id_col, "left").select(
+    spine = sh.select(id_col, "_ng")  # drop the gram arrays pre-shuffle
+    return spine.join(uniq, id_col, "left").select(
         id_col,
-        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long")
+        F.col("_ng").cast("long").alias("n_grams"),
+        (F.col("_ng") - F.coalesce(F.col("_uniq"), F.lit(0))).cast("long")
         .alias("dup_grams"),
-        _ppm(F.coalesce(F.col("dup_grams"), F.lit(0)),
-             F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)))
-        .alias("dup_ppm"),
+        _ppm(F.col("_ng") - F.coalesce(F.col("_uniq"), F.lit(0)),
+             F.greatest(F.col("_ng"), F.lit(1))).alias("dup_ppm"),
     )
