@@ -106,6 +106,25 @@ HEADLINE = [
     "regex_rule_check",
     "mixture_downsample",
     "embedding_int8_topk",
+    # round-4 families: communities, density clusters, executable media
+    # decode, int8×IVF ANN, multi-probe LOF, web-corpus front, lexical
+    # search, record linkage, model-based scoring, privacy profiling
+    "graph_communities",
+    "density_clusters",
+    "media_decode_stats",
+    "embedding_int8_ivf",
+    "local_outlier_multiprobe",
+    "html_text_extract",
+    "url_canonical_dedup",
+    "c4_line_filter",
+    "domain_quality_stats",
+    "bm25_search",
+    "entity_linkage",
+    "quality_classifier",
+    "dsir_importance",
+    "dsir_resample",
+    "corpus_dup_ngrams",
+    "k_anonymity",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -601,3 +601,49 @@ def test_json_key_profile_explode_then_one_agg(spark, tmp_path):
     assert "Generate" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert re.search(r"\(\d+\) (Window|\w*Join)\b", plan) is None
+
+
+def test_quality_classifier_is_zero_shuffle(spark, tmp_path):
+    """Hashed-linear scoring is pure in-row codegen: no Exchange, no
+    Generate, no Join anywhere in the plan — scan-speed at any scale."""
+    from anomaly_detection_spark.functions.scoring import classify_quality
+
+    p = str(tmp_path / "qc")
+    spark.range(200).selectExpr(
+        "id AS doc_id", "concat('tok', id % 7, ' x y') AS text"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(classify_quality(df, [1000] * 64, 0))
+    assert re.search(r"\(\d+\) (Exchange|Generate|\w*Join)\b", plan) is None
+
+
+def test_gumbel_resample_uses_partial_topk(spark):
+    """Global weighted sample must plan TakeOrderedAndProject (per-
+    partition partial top-k), never a global Sort or a single-partition
+    Window over the corpus."""
+    from anomaly_detection_spark.functions.scoring import gumbel_topk_resample
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 97 AS BIGINT) AS dsir_logw_micro")
+    plan = plan_of(gumbel_topk_resample(df, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_dup_ngrams_no_gram_keyed_join(spark, tmp_path):
+    """The dup profile must never join on the (skewed) gram key — the
+    hottest gram's posting list would land in one task. The only join
+    allowed is the per-doc close on the well-distributed id key; the
+    gram key may appear only under hash-aggregates (map-side combined)."""
+    from anomaly_detection_spark.functions.repetition import corpus_dup_ngrams
+
+    p = str(tmp_path / "cdn")
+    spark.range(100).selectExpr(
+        "id AS doc_id",
+        "concat('a b c d e f g tok', id) AS text").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = plan_of(corpus_dup_ngrams(df))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert join_keys, "expected join key lines in the formatted plan"
+    for keys in join_keys:
+        assert "_g#" not in keys and "doc_id" in keys
