@@ -212,7 +212,17 @@ def int8_ivf_topk(
 def _ivf_multiprobe_quantized(e: DataFrame, k: int, nprobe: int) -> DataFrame:
     """Shared IVF multi-probe core over a pre-quantized frame
     ``(_id, _v array<long>, _b)`` — see ``ivf_multiprobe_topk`` for the
-    plan-shape contract (broadcast integer codebook, per-bucket join)."""
+    plan-shape contract (broadcast integer codebook, per-bucket join).
+
+    ``e`` feeds FOUR subtrees (codebook sums, bucket counts, query side,
+    candidate side); column pruning makes them non-identical so exchange
+    reuse never fires, and the upstream quantization expression
+    (array-max scale + 64-wide transform per vector) would run four
+    times. Materialize once — the quantized frame is the 4×-compressed
+    representation, exactly what the storage layer would hold at 100 TB
+    (quantize-on-write; a production table reads int8 directly and this
+    checkpoint is the scan)."""
+    e = e.localCheckpoint(eager=False)
     # codebook: exact per-dim int sums (posexplode → two-level hash agg;
     # collect_list is bucket-sized = dim rows) + per-bucket counts.
     # posexplode_outer, not posexplode: the inner form's inferred
