@@ -8471,6 +8471,85 @@ FROM cls GROUP BY 1 ORDER BY l_band
 """
 
 
+def q_curation_pipeline(spark, sf):
+    """End-to-end LLM training-data curation in ONE lazy plan — the
+    flagship composition showing the engine covers the whole pipeline,
+    not just its stages: (1) exact dedup, first-wins by content
+    fingerprint (one window shuffle, no join); (2) model-based quality
+    gate (zero-shuffle hashed-linear classifier, in-row); (3) DSIR
+    importance weights over the SURVIVORS (their own raw distribution —
+    one 64-row hash-agg broadcast back); (4) Gumbel-top-k weighted
+    selection (TakeOrderedAndProject). Four stages, three corpus-wide
+    exchanges total, nothing driver-side."""
+    from pyspark.sql.window import Window as _W
+    from anomaly_detection_spark.functions import scoring
+    from anomaly_detection_spark.functions.text import tokens as _tokens
+
+    d = load(spark, sf, "documents")
+    w = _W.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    toks = _tokens(F.col("text"))
+    s = scoring.hashed_linear_logit_micro(toks, _QC_WEIGHTS_MICRO)
+    d2 = d1.filter(s >= F.lit(_QC_THRESHOLD) * F.size(toks).cast("long"))
+    wt = scoring.dsir_log_weights(d2, _DSIR_TARGET)
+    return scoring.gumbel_topk_resample(wt, k=100).orderBy("rank")
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH t0 AS (
+  SELECT doc_id, text,
+    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), d1 AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM t0 WHERE rn = 1
+), cls AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+      t -> CAST({_W_SQL}[CAST({_B_SQL.format(t="t")} + 1 AS INTEGER)] AS BIGINT)
+    ))) AS BIGINT) AS s
+  FROM d1
+), d2 AS (
+  SELECT doc_id, toks FROM cls WHERE s >= {_QC_THRESHOLD} * n
+), ex AS (
+  SELECT doc_id, {_B_SQL.format(t="tok")} AS b
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d2)
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS raw_total FROM raw
+), lr AS (
+  SELECT b, CAST(FLOOR(ln(
+      CAST(({_TGT_SQL}[CAST(b + 1 AS INTEGER)] + 1) * (raw_total + 64) AS DOUBLE)
+      / CAST({sum(_DSIR_TARGET) + 64} * (cnt + 1) AS DOUBLE)
+    ) * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw CROSS JOIN tot
+), per AS (
+  SELECT doc_id, CAST(SUM(lr_micro) AS BIGINT) AS s
+  FROM ex JOIN lr USING (b) GROUP BY 1
+), wt AS (
+  SELECT d2.doc_id, CAST(COALESCE(per.s, 0) AS BIGINT) AS dsir_logw_micro
+  FROM d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+), keyed AS (
+  SELECT doc_id, dsir_logw_micro,
+    CAST(FLOOR((CAST(dsir_logw_micro AS DOUBLE) / 1000000.0
+      - ln(-ln((CAST(CAST(('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0))
+    ) * 1000000.0 + 0.5) AS BIGINT) AS gumbel_key_micro
+  FROM wt
+), r AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key_micro DESC, doc_id ASC)
+              AS INTEGER) AS rank,
+         doc_id, dsir_logw_micro, gumbel_key_micro
+  FROM keyed
+)
+SELECT rank, doc_id, dsir_logw_micro, gumbel_key_micro
+FROM r WHERE rank <= 100 ORDER BY rank
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8545,6 +8624,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_dup_ngrams": (q_corpus_dup_ngrams, SQL_CORPUS_DUP_NGRAMS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     # Group E — remaining SURVEY §2 operator classes
     "trend_slope": (q_trend_slope, SQL_TREND_SLOPE),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),

@@ -125,6 +125,7 @@ HEADLINE = [
     "dsir_resample",
     "corpus_dup_ngrams",
     "k_anonymity",
+    "curation_pipeline",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
