@@ -147,7 +147,7 @@ def lsh_multiprobe_topk(
 def ivf_multiprobe_topk(
     emb: DataFrame, k: int = 3, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    bucket_col: str = "label", scale: int = 1000,
+    bucket_col: str = "label", scale: int = 1000, dim: int = 64,
 ) -> DataFrame:
     """IVF ANN with multi-bucket probing — the recall fix over single-bucket
     ``ivf_topk``: each query searches its ``nprobe`` NEAREST coarse cells
@@ -176,13 +176,13 @@ def ivf_multiprobe_topk(
                      lambda x: F.round(x.cast("double") * scale).cast("long"))
     e = emb.select(F.col(id_col).alias("_id"), qz.alias("_v"),
                    F.col(bucket_col).alias("_b"))
-    return _ivf_multiprobe_quantized(e, k, nprobe)
+    return _ivf_multiprobe_quantized(e, k, nprobe, dim)
 
 
 def int8_ivf_topk(
     emb: DataFrame, k: int = 3, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    bucket_col: str = "label",
+    bucket_col: str = "label", dim: int = 64,
 ) -> DataFrame:
     """INT8-quantized IVF multi-probe ANN — the composition that actually
     ships at 100 TB: vectors stored 4× smaller (``int8_quantize``; cosine
@@ -206,10 +206,12 @@ def int8_ivf_topk(
         int8_quantize(F.col(vec_col)).alias("_v"),
         F.col(bucket_col).alias("_b"),
     )
-    return _ivf_multiprobe_quantized(e, k, nprobe)
+    return _ivf_multiprobe_quantized(e, k, nprobe, dim)
 
 
-def _ivf_multiprobe_quantized(e: DataFrame, k: int, nprobe: int) -> DataFrame:
+def _ivf_multiprobe_quantized(
+    e: DataFrame, k: int, nprobe: int, dim: int,
+) -> DataFrame:
     """Shared IVF multi-probe core over a pre-quantized frame
     ``(_id, _v array<long>, _b)`` — see ``ivf_multiprobe_topk`` for the
     plan-shape contract (broadcast integer codebook, per-bucket join).
@@ -223,24 +225,24 @@ def _ivf_multiprobe_quantized(e: DataFrame, k: int, nprobe: int) -> DataFrame:
     (quantize-on-write; a production table reads int8 directly and this
     checkpoint is the scan)."""
     e = e.localCheckpoint(eager=False)
-    # codebook: exact per-dim int sums (posexplode → two-level hash agg;
-    # collect_list is bucket-sized = dim rows) + per-bucket counts.
-    # posexplode_outer, not posexplode: the inner form's inferred
-    # size(_v) > 0 pre-filter duplicates the whole quantize expression
-    # into the scan predicate (no subexpression elimination, and it runs
-    # before sibling filter conjuncts — an ANSI hazard for guarded
-    # expressions); _v is never empty, so the null-pos drop is free
-    sums = (
-        e.select("_b", F.posexplode_outer("_v").alias("pos", "x"))
-        .filter(F.col("pos").isNotNull())
-        .groupBy("_b", "pos").agg(F.sum("x").alias("s"))
-        .groupBy("_b").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda t: t["s"],
-            ).alias("sv"))
+    # codebook: exact per-dim int sums as ONE wide hash aggregate — dim
+    # sum(element_at(_v, i)) columns re-assembled into an array.  This
+    # keeps one row per bucket per map task (map-side combine), versus
+    # the posexplode alternative which multiplies the shuffle rows ×dim
+    # and needs a second agg level plus a collect_list sort — at 100 TB
+    # the explode is the difference between shuffling n rows and n·dim.
+    cent = (
+        e.groupBy("_b")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
+              for i in range(dim)],
+        )
+        .select(
+            "_b", "n",
+            F.array(*[f"_s{i}" for i in range(dim)]).alias("sv"),
+        )
     )
-    cent = sums.join(e.groupBy("_b").agg(F.count("*").alias("n")), "_b")
     d2 = F.aggregate(
         F.zip_with("qv", "sv",
                    lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s)),
