@@ -8550,6 +8550,118 @@ FROM r WHERE rank <= 100 ORDER BY rank
 """
 
 
+def q_ngram_lm_scores(spark, sf):
+    """CCNet-style bigram-LM quality filter (lm.bigram_lm_scores,
+    Wenzek et al. 2020): train pass runs only over the deterministic
+    md5 quarter-slice (explode → map-side-combined hash-aggs, shuffled
+    rows vocabulary-sized), vocab is a bounded TakeOrdered top-24 with
+    total tie-break, OOV folds to <unk> BEFORE bigram counting so the
+    model table is ≤ 25² keys; score pass broadcasts the model as 1-row
+    maps and scores every doc in-row (zip_with over adjacent tokens,
+    per-pair NLL floored to integer micros before the order-independent
+    BIGINT sum) — the corpus never shuffles."""
+    from anomaly_detection_spark.functions import lm
+
+    d = load(spark, sf, "documents")
+    return lm.bigram_lm_scores(d).orderBy("doc_id")
+
+
+SQL_NGRAM_LM_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, COALESCE({_TOKS_LOWER_SQL}, CAST([] AS VARCHAR[])) AS toks
+  FROM documents
+), ref AS (
+  SELECT * FROM t
+  WHERE CAST(('0x' || substr(md5('lmref:' || CAST(doc_id AS VARCHAR)),1,8))
+             AS BIGINT) % 4 = 0
+), uni AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(toks) AS tok FROM ref) GROUP BY 1
+), vocab AS (
+  SELECT list(tok) AS vl
+  FROM (SELECT tok FROM uni ORDER BY cnt DESC, tok ASC LIMIT 24)
+), mapped AS (
+  SELECT doc_id, toks,
+    list_transform(toks,
+      x -> CASE WHEN list_contains(vl, x) THEN x ELSE '<unk>' END) AS ms
+  FROM t CROSS JOIN vocab
+), refbg AS (
+  SELECT unnest(list_transform(range(1, len(ms)),
+                i -> ms[i] || ' ' || ms[i+1])) AS bg
+  FROM mapped
+  WHERE CAST(('0x' || substr(md5('lmref:' || CAST(doc_id AS VARCHAR)),1,8))
+             AS BIGINT) % 4 = 0
+), bgc AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM refbg GROUP BY 1
+), c1t AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM bgc GROUP BY 1
+), allbg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ms)),
+                 i -> ms[i] || ' ' || ms[i+1])) AS bg
+  FROM mapped
+), scored AS (
+  SELECT a.doc_id,
+    CAST(SUM(CAST(FLOOR(ln(
+        CAST(COALESCE(c1t.c1, 0) + 25 AS DOUBLE)
+        / CAST(COALESCE(bgc.c12, 0) + 1 AS DOUBLE)
+      ) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM allbg a
+  LEFT JOIN bgc USING (bg)
+  LEFT JOIN c1t ON c1t.w1 = split_part(a.bg, ' ', 1)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(scored.s, 0) AS BIGINT) AS nll_sum_micro,
+  CAST(COALESCE(scored.s, 0)
+       <= 3100000 * greatest(len(toks) - 1, 0) AS INTEGER) AS keep
+FROM t LEFT JOIN scored ON t.doc_id = scored.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_bpe_pair_stats(spark, sf):
+    """BPE merge-candidate statistics (bpe.top_merge_candidates,
+    Sennrich et al. 2016): the corpus first collapses to (word, count)
+    — ONE map-side-combined hash-agg whose output is vocabulary-sized —
+    then each DISTINCT word expands once in-row (transform(sequence) →
+    chars + '</w>', zip_with pairs) into the pair hash-agg, whose key
+    space is charset²-bounded. The global top-20 runs as
+    TakeOrderedAndProject with a (cnt desc, pair asc) total order."""
+    from anomaly_detection_spark.functions import bpe
+
+    d = load(spark, sf, "documents")
+    return bpe.top_merge_candidates(d, top_n=20)
+
+
+SQL_BPE_PAIR_STATS = f"""
+WITH t AS (
+  SELECT COALESCE({_TOKS_LOWER_SQL}, CAST([] AS VARCHAR[])) AS toks
+  FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1
+), sy AS (
+  SELECT wcnt,
+    list_append(list_transform(range(1, length(word) + 1),
+                               i -> substr(word, i, 1)), '</w>') AS syms
+  FROM wc
+), pr AS (
+  SELECT wcnt, unnest(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i+1])) AS pair
+  FROM sy
+), pc AS (
+  SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM pr GROUP BY 1
+), r AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INTEGER)
+           AS rank, pair, cnt
+  FROM pc
+)
+SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8733,5 +8845,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "regex_rule_check": (q_regex_rule_check, SQL_REGEX_RULE_CHECK),
     "mixture_downsample": (q_mixture_downsample, SQL_MIXTURE_DOWNSAMPLE),
     "embedding_int8_topk": (q_embedding_int8_topk, SQL_EMBEDDING_INT8_TOPK),
+    "ngram_lm_scores": (q_ngram_lm_scores, SQL_NGRAM_LM_SCORES),
+    "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
 }
