@@ -8662,6 +8662,108 @@ SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank
 """
 
 
+_BPE_N_MERGES = 6
+
+
+def q_bpe_learn_merges(spark, sf):
+    """Iterative BPE training, 6 rounds (bpe.learn_merges, Sennrich et
+    al. 2016 Algorithm 1): ONE corpus scan builds the vocabulary-sized
+    (word, wcnt) table; each round is a pair hash-agg + TakeOrdered
+    top-1 + one in-row greedy-merge fold over that table (driver
+    collects exactly one row per round, localCheckpoint truncates the
+    fold lineage). The oracle runs the literally identical fold
+    unrolled as a 6-level CTE pyramid with DuckDB list_reduce."""
+    from anomaly_detection_spark.functions import bpe
+
+    d = load(spark, sf, "documents")
+    table, _, _ = bpe.learn_merges(d, n_merges=_BPE_N_MERGES)
+    return table
+
+
+def q_bpe_encode(spark, sf):
+    """Per-document BPE segmentation stats under the 6 learned merges
+    (bpe.encode_piece_counts): merges are applied VOCAB-side (once per
+    unique word, localCheckpoint per round against the CollapseProject
+    fold-inlining trap), then piece counts join back to the exploded
+    corpus on word — AQE broadcasts the vocab when small, skew-splits
+    the Zipf key when not. n_pieces = Σ_words |syms| after all
+    merges."""
+    from anomaly_detection_spark.functions import bpe
+
+    d = load(spark, sf, "documents")
+    _, _, vocab = bpe.learn_merges(d, n_merges=_BPE_N_MERGES)
+    return bpe.encode_piece_counts(d, vocab=vocab).orderBy("doc_id")
+
+
+def _bpe_sql_pyramid(n_merges: int) -> str:
+    """Shared unrolled-CTE preamble for the BPE oracles: t → wc → s0,
+    then per round r: pair counts pc{r}, deterministic top-1 top{r}
+    (cnt desc, pair asc), and the next symbol state s{r+1} via the
+    same greedy left-to-right merge fold the Spark side runs
+    (list_reduce over a chr(31)-joined string accumulator). Every CTE
+    is MATERIALIZED: each s{{r}} is referenced twice (pc{{r}} and
+    s{{r+1}}), so inlining would re-evaluate the whole chain 2^r times
+    (measured 148s -> ~2s at sf0.01)."""
+    parts = [f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, COALESCE({_TOKS_LOWER_SQL}, CAST([] AS VARCHAR[])) AS toks
+  FROM documents
+), wc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT word, wcnt,
+    list_append(list_transform(range(1, length(word) + 1),
+                               i -> substr(word, i, 1)), '</w>') AS syms
+  FROM wc
+)"""]
+    for r in range(n_merges):
+        parts.append(f""", pc{r} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+  FROM (SELECT wcnt, unnest(list_transform(range(1, len(syms)),
+               i -> syms[i] || ' ' || syms[i+1])) AS pair FROM s{r})
+  GROUP BY 1
+), top{r} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS ma, split_part(pair, ' ', 2) AS mb,
+         pair, cnt
+  FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+), s{r + 1} AS MATERIALIZED (
+  SELECT word, wcnt,
+    str_split(list_reduce(syms, (acc, x) ->
+      CASE WHEN (acc = ma OR ends_with(acc, chr(31) || ma)) AND x = mb
+           THEN acc || mb ELSE acc || chr(31) || x END), chr(31)) AS syms
+  FROM s{r} CROSS JOIN top{r}
+)""")
+    return "".join(parts)
+
+
+SQL_BPE_LEARN_MERGES = _bpe_sql_pyramid(_BPE_N_MERGES) + "\n" + "\n".join(
+    ["SELECT step, pair, cnt FROM ("]
+    + [
+        ("  UNION ALL " if r else "  ")
+        + f"SELECT CAST({r + 1} AS INTEGER) AS step, pair, cnt FROM top{r}"
+        for r in range(_BPE_N_MERGES)
+    ]
+    + [") ORDER BY step"]
+)
+
+
+SQL_BPE_ENCODE = _bpe_sql_pyramid(_BPE_N_MERGES) + f""",
+enc AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS npieces FROM s{_BPE_N_MERGES}
+), dw AS (
+  SELECT doc_id, unnest(toks) AS word FROM t
+), agg AS (
+  SELECT doc_id, CAST(SUM(npieces) AS BIGINT) AS n_pieces
+  FROM dw JOIN enc USING (word) GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       COALESCE(agg.n_pieces, 0) AS n_pieces
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8847,5 +8949,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_int8_topk": (q_embedding_int8_topk, SQL_EMBEDDING_INT8_TOPK),
     "ngram_lm_scores": (q_ngram_lm_scores, SQL_NGRAM_LM_SCORES),
     "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
+    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
 }

@@ -126,6 +126,8 @@ HEADLINE = [
     "corpus_dup_ngrams",
     "k_anonymity",
     "curation_pipeline",
+    "ngram_lm_scores",
+    "bpe_pair_stats",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -148,3 +148,95 @@ def test_bpe_null_and_empty_docs_ignored(spark):
            for r in top_merge_candidates(df, top_n=10)
            .orderBy("rank").collect()]
     assert got == [(1, "a b", 1), (2, "b </w>", 1)]
+
+
+# ---------------------------------------------------------------------
+# full iterative BPE training + encoding
+# ---------------------------------------------------------------------
+
+def _py_merge_word(syms, a, b):
+    """Greedy left-to-right single-merge pass (published semantics:
+    'a a a' under (a, a) -> ['aa', 'a'])."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_train(docs, n_merges):
+    wc = Counter(w for _, t in docs for w in (t or "").lower().split())
+    syms = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, n in wc.items():
+            for a, b in zip(syms[w], syms[w][1:]):
+                pc[f"{a} {b}"] += n
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ", 1)
+        merges.append((a, b, cnt))
+        for w in wc:
+            syms[w] = _py_merge_word(syms[w], a, b)
+    return merges, syms
+
+
+def _py_bpe_encode(docs, syms):
+    out = []
+    for i, t in docs:
+        ws = (t or "").lower().split()
+        out.append((i, len(ws), sum(len(syms[w]) for w in ws)))
+    return out
+
+
+def test_bpe_learn_merges_random_model_parity(spark):
+    from anomaly_detection_spark.functions.bpe import learn_merges
+
+    docs = _mk_corpus(707, 90, vocab_n=40)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    table, merges, _ = learn_merges(df, n_merges=5)
+    ref, _ = _py_bpe_train(docs, 5)
+    assert merges == ref
+    got = [(r["step"], r["pair"], r["cnt"])
+           for r in table.orderBy("step").collect()]
+    assert got == [(k + 1, f"{a} {b}", c)
+                   for k, (a, b, c) in enumerate(ref)]
+
+
+def test_bpe_encode_piece_counts_parity_both_paths(spark):
+    from anomaly_detection_spark.functions.bpe import (
+        encode_piece_counts, learn_merges)
+
+    docs = _mk_corpus(808, 60, vocab_n=25) + [(900, None), (901, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges_ref, syms_ref = _py_bpe_train(docs, 4)
+    ref = _py_bpe_encode(docs, syms_ref)
+
+    _, merges, vocab = learn_merges(df, n_merges=4)
+    via_vocab = [(r["doc_id"], r["n_words"], r["n_pieces"])
+                 for r in encode_piece_counts(df, vocab=vocab)
+                 .orderBy("doc_id").collect()]
+    assert via_vocab == ref
+
+    via_merges = [(r["doc_id"], r["n_words"], r["n_pieces"])
+                  for r in encode_piece_counts(df, merges=merges)
+                  .orderBy("doc_id").collect()]
+    assert via_merges == ref
+
+
+def test_bpe_overlapping_merge_is_leftmost_greedy(spark):
+    from anomaly_detection_spark.functions.bpe import apply_merge, char_syms
+    from pyspark.sql import functions as F
+
+    # 'aaa' + </w> under merge (a, a): leftmost-first -> [aa, a, </w>]
+    df = spark.createDataFrame([("aaa",)], "word string")
+    got = df.select(
+        apply_merge(char_syms(F.col("word")), "a", "a").alias("s")
+    ).collect()[0]["s"]
+    assert got == ["aa", "a", "</w>"]
