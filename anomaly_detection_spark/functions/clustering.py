@@ -1,0 +1,144 @@
+"""Distributed Lloyd's k-means over embedding vectors — the coarse
+semantic-clustering primitive behind SemDeDup-style pruning, topic
+bucketing, and IVF codebook training at corpus scale.
+
+Deterministic and integer-exact end to end so a SQL oracle can replay
+it bit-for-bit:
+
+* vectors are int8-quantized (``similarity.int8_quantize``) then
+  SHIFTED +127 into [0, 254] — k-means geometry is translation-
+  invariant, and non-negative coordinates make every later sum
+  non-negative, so Python ``//``, DuckDB ``//`` and plain floor all
+  agree on the centroid division;
+* initial centroids are the ``k`` points with the smallest id
+  (TakeOrdered, no RNG);
+* assignment breaks distance ties on the smallest centroid index via
+  a struct ``array_min`` (total order, no float comparisons);
+* centroid updates are round-half-up integer division
+  ``(2·Σx + n) // (2·n)`` computed DRIVER-side on exact Python ints —
+  the per-iteration collect is k rows of (count, 64 sums), nothing
+  row-sized;
+* an empty cluster keeps its previous centroid.
+
+Scale shape: each iteration is ONE corpus-wide hash-aggregate
+(map-side combined, k·dim long columns) over a scan whose assignment
+expression holds the k·dim centroid LITERALS — no join, no shuffle of
+the vectors themselves, no per-row Python. n_iters·(scan + k-row
+collect) total; at 10^12 vectors each iteration moves k·(dim+1) longs
+to the driver. Reference analogue: the reference clusters feature
+vectors with sklearn (``ml_models/dbscan_model.py``); Lloyd's k-means
+is its partition-style counterpart re-expressed as Spark aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions.similarity import int8_quantize
+
+SHIFT = 127  # int8 [-127,127] -> [0,254]; translation-invariant
+
+
+def shifted_quantize(vec_col: Column) -> Column:
+    """Non-negative exact-integer coordinates for k-means."""
+    return F.transform(int8_quantize(vec_col), lambda q: q + F.lit(SHIFT))
+
+
+def _sq_dist(qv: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to one literal centroid."""
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(pts: DataFrame, centroids: list[list[int]],
+                    vec_col: str = "qv") -> DataFrame:
+    """Adds ``cluster`` (argmin of exact distances, ties → smallest
+    index) and ``dist`` columns; centroids ride as literals so the
+    pass is a pure narrow map — no join, no shuffle."""
+    best = F.array_min(F.array(*[
+        F.struct(
+            _sq_dist(F.col(vec_col), c).alias("d"),
+            F.lit(j).cast("int").alias("c"),
+        )
+        for j, c in enumerate(centroids)
+    ]))
+    return pts.withColumn("_best", best).select(
+        "*",
+    ).withColumn("cluster", F.col("_best.c")).withColumn(
+        "dist", F.col("_best.d")
+    ).drop("_best")
+
+
+def kmeans(emb: DataFrame, k: int = 4, n_iters: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           ) -> tuple[DataFrame, list[list[int]]]:
+    """Runs ``n_iters`` Lloyd rounds; returns ``(per-point assignment
+    DataFrame (id, cluster, dist) under the FINAL centroids, the final
+    centroid list)``. See module docstring for the determinism and
+    scale contract."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    pts = emb.select(
+        F.col(id_col), shifted_quantize(F.col(vec_col)).alias("qv"))
+
+    init = pts.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["qv"]) for r in init]
+    if not centroids:
+        return pts.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("long").alias("dist"),
+        ), []
+
+    sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+            for i in range(dim)]
+    for _ in range(n_iters):
+        rows = (
+            assign_clusters(pts, centroids)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        stats = {r["cluster"]: r for r in rows}
+        nxt = []
+        for j, old in enumerate(centroids):
+            r = stats.get(j)
+            if r is None:
+                nxt.append(old)  # empty cluster keeps its centroid
+            else:
+                n = int(r["n"])
+                nxt.append([(2 * int(r[f"s{i}"]) + n) // (2 * n)
+                            for i in range(dim)])
+        centroids = nxt
+
+    out = assign_clusters(pts, centroids).select(id_col, "cluster", "dist")
+    return out, centroids
+
+
+def kmeans_summary(emb: DataFrame, k: int = 4, n_iters: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """Per-cluster quality rollup under the final centroids:
+    ``(cluster, n_points, wss, centroid_l1)`` — all exact integers
+    (wss = Σ squared distances; centroid_l1 = Σ|coords| fingerprints
+    the centroid itself so the oracle checks the geometry, not just
+    the partition sizes)."""
+    assigned, centroids = kmeans(emb, k=k, n_iters=n_iters,
+                                 id_col=id_col, vec_col=vec_col)
+    l1 = {j: sum(abs(int(v)) for v in c) for j, c in enumerate(centroids)}
+    l1_col = F.create_map(*[
+        x for j in l1 for x in (F.lit(j), F.lit(l1[j]).cast("long"))])
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("dist").cast("long").alias("wss"),
+        )
+        .withColumn("centroid_l1", l1_col[F.col("cluster")])
+        .select("cluster", "n_points", "wss", "centroid_l1")
+    )

@@ -8764,6 +8764,103 @@ ORDER BY t.doc_id
 """
 
 
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def q_kmeans_clusters(spark, sf):
+    """Distributed Lloyd's k-means over the embeddings table
+    (clustering.kmeans_summary, k=4, 3 iterations): per-iteration ONE
+    corpus-wide hash-agg with the k·dim centroid literals riding the
+    assignment expression (no join, no vector shuffle), driver traffic
+    k rows of integer sums, round-half-up integer centroid updates on
+    shifted-int8 coordinates so every engine floors identically. The
+    oracle replays the same rounds as an unrolled MATERIALIZED CTE
+    pyramid. Output: (cluster, n_points, wss, centroid_l1) — all exact
+    integers."""
+    from anomaly_detection_spark.functions import clustering
+
+    e = load(spark, sf, "embeddings")
+    return clustering.kmeans_summary(
+        e, k=_KM_K, n_iters=_KM_ITERS).orderBy("cluster")
+
+
+def _kmeans_sql(k: int, n_iters: int, dim: int) -> str:
+    """Unrolled Lloyd pyramid: qz (shifted int8 quantize) → c0 (k
+    smallest ids) → per round r: argmin assignment a{r} (cross join ×k,
+    exact integer distances, ties → smallest centroid index) and
+    updated centroids c{r+1} (round-half-up integer division on
+    non-negative sums, LEFT JOIN keeps empty clusters' old centroids)
+    → final assignment + per-cluster rollup. MATERIALIZED throughout —
+    each level is referenced twice."""
+    d1 = dim + 1
+    sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
+    parts = [f"""
+WITH qz AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127
+                      / (CASE WHEN mx > 0 THEN mx ELSE 1 END)
+                      + 0.5) AS BIGINT) + 127) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings)
+), c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+         qv AS c
+  FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT {k})
+)"""]
+    for r in range(n_iters + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+  SELECT vec_id, qv, j, dist FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, j) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.j,
+             CAST(list_sum(list_transform(range(1, {d1}),
+                  i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))
+                  AS BIGINT) AS dist
+      FROM qz q CROSS JOIN c{r} c
+    ) d
+  ) WHERE rn = 1
+)""")
+        if r == n_iters:
+            break
+        parts.append(f""", u{r} AS MATERIALIZED (
+  SELECT j, COUNT(*) AS n, [{sums}] AS s
+  FROM a{r} GROUP BY j
+), c{r + 1} AS MATERIALIZED (
+  SELECT c.j,
+    CASE WHEN u.j IS NULL THEN c.c
+         ELSE list_transform(range(1, {d1}),
+                             i -> CAST((2 * u.s[i] + u.n)
+                                       // (2 * u.n) AS BIGINT))
+    END AS c
+  FROM c{r} c LEFT JOIN u{r} u USING (j)
+)""")
+    parts.append(f"""
+SELECT agg.cluster, agg.n_points, agg.wss, l1.centroid_l1
+FROM (
+  SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(dist) AS BIGINT) AS wss
+  FROM a{n_iters} GROUP BY 1
+) agg
+JOIN (
+  SELECT j AS cluster,
+         CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT)
+         AS centroid_l1
+  FROM c{n_iters}
+) l1 USING (cluster)
+ORDER BY cluster
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -8952,4 +9049,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
 }

@@ -1,0 +1,134 @@
+"""Lloyd's k-means (functions/clustering.py) vs an independent
+pure-Python reference on seeded random vectors, plus planted
+well-separated blobs and the empty-cluster carryover path."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from anomaly_detection_spark.functions.clustering import (
+    SHIFT, kmeans, kmeans_summary)
+
+DIM = 8
+
+
+def _mk_vectors(seed: int, n: int, blobs=None):
+    """Seeded random float vectors; ``blobs`` = list of (center, count)
+    for planted clusters, else uniform noise."""
+    rng = random.Random(seed)
+    rows = []
+    if blobs:
+        # interleave blobs so the deterministic smallest-id init picks
+        # one seed per blob (row i belongs to blob i % len(blobs))
+        i = 0
+        per = [list(range(count)) for _, count in blobs]
+        b = 0
+        while any(per):
+            if per[b]:
+                per[b].pop()
+                center = blobs[b][0]
+                rows.append((i, [c + rng.uniform(-0.05, 0.05)
+                                 for c in center]))
+                i += 1
+            b = (b + 1) % len(blobs)
+    else:
+        for i in range(n):
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(DIM)]))
+    return rows
+
+
+def _py_quantize(vec):
+    mx = max(abs(float(v)) for v in vec)
+    mx = mx if mx > 0 else 1.0
+    return [int(math.floor(float(v) * 127.0 / mx + 0.5)) + SHIFT
+            for v in vec]
+
+
+def _py_kmeans(rows, k, n_iters):
+    pts = [(i, _py_quantize(v)) for i, v in rows]
+    dim = len(pts[0][1])
+    cents = [list(q) for _, q in sorted(pts)[:k]]
+
+    def assign(q):
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(q, c)), j)
+            for j, c in enumerate(cents)
+        )
+        return best[1], best[0]
+
+    for _ in range(n_iters):
+        stats = {}
+        for _, q in pts:
+            j, _d = assign(q)
+            n, s = stats.get(j, (0, [0] * dim))
+            stats[j] = (n + 1, [a + b for a, b in zip(s, q)])
+        nxt = []
+        for j, c in enumerate(cents):
+            if j in stats:
+                n, s = stats[j]
+                nxt.append([(2 * s[i] + n) // (2 * n) for i in range(dim)])
+            else:
+                nxt.append(c)
+        cents = nxt
+    out = {i: assign(q) for i, q in pts}
+    return out, cents
+
+
+def _spark_kmeans(spark, rows, k, n_iters):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    assigned, cents = kmeans(df, k=k, n_iters=n_iters)
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in assigned.collect()}
+    return got, cents
+
+
+def test_kmeans_random_model_parity(spark):
+    rows = _mk_vectors(11, 60)
+    got, gcents = _spark_kmeans(spark, rows, k=3, n_iters=3)
+    ref, rcents = _py_kmeans(rows, k=3, n_iters=3)
+    assert gcents == rcents
+    assert got == ref
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    blobs = [([1.0] * DIM, 20), ([-1.0] * DIM, 20),
+             ([1.0] * (DIM // 2) + [-1.0] * (DIM // 2), 20)]
+    rows = _mk_vectors(7, 0, blobs=blobs)
+    got, _ = _spark_kmeans(spark, rows, k=3, n_iters=3)
+    # every planted blob (row i -> blob i % 3) lands in exactly one
+    # cluster, and the three blobs get three distinct clusters
+    for b in range(3):
+        labels = {got[i][0] for i in range(b, 60, 3)}
+        assert len(labels) == 1
+    assert len({got[b][0] for b in range(3)}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # two identical points, k=2: the duplicate seeds both centroids,
+    # assignment ties to cluster 0, cluster 1 goes empty and must keep
+    # its (identical) centroid without dividing by zero.
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    got, cents = _spark_kmeans(spark, rows, k=2, n_iters=2)
+    ref, rcents = _py_kmeans(rows, k=2, n_iters=2)
+    assert got == ref
+    assert cents == rcents
+
+
+def test_kmeans_summary_is_exact_rollup(spark):
+    rows = _mk_vectors(23, 40)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    ref, rcents = _py_kmeans(rows, k=4, n_iters=3)
+    summ = {r["cluster"]: (r["n_points"], r["wss"], r["centroid_l1"])
+            for r in kmeans_summary(df, k=4, n_iters=3).collect()}
+    want = {}
+    for i, (j, d) in ref.items():
+        n, w = want.get(j, (0, 0))
+        want[j] = (n + 1, w + d)
+    want = {j: (n, w, sum(abs(c) for c in rcents[j]))
+            for j, (n, w) in want.items()}
+    assert summ == want
