@@ -128,6 +128,8 @@ HEADLINE = [
     "curation_pipeline",
     "ngram_lm_scores",
     "bpe_pair_stats",
+    "bpe_learn_merges",
+    "kmeans_clusters",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
