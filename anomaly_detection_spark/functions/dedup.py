@@ -482,3 +482,66 @@ def incremental_exact_dups(corpus: DataFrame, appended: DataFrame,
     return fp_new.join(matches, "text_hash").select(
         "new_id", "text_hash", "n_corpus_matches", "corpus_canonical_id"
     )
+
+
+# ------------------------------------------------- corpus-level similarity
+
+def grouped_minhash(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text", k: int = 8, n: int = 3,
+                    ) -> DataFrame:
+    """Per-group UNION MinHash signature: the min-hash of a union of
+    shingle sets is the element-wise MIN of the per-document min-hashes,
+    so a whole domain's sketch is one map-side-combinable ``min``
+    aggregate over the per-doc signatures — (group, mh0..mh{k-1}), one
+    corpus scan, k·|groups| output cells. Documents shorter than the
+    shingle width contribute NULL per-doc mins, which ``min`` skips —
+    exactly the empty-set union identity."""
+    bound = df.select(F.col(group_col), tokens(F.col(text_col)).alias("_toks"))
+    bound = bound.select(F.col(group_col), _shingles_of(F.col("_toks"), n).alias("_sh"))
+
+    def seeded(i):
+        # closure, NOT a default-arg lambda (transform would pass the index)
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    per_doc = bound.select(
+        F.col(group_col),
+        *[F.array_min(F.transform(F.col("_sh"), seeded(i))).alias(f"mh{i}")
+          for i in range(k)],
+    )
+    return per_doc.groupBy(group_col).agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)])
+
+
+def group_similarity(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text", k: int = 8, n: int = 3,
+                     ) -> DataFrame:
+    """Corpus-level similarity between GROUPS (domains/sources/shards):
+    estimated Jaccard of the groups' full shingle sets = fraction of the
+    k union-sketch positions that agree. Output
+    (group_a, group_b, agree, jaccard_ppm) for every unordered pair.
+
+    Scale shape: ONE corpus scan builds the k·|groups| sketch table
+    (map-side combined min agg); the pairwise compare is
+    |groups|² over a driver-tiny frame — the corpus itself is never
+    joined or shuffled. This is the "which sources duplicate each
+    other's content" rollup a mixture designer runs before setting
+    domain weights; doc-level near-dup ops (``lsh_candidate_pairs``)
+    answer the per-document form of the same question."""
+    sig = grouped_minhash(df, group_col, text_col, k=k, n=n)
+    a = sig.select(F.col(group_col).alias("group_a"),
+                   *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    b = sig.select(F.col(group_col).alias("group_b"),
+                   *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    agree = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b",
+            agree.cast("long").alias("agree"),
+            F.floor(agree * F.lit(1_000_000) / F.lit(k))
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )

@@ -8861,6 +8861,51 @@ ORDER BY cluster
 SQL_KMEANS_CLUSTERS = _kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM)
 
 
+_DSIM_K = 8
+
+
+def q_domain_similarity(spark, sf):
+    """Corpus-level source×source content similarity
+    (dedup.group_similarity): per-source UNION MinHash sketch — the
+    min-hash of a union of shingle sets is the element-wise MIN of the
+    per-doc min-hashes, so one corpus scan + a map-side-combined min
+    agg yields a k·|sources| sketch table; the pairwise compare runs on
+    that driver-tiny frame, never on the corpus. The mixture-design
+    rollup ("which sources duplicate each other's content") that sits
+    above doc-level LSH."""
+    d = load(spark, sf, "documents")
+    return dedup.group_similarity(
+        d, group_col="source", k=_DSIM_K).orderBy("group_a", "group_b")
+
+
+def _domain_similarity_sql(k: int) -> str:
+    """Replays the union-sketch identity: per-doc list_min minhashes,
+    GROUP BY source MIN, then pairwise position-agreement counting
+    (NULL positions never agree, matching Spark's when(a=b,1).else(0))."""
+    mins = ",\n".join(
+        f"    MIN(list_min(list_transform(sh, s -> md5('{i}:' || s)))) AS mh{i}"
+        for i in range(k))
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT source, {_SHINGLES_SQL} AS sh FROM t),
+sig AS (
+  SELECT source,
+{mins}
+  FROM sh GROUP BY source
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       CAST({agree} AS BIGINT) AS agree,
+       CAST(FLOOR(({agree}) * 1000000.0 / {k}) AS BIGINT) AS jaccard_ppm
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY group_a, group_b
+"""
+
+
+SQL_DOMAIN_SIMILARITY = _domain_similarity_sql(_DSIM_K)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9050,4 +9095,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
 }
