@@ -8906,6 +8906,70 @@ ORDER BY group_a, group_b
 SQL_DOMAIN_SIMILARITY = _domain_similarity_sql(_DSIM_K)
 
 
+def q_compaction_plan(spark, sf):
+    """Small-file compaction economics (maintenance.compaction_summary —
+    the Iceberg rewrite_data_files/binPack planner as a query): a
+    deterministic day-file manifest is derived from orders (partition =
+    month, file = day, size = exact cents), the small-file threshold is
+    90% of the mean file size and the pack target 4× that, then files
+    are bin-packed PER PARTITION by the fixed-boundary prefix-sum rule.
+    The planner input is file METADATA — ~10^6 rows when the table is
+    10^13 — so the plan pass is cheap by construction; the only
+    driver-side collect here is the 1-row mean-size scalar."""
+    from anomaly_detection_spark.functions import maintenance
+
+    o = load(spark, sf, "orders")
+    manifest = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("part"),
+        F.col("o_orderdate").cast("date").alias("file_id"),
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("size_bytes"))
+    tot = manifest.agg(F.sum("size_bytes").alias("t"),
+                       F.count(F.lit(1)).alias("n")).first()
+    thr = (9 * int(tot["t"])) // (10 * int(tot["n"]))
+    return maintenance.compaction_summary(
+        manifest, target_size=4 * thr, small_threshold=thr
+    ).orderBy("part")
+
+
+SQL_COMPACTION_PLAN = """
+WITH manifest AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS part,
+         CAST(o_orderdate AS DATE) AS file_id,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS size_bytes
+  FROM orders GROUP BY 1, 2
+), c AS (
+  SELECT (9 * SUM(size_bytes)) // (10 * COUNT(*)) AS thr FROM manifest
+), plan AS (
+  SELECT part, file_id, size_bytes,
+    CASE WHEN size_bytes < thr THEN 'compact' ELSE 'keep' END AS action,
+    CASE WHEN size_bytes < thr THEN
+      COALESCE(SUM(CASE WHEN size_bytes < thr THEN size_bytes END)
+               OVER (PARTITION BY part ORDER BY file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // (4 * thr)
+    END AS grp
+  FROM manifest CROSS JOIN c
+)
+SELECT part,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(CASE WHEN action = 'compact' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small,
+  CAST(COUNT(DISTINCT CASE WHEN action = 'compact' THEN grp END) AS BIGINT)
+    AS n_groups,
+  CAST(SUM(CASE WHEN action = 'compact' THEN size_bytes ELSE 0 END)
+    AS BIGINT) AS small_bytes,
+  CAST(COUNT(*) - SUM(CASE WHEN action = 'compact' THEN 1 ELSE 0 END)
+       + COUNT(DISTINCT CASE WHEN action = 'compact' THEN grp END)
+    AS BIGINT) AS files_out,
+  CAST(((COUNT(*)
+         - (COUNT(*) - SUM(CASE WHEN action = 'compact' THEN 1 ELSE 0 END)
+            + COUNT(DISTINCT CASE WHEN action = 'compact' THEN grp END)))
+        * 1000000) // COUNT(*) AS BIGINT) AS reduction_ppm
+FROM plan GROUP BY part ORDER BY part
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -9096,4 +9160,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
 }
