@@ -644,3 +644,57 @@ def json_key_profile(
         F.min(F.when(is_int, F.col("_v").cast("long"))).alias("vmin"),
         F.max(F.when(is_int, F.col("_v").cast("long"))).alias("vmax"),
     )
+
+
+def fd_mine(df: DataFrame, columns: list[str],
+            budget_ppm: int = 0) -> DataFrame:
+    """Approximate functional-dependency DISCOVERY over every ordered
+    pair of candidate columns — the mining counterpart of the
+    ``functional_dependency`` rule (which verifies ONE given FD). For
+    each pair A→B it computes the g3 violation measure: the minimum
+    number of rows to delete for the FD to hold exactly, i.e.
+    ``n_rows − Σ_a max_b count(a,b)``, as exact-integer ppm. Pairs with
+    ``violation_ppm ≤ budget_ppm`` are marked discovered; feed them to
+    ``rules/builtin.functional_dependency`` to enforce on later commits
+    (profile → suggest → enforce, the learned-rule loop).
+
+    Scale shape: ONE corpus scan — a ``stack`` projection fans each row
+    into |pairs| (det_col, dep_col, det_val, dep_val) tuples, then two
+    map-side-combinable hash aggs (pair-value counts → per-determinant
+    max) and a |pairs|-row rollup. No join, no per-pair re-scan; shuffle
+    volume is |pairs| × distinct-pair-values, not |pairs| × rows.
+    NULL is a value on both sides (matching GROUP BY semantics in every
+    engine). Reference analogue: the one-department-per-user org map
+    (``org_analyzer.py:26-34``) silently assumes an FD this would mine.
+    """
+    pairs = [(a, b) for a in columns for b in columns if a != b]
+    args = []
+    for a, b in pairs:
+        args += [F.lit(a), F.lit(b),
+                 F.col(a).cast("string"), F.col(b).cast("string")]
+    panel = df.select(
+        F.stack(F.lit(len(pairs)), *args)
+        .alias("determinant", "dependent", "det_val", "dep_val"))
+    counts = panel.groupBy("determinant", "dependent",
+                           "det_val", "dep_val").agg(
+        F.count(F.lit(1)).alias("n"))
+    per_det = counts.groupBy("determinant", "dependent", "det_val").agg(
+        F.max("n").alias("best"), F.sum("n").alias("n_rows"))
+    return (
+        per_det.groupBy("determinant", "dependent")
+        .agg(
+            F.sum("n_rows").alias("_n"),
+            F.sum("best").alias("_keep"),
+            F.count(F.lit(1)).cast("long").alias("n_determinants"),
+        )
+        .select(
+            "determinant", "dependent", "n_determinants",
+            (F.col("_n") - F.col("_keep")).cast("long")
+            .alias("violating_rows"),
+            F.floor((F.col("_n") - F.col("_keep")) * F.lit(1_000_000)
+                    / F.col("_n")).cast("long").alias("violation_ppm"),
+            (F.floor((F.col("_n") - F.col("_keep")) * F.lit(1_000_000)
+                     / F.col("_n")) <= F.lit(int(budget_ppm)))
+            .alias("holds"),
+        )
+    )

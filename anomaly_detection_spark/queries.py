@@ -8932,6 +8932,59 @@ def q_compaction_plan(spark, sf):
     ).orderBy("part")
 
 
+_FD_MINE_COLS = ["lang", "lang_u", "source", "n_chars"]
+
+
+def q_fd_discovery(spark, sf):
+    """Approximate-FD MINING (profiler.fd_mine) over a 4-column candidate
+    set on documents — every ordered pair scored with the exact-integer g3
+    violation measure from ONE stacked corpus scan (no per-pair re-scan).
+    lang→lang_u (a derived upper-case echo) plants a guaranteed-holding FD
+    at every SF so both verdict branches are exercised; discovered pairs
+    feed rules/builtin.functional_dependency (the enforce side this mines
+    for)."""
+    from anomaly_detection_spark import profiler
+
+    d = load(spark, sf, "documents").select(
+        "lang", F.upper("lang").alias("lang_u"), "source", "n_chars")
+    return profiler.fd_mine(d, _FD_MINE_COLS, budget_ppm=0).orderBy(
+        "determinant", "dependent")
+
+
+def _fd_discovery_sql(cols: list[str], budget: int) -> str:
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    panel = "\n  UNION ALL\n".join(
+        f"  SELECT '{a}' AS determinant, '{b}' AS dependent,\n"
+        f"         CAST({a} AS VARCHAR) AS det_val,"
+        f" CAST({b} AS VARCHAR) AS dep_val FROM d"
+        for a, b in pairs)
+    return f"""
+WITH d AS (
+  SELECT lang, upper(lang) AS lang_u, source, n_chars FROM documents
+), panel AS (
+{panel}
+), counts AS (
+  SELECT determinant, dependent, det_val, dep_val, COUNT(*) AS n
+  FROM panel GROUP BY ALL
+), per_det AS (
+  SELECT determinant, dependent, det_val, MAX(n) AS best, SUM(n) AS n_rows
+  FROM counts GROUP BY ALL
+)
+SELECT determinant, dependent,
+  CAST(COUNT(*) AS BIGINT) AS n_determinants,
+  CAST(SUM(n_rows) - SUM(best) AS BIGINT) AS violating_rows,
+  CAST(FLOOR((SUM(n_rows) - SUM(best)) * 1000000.0 / SUM(n_rows))
+    AS BIGINT) AS violation_ppm,
+  (FLOOR((SUM(n_rows) - SUM(best)) * 1000000.0 / SUM(n_rows)) <= {budget})
+    AS holds
+FROM per_det GROUP BY determinant, dependent
+ORDER BY determinant, dependent
+"""
+
+
+SQL_FD_DISCOVERY = _fd_discovery_sql(_FD_MINE_COLS, 0)
+
+
 SQL_COMPACTION_PLAN = """
 WITH manifest AS (
   SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS part,
@@ -9161,4 +9214,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
 }
