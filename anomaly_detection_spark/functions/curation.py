@@ -398,3 +398,60 @@ def zorder_layout(df: DataFrame, a_col: str, b_col: str, bits: int = 16,
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def length_batching(df: DataFrame, token_col: str = "n_tokens",
+                    id_col: str = "doc_id", batch_size: int = 32,
+                    bucket_width: int = 4096) -> DataFrame:
+    """Padding-efficiency comparison of two training-batch layouts:
+    ``arrival`` (batches of ``batch_size`` docs in id order — what a
+    naive loader does) vs ``length_sorted`` (docs laid out in
+    (length, id) order first — dynamic batching). Each batch pads every
+    row to the batch max, so per-batch waste is ``n·max(len) − Σlen``;
+    the one-row-per-strategy summary reports
+    (strategy, n_batches, real_tokens, padded_slots, efficiency_ppm).
+
+    Scale shape: both global orderings are TWO-PHASE distributed prefix
+    ranks, never one unpartitioned row_number window (single-task
+    funnel): rows bucket by id range — prefixed by the length value for
+    the sorted layout — per-bucket counts give exclusive offsets via a
+    window over the tiny bucket frame, broadcast back, within-bucket
+    row_number is partitioned. Bucket fan-in is bounded by
+    ``bucket_width`` per (length, range) cell, so a corpus where half
+    the docs share one length still never funnels.
+
+    Rows with ``token_col ≤ 0`` must be filtered upstream (an all-empty
+    batch would make the efficiency ratio 0/0)."""
+    idb = (F.col(id_col) - F.pmod(id_col, F.lit(bucket_width))).cast("long")
+    t = df.select(F.col(id_col),
+                  F.col(token_col).cast("long").alias("_len"),
+                  idb.alias("_idb"))
+
+    def summary(bcols: list[str], label: str) -> DataFrame:
+        per = t.groupBy(*bcols).agg(F.count(F.lit(1)).alias("_bc"))
+        wb = (Window.orderBy(*bcols)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = per.select(
+            *bcols, F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff"))
+        wl = Window.partitionBy(*bcols).orderBy(F.asc(id_col))
+        pos = (F.col("_boff") + F.row_number().over(wl) - 1)
+        batches = (
+            t.join(F.broadcast(offsets), bcols)
+            .select("_len", pos.alias("_pos"))
+            .groupBy(F.expr(f"_pos DIV {int(batch_size)}").alias("_batch"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("_len").alias("_mx"),
+                 F.sum("_len").alias("_sm"))
+        )
+        return batches.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("_sm").cast("long").alias("real_tokens"),
+            (F.sum(F.col("_n") * F.col("_mx")) - F.sum("_sm"))
+            .cast("long").alias("padded_slots"),
+            F.floor(F.sum("_sm") * F.lit(1_000_000)
+                    / F.sum(F.col("_n") * F.col("_mx")))
+            .cast("long").alias("efficiency_ppm"),
+        )
+
+    return summary(["_idb"], "arrival").unionAll(
+        summary(["_len", "_idb"], "length_sorted"))

@@ -8932,6 +8932,56 @@ def q_compaction_plan(spark, sf):
     ).orderBy("part")
 
 
+def q_length_batching(spark, sf):
+    """Dynamic-batching economics (curation.length_batching): padding
+    waste of arrival-order vs length-sorted batches of 8 docs over the
+    documents token counts — both global orderings computed as two-phase
+    distributed prefix ranks (bucket_width=64 forces the multi-bucket
+    offset recombination at every SF), never an unpartitioned window.
+    The answer to "is sorting the corpus by length before batching worth
+    the shuffle" — at 100 TB the padded_slots delta IS the wasted GPU
+    time."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return curation.length_batching(
+        d, batch_size=8, bucket_width=64).orderBy("strategy")
+
+
+SQL_LENGTH_BATCHING = f"""
+WITH d0 AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS len FROM documents
+), d AS (
+  SELECT doc_id, len FROM d0 WHERE len > 0
+), a AS (
+  SELECT len, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch FROM d
+), s AS (
+  SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+  FROM d
+), aa AS (
+  SELECT batch, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS sm
+  FROM a GROUP BY batch
+), ss AS (
+  SELECT batch, COUNT(*) AS n, MAX(len) AS mx, SUM(len) AS sm
+  FROM s GROUP BY batch
+)
+SELECT 'arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+  CAST(SUM(sm) AS BIGINT) AS real_tokens,
+  CAST(SUM(n * mx) - SUM(sm) AS BIGINT) AS padded_slots,
+  CAST(FLOOR(SUM(sm) * 1000000.0 / SUM(n * mx)) AS BIGINT)
+    AS efficiency_ppm
+FROM aa
+UNION ALL
+SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(sm) AS BIGINT), CAST(SUM(n * mx) - SUM(sm) AS BIGINT),
+  CAST(FLOOR(SUM(sm) * 1000000.0 / SUM(n * mx)) AS BIGINT)
+FROM ss
+ORDER BY strategy
+"""
+
+
 _FD_MINE_COLS = ["lang", "lang_u", "source", "n_chars"]
 
 
@@ -9215,4 +9265,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
+    "length_batching": (q_length_batching, SQL_LENGTH_BATCHING),
 }
