@@ -389,3 +389,82 @@ def local_outlier_scores(
             ),
         )
     )
+
+
+def robust_outlier_stats(df: DataFrame, group_col: str,
+                         cents_col: str,
+                         z_milli_threshold: int = 3500) -> DataFrame:
+    """MAD-based robust outlier profile per group (the Iglewicz–Hoaglin
+    modified z-score |0.6745·(x−med)/MAD| > 3.5 screen), exact-integer
+    end to end so every engine agrees bit-for-bit:
+
+    * the median is the LOWER median (smallest value whose cumulative
+      count reaches ⌈n/2⌉) — rank-exact, no interpolation;
+    * MAD is the lower median of |x − med|;
+    * a row is an outlier iff ``1349·|x − med| > 2·threshold·MAD`` — the
+      modified-z compare cleared of division (0.6745 = 1349/2000,
+      threshold in milli-z), so no float ever appears;
+    * MAD = 0 (a majority-constant group) flags nothing, by definition.
+
+    Scale shape: ONE corpus scan builds a (group, value)-histogram
+    (map-side combined); the median, the deviation histogram, the MAD
+    and the outlier count are all computed on that bounded frame —
+    distinct cents values, not rows — so 10^12 events with a 10^5-value
+    domain cost one shuffle of 10^5 rows per group. Windows are
+    partitioned per group over distinct values only. Reference analogue:
+    the z-score screens in ``ml_models/`` use mean/std, which one fat
+    tail drags; the MAD form is the robust twin.
+
+    Returns (group, n, median_cents, mad_cents, n_outliers,
+    outlier_ppm)."""
+    g, v = F.col(group_col), F.col(cents_col)
+    hist = df.groupBy(g.alias("_g"), v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c"))
+
+    def lower_median(h: DataFrame, val: str) -> DataFrame:
+        wcum = (Window.partitionBy("_g").orderBy(val)
+                .rowsBetween(Window.unboundedPreceding, 0))
+        wall = Window.partitionBy("_g")
+        withc = h.select(
+            "_g", F.col(val),
+            F.sum("_c").over(wcum).alias("_cum"),
+            F.sum("_c").over(wall).alias("_n"))
+        return (
+            withc.filter(F.col("_cum") * 2 >= F.col("_n"))
+            .groupBy("_g")
+            .agg(F.min(val).alias("_med"), F.max("_n").alias("_n"))
+        )
+
+    med = lower_median(hist, "_v")
+    dev = (
+        hist.join(F.broadcast(med.select("_g", "_med")), "_g")
+        .groupBy("_g", F.abs(F.col("_v") - F.col("_med")).alias("_d"))
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = lower_median(dev, "_d").select("_g", F.col("_med").alias("_mad"))
+    thr2 = 2 * int(z_milli_threshold)
+    joined = (
+        hist.join(F.broadcast(med), "_g").join(F.broadcast(mad), "_g")
+    )
+    out = joined.groupBy("_g").agg(
+        F.max("_n").alias("_n"),
+        F.max("_med").alias("_medv"),
+        F.max("_mad").alias("_madv"),
+        F.sum(
+            F.when(
+                (F.col("_mad") > 0)
+                & (F.lit(1349) * F.abs(F.col("_v") - F.col("_med"))
+                   > F.lit(thr2) * F.col("_mad")),
+                F.col("_c"),
+            ).otherwise(F.lit(0))
+        ).alias("_nout"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_medv").cast("long").alias("median_cents"),
+        F.col("_madv").cast("long").alias("mad_cents"),
+        F.col("_nout").cast("long").alias("n_outliers"),
+        F.floor(F.col("_nout") * F.lit(1_000_000) / F.col("_n"))
+        .cast("long").alias("outlier_ppm"),
+    )

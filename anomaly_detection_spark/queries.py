@@ -8932,6 +8932,65 @@ def q_compaction_plan(spark, sf):
     ).orderBy("part")
 
 
+def q_robust_outliers(spark, sf):
+    """MAD-based robust outlier profile per event_type
+    (ml.robust_outlier_stats): lower-median + MAD on exact integer cents,
+    modified-z compare cleared of division (1349·|x−med| > 7000·MAD ⇔
+    milli-z > 3500) — one corpus scan builds a (type, cents) histogram and
+    the median/MAD/outlier count all run on that bounded distinct-value
+    frame, never on rows. The robust twin of the mean/std screens in
+    ml_outlier_ensemble (one fat tail can't drag the MAD)."""
+    from anomaly_detection_spark.functions import ml
+
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    e = e.select("event_type", _cents(F.col("value")).alias("cents"))
+    return ml.robust_outlier_stats(
+        e, "event_type", "cents").orderBy("event_type")
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH hist AS (
+  SELECT event_type AS g, CAST(ROUND(value*100) AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), medsrc AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), med AS (
+  SELECT g, MIN(v) AS med, MAX(n) AS n FROM medsrc
+  WHERE cum * 2 >= n GROUP BY g
+), dev AS (
+  SELECT h.g, ABS(h.v - m.med) AS d, SUM(h.c) AS c
+  FROM hist h JOIN med m USING (g) GROUP BY 1, 2
+), madsrc AS (
+  SELECT g, d,
+         SUM(c) OVER (PARTITION BY g ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM dev
+), mad AS (
+  SELECT g, MIN(d) AS mad FROM madsrc WHERE cum * 2 >= n GROUP BY g
+)
+SELECT h.g AS event_type,
+  CAST(MAX(m.n) AS BIGINT) AS n,
+  CAST(MAX(m.med) AS BIGINT) AS median_cents,
+  CAST(MAX(a.mad) AS BIGINT) AS mad_cents,
+  CAST(SUM(CASE WHEN a.mad > 0 AND 1349 * ABS(h.v - m.med) > 7000 * a.mad
+            THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(FLOOR(SUM(CASE WHEN a.mad > 0
+                       AND 1349 * ABS(h.v - m.med) > 7000 * a.mad
+                  THEN h.c ELSE 0 END) * 1000000.0 / MAX(m.n)) AS BIGINT)
+    AS outlier_ppm
+FROM hist h JOIN med m USING (g) JOIN mad a USING (g)
+GROUP BY h.g ORDER BY event_type
+"""
+
+
 def q_length_batching(spark, sf):
     """Dynamic-batching economics (curation.length_batching): padding
     waste of arrival-order vs length-sorted batches of 8 docs over the
@@ -9266,4 +9325,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
     "length_batching": (q_length_batching, SQL_LENGTH_BATCHING),
+    "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
 }
