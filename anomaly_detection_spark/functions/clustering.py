@@ -142,3 +142,71 @@ def kmeans_summary(emb: DataFrame, k: int = 4, n_iters: int = 3,
         .withColumn("centroid_l1", l1_col[F.col("cluster")])
         .select("cluster", "n_points", "wss", "centroid_l1")
     )
+
+
+def class_separation(emb: DataFrame, k_labels: int | None = None,
+                     label_col: str = "label", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Per-class embedding-quality diagnostics for classifier training
+    data: how tight each label's cluster is (mean squared distance to
+    its own centroid) vs how far the nearest OTHER centroid sits — the
+    Fisher-style ratio that predicts whether a linear head can separate
+    the classes. Exact integers end to end (shifted-int8 coordinates,
+    round-half-up centroid division, ratio as ``floor(min_inter · n ·
+    1e6 / Σ intra_sqdist)``) so a SQL oracle replays it bit-for-bit.
+
+    Scale shape: pass 1 is ONE corpus-wide hash-agg (|labels|·dim long
+    sums); its |labels|-row result lands on the driver, where exact
+    Python-int centroids are computed and re-embedded as LITERALS in
+    pass 2's distance expression — so the second corpus scan is a pure
+    narrow map + hash-agg, no join, no vector shuffle. Inter-centroid
+    distances are |labels|² driver-side integer ops on metadata-sized
+    data. Returns (label, n, intra_sqsum, intra_mean_micro,
+    min_inter_sqdist, fisher_ppm) sorted by label."""
+    pts = emb.select(F.col(label_col).alias("_lbl"),
+                     shifted_quantize(F.col(vec_col)).alias("qv"))
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    sums = [F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+            for i in range(dim)]
+    stats = pts.groupBy("_lbl").agg(
+        F.count(F.lit(1)).alias("n"), *sums).collect()
+    cents: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for r in stats:
+        n = int(r["n"])
+        counts[r["_lbl"]] = n
+        cents[r["_lbl"]] = [(2 * int(r[f"s{i}"]) + n) // (2 * n)
+                            for i in range(dim)]
+    labels = sorted(cents)
+    min_inter = {
+        a: min(
+            sum((x - y) * (x - y) for x, y in zip(cents[a], cents[b]))
+            for b in labels if b != a
+        ) if len(labels) > 1 else None
+        for a in labels
+    }
+    dist_cases = None
+    for lbl in labels:
+        d = _sq_dist(F.col("qv"), cents[lbl])
+        dist_cases = (F.when(F.col("_lbl") == F.lit(lbl), d)
+                      if dist_cases is None else
+                      dist_cases.when(F.col("_lbl") == F.lit(lbl), d))
+    intra = pts.select("_lbl", dist_cases.alias("_d")).groupBy("_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_d").cast("long").alias("intra_sqsum"))
+    mi_col = F.create_map(*[
+        x for lbl in labels
+        for x in (F.lit(lbl), F.lit(min_inter[lbl]).cast("long"))])
+    # integer DIV, never float floor: intra_sqsum·1e6 can pass 2^53
+    return intra.select(
+        F.col("_lbl").alias(label_col), "n", "intra_sqsum",
+        F.expr("(intra_sqsum * 1000000) DIV n").alias("intra_mean_micro"),
+        mi_col[F.col("_lbl")].alias("min_inter_sqdist"),
+    ).withColumn(
+        "fisher_ppm",
+        F.when(
+            F.col("intra_sqsum") > 0,
+            F.expr("(min_inter_sqdist * n * 1000000) DIV intra_sqsum"),
+        ).cast("long"),
+    )

@@ -8861,6 +8861,67 @@ ORDER BY cluster
 SQL_KMEANS_CLUSTERS = _kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM)
 
 
+def q_class_separation(spark, sf):
+    """Per-label embedding diagnostics (clustering.class_separation):
+    intra-class squared spread vs nearest other centroid, Fisher-style
+    ratio in exact integer ppm. Two corpus scans — a |labels|·dim sum agg
+    whose tiny result becomes centroid LITERALS for the second narrow
+    distance pass — plus |labels|² driver-side integer ops; no join of
+    the vectors, no float anywhere (integer DIV, never floor-of-double,
+    since intra_sqsum·1e6 passes 2^53)."""
+    from anomaly_detection_spark.functions import clustering
+
+    e = load(spark, sf, "embeddings")
+    return clustering.class_separation(e).orderBy("label")
+
+
+def _class_separation_sql(dim: int) -> str:
+    d1 = dim + 1
+    sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
+    return f"""
+WITH qz AS MATERIALIZED (
+  SELECT label AS lbl,
+    list_transform(embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127
+                      / (CASE WHEN mx > 0 THEN mx ELSE 1 END)
+                      + 0.5) AS BIGINT) + 127) AS qv
+  FROM (SELECT label, embedding,
+               list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings)
+), cent AS MATERIALIZED (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         list_transform([{sums}],
+                        s -> CAST((2 * s + COUNT(*))
+                                  // (2 * COUNT(*)) AS BIGINT)) AS c
+  FROM qz GROUP BY lbl
+), intra AS (
+  SELECT q.lbl, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(list_sum(list_transform(range(1, {d1}),
+              i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))))
+           AS BIGINT) AS intra_sqsum
+  FROM qz q JOIN cent c USING (lbl) GROUP BY q.lbl
+), inter AS (
+  SELECT a.lbl,
+         CAST(MIN(list_sum(list_transform(range(1, {d1}),
+              i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i]))))
+           AS BIGINT) AS mi
+  FROM cent a JOIN cent b ON a.lbl <> b.lbl GROUP BY a.lbl
+)
+SELECT i.lbl AS label, i.n, i.intra_sqsum,
+  CAST((i.intra_sqsum * 1000000) // i.n AS BIGINT) AS intra_mean_micro,
+  e.mi AS min_inter_sqdist,
+  CASE WHEN i.intra_sqsum > 0
+       THEN CAST((e.mi * i.n * 1000000) // i.intra_sqsum AS BIGINT)
+  END AS fisher_ppm
+FROM intra i JOIN inter e USING (lbl)
+ORDER BY label
+"""
+
+
+SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
+
+
 _DSIM_K = 8
 
 
@@ -9326,4 +9387,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
     "length_batching": (q_length_batching, SQL_LENGTH_BATCHING),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
+    "class_separation": (q_class_separation, SQL_CLASS_SEPARATION),
 }

@@ -132,3 +132,42 @@ def test_kmeans_summary_is_exact_rollup(spark):
     want = {j: (n, w, sum(abs(c) for c in rcents[j]))
             for j, (n, w) in want.items()}
     assert summ == want
+
+
+def test_class_separation_model_parity(spark):
+    from anomaly_detection_spark.functions.clustering import class_separation
+
+    # direction-distinct blobs (per-vector max-normalization collapses
+    # scalar multiples, so [0.5]*d would alias [1.0]*d)
+    rows = _mk_vectors(31, 0, blobs=[([1.0] * DIM, 12),
+                                     ([-1.0] * DIM, 12),
+                                     ([1.0, -1.0] * (DIM // 2), 12)])
+    labeled = [(i, v, i % 3) for i, v in rows]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in labeled],
+        "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r.asDict()
+           for r in class_separation(df).collect()}
+
+    # pure-Python model
+    q = {i: _py_quantize(v) for i, v, _ in labeled}
+    by_lbl = {}
+    for i, _, l in labeled:
+        by_lbl.setdefault(l, []).append(q[i])
+    cents = {}
+    for l, vs in by_lbl.items():
+        n = len(vs)
+        cents[l] = [(2 * sum(v[i] for v in vs) + n) // (2 * n)
+                    for i in range(DIM)]
+    for l, vs in by_lbl.items():
+        n = len(vs)
+        sq = sum(sum((a - b) ** 2 for a, b in zip(v, cents[l])) for v in vs)
+        mi = min(sum((a - b) ** 2 for a, b in zip(cents[l], cents[o]))
+                 for o in cents if o != l)
+        assert got[l]["n"] == n
+        assert got[l]["intra_sqsum"] == sq
+        assert got[l]["intra_mean_micro"] == sq * 1_000_000 // n
+        assert got[l]["min_inter_sqdist"] == mi
+        assert got[l]["fisher_ppm"] == (mi * n * 1_000_000) // sq
+    # well-separated planted blobs: separation dwarfs spread
+    assert all(r["fisher_ppm"] > 1_000_000 for r in got.values())
