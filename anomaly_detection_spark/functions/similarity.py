@@ -442,3 +442,74 @@ def int8_quantize(vec_col: Column) -> Column:
         lambda v: F.floor(v.cast("double") * F.lit(127.0) / safe_mx + F.lit(0.5))
         .cast("long"),
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame, n_planes: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training data: per anchor,
+    the most similar SAME-label neighbour (positive) and the most
+    similar DIFFERENT-label neighbour (hard negative) among its LSH
+    sign-bucket mates, plus the margin between them — the mining step
+    behind triplet/InfoNCE dataset construction, where the hardest
+    negatives carry almost all the gradient signal.
+
+    Scale shape: candidates are blocked by the hyperplane sign bucket
+    (Σ|bucket|² work, never n² — ``near_dup_pairs``' discipline);
+    similarity is the int8-quantized cosine in integer micro units
+    (scale cancels, ranking deterministic cross-engine); the two top-1
+    picks are one window over (anchor, same-label?) partitions. An
+    anchor missing a same-label (or different-label) bucket-mate keeps a
+    NULL on that side — at mining scale those anchors are re-bucketed
+    with more probes, not dropped silently.
+
+    Returns (query_id, pos_id, pos_cos_micro, neg_id, neg_cos_micro,
+    margin_micro) with margin NULL whenever either side is."""
+    nonzero = emb.filter(
+        F.array_max(F.transform(
+            F.col(vec_col), lambda v: F.abs(v.cast("double")))) > 0)
+    nrm = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = nonzero.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"),
+        int8_quantize(F.col(vec_col)).alias("_v"),
+        lsh_sign_bucket(F.col(vec_col), n_planes, dim).alias("_b"),
+    ).withColumn("_nn", nrm(F.col("_v")))
+    a = base.select(F.col("_id").alias("query_id"),
+                    F.col("_lbl").alias("_la"), F.col("_v").alias("qv"),
+                    F.col("_nn").alias("qn"), "_b")
+    c = base.select(F.col("_id").alias("neighbor_id"),
+                    F.col("_lbl").alias("_lc"), F.col("_v").alias("cv"),
+                    F.col("_nn").alias("cn"), "_b")
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos_micro = F.floor(
+        idot.cast("double")
+        / (F.sqrt(F.col("qn").cast("double"))
+           * F.sqrt(F.col("cn").cast("double")))
+        * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        a.join(c, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (F.col("_la") == F.col("_lc")).alias("_same"),
+                cos_micro.alias("_cm"))
+    )
+    w = Window.partitionBy("query_id", "_same").orderBy(
+        F.desc("_cm"), F.asc("neighbor_id"))
+    top = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1)
+    pos = top.filter(F.col("_same")).select(
+        "query_id", F.col("neighbor_id").alias("pos_id"),
+        F.col("_cm").alias("pos_cos_micro"))
+    neg = top.filter(~F.col("_same")).select(
+        "query_id", F.col("neighbor_id").alias("neg_id"),
+        F.col("_cm").alias("neg_cos_micro"))
+    return pos.join(neg, "query_id", "full").select(
+        "query_id", "pos_id", "pos_cos_micro", "neg_id", "neg_cos_micro",
+        (F.col("pos_cos_micro") - F.col("neg_cos_micro"))
+        .cast("long").alias("margin_micro"),
+    )

@@ -8922,6 +8922,62 @@ ORDER BY label
 SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
 
 
+def q_contrastive_pairs(spark, sf):
+    """Hard-negative mining (similarity.contrastive_pairs): per anchor the
+    best same-label and best different-label neighbour among its
+    4-plane LSH sign-bucket mates, int8-cosine-ranked in integer micro
+    units, full-outer-joined so one-sided anchors surface with NULLs.
+    Bucket equi-join keeps the pair work Σ|bucket|², never n²."""
+    from anomaly_detection_spark.functions.similarity import contrastive_pairs
+
+    return contrastive_pairs(
+        load(spark, sf, "embeddings"), n_planes=4).orderBy("query_id")
+
+
+SQL_CONTRASTIVE_PAIRS = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qv,
+         {_lsh_bucket_bits_sql('embedding', 4)} AS b
+  FROM base WHERE mx > 0
+), nn AS (
+  SELECT vec_id, label, qv, b,
+         list_sum(list_transform(qv, x -> x * x)) AS nrm
+  FROM n
+), scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (a.label = c.label) AS same,
+         CAST(FLOOR(
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * c.qv[i])) AS DOUBLE)
+           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+           * 1000000 + 0.5) AS BIGINT) AS cm
+  FROM nn a JOIN nn c ON a.b = c.b AND a.vec_id <> c.vec_id
+), top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                                 ORDER BY cm DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT COALESCE(p.query_id, g.query_id) AS query_id,
+       p.neighbor_id AS pos_id, p.cm AS pos_cos_micro,
+       g.neighbor_id AS neg_id, g.cm AS neg_cos_micro,
+       CAST(p.cm - g.cm AS BIGINT) AS margin_micro
+FROM (SELECT * FROM top WHERE same) p
+FULL JOIN (SELECT * FROM top WHERE NOT same) g
+  ON p.query_id = g.query_id
+ORDER BY query_id
+"""
+
+
 _DSIM_K = 8
 
 
@@ -9388,4 +9444,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "length_batching": (q_length_batching, SQL_LENGTH_BATCHING),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "class_separation": (q_class_separation, SQL_CLASS_SEPARATION),
+    "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
 }

@@ -139,3 +139,49 @@ def test_int8_ivf_excludes_zero_vectors(spark):
     ids = {r["query_id"] for r in got} | {r["neighbor_id"] for r in got}
     assert 9 not in ids
     assert {r["query_id"] for r in got} == {1, 2, 3}
+
+
+def test_contrastive_pairs_margin_and_sides(spark, emb):
+    """Every mined anchor's positive is same-label and its negative
+    different-label (checked against the raw labels); the margin is
+    exactly pos − neg; an anchor alone in its bucket never appears."""
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    rows = similarity.contrastive_pairs(emb, n_planes=4).collect()
+    assert rows, "mining produced no pairs at all"
+    seen_both = 0
+    for r in rows:
+        if r["pos_id"] is not None:
+            assert labels[r["pos_id"]] == labels[r["query_id"]]
+        if r["neg_id"] is not None:
+            assert labels[r["neg_id"]] != labels[r["query_id"]]
+        if r["pos_id"] is not None and r["neg_id"] is not None:
+            assert r["margin_micro"] == (
+                r["pos_cos_micro"] - r["neg_cos_micro"])
+            seen_both += 1
+        else:
+            assert r["margin_micro"] is None
+    assert seen_both > 0
+
+
+def test_contrastive_pairs_planted_hard_negative(spark):
+    """A planted near-identical cross-label point must surface as the
+    hard negative with a higher cosine than the true positive."""
+    d = 8
+    base = [1.0] * d
+    rows = [
+        (0, [float(x) for x in base], 0),                      # anchor
+        (1, [float(x) for x in [1.0] * (d - 1) + [0.8]], 0),   # positive
+        (2, [float(x) for x in [1.0] * (d - 1) + [0.99]], 1),  # hard neg
+        (3, [-1.0] * d, 1),                                    # far away
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["query_id"]: r.asDict()
+           for r in similarity.contrastive_pairs(
+               df, n_planes=2, dim=d).collect()}
+    anchor = got[0]
+    assert anchor["pos_id"] == 1
+    assert anchor["neg_id"] == 2
+    assert anchor["neg_cos_micro"] > anchor["pos_cos_micro"]
+    assert anchor["margin_micro"] < 0
