@@ -455,3 +455,59 @@ def length_batching(df: DataFrame, token_col: str = "n_tokens",
 
     return summary(["_idb"], "arrival").unionAll(
         summary(["_len", "_idb"], "length_sorted"))
+
+
+def temperature_mixture(df: DataFrame, domain_col: str = "source",
+                        alphas: tuple[int, ...] = (100, 50, 25),
+                        ) -> DataFrame:
+    """Temperature-scaled sampling weights over domains (the mC4 /
+    XLM-R / UniMax α-mixture: p_i ∝ count_i^α flattens the head and
+    boosts the tail as α falls). Alphas are percents restricted to
+    {100, 50, 25} = {c, √c, √√c} — sqrt is IEEE-correctly-rounded in
+    every engine, so unlike pow(c, 0.7) the weights are bit-identical
+    cross-engine; fractional weights are micro-quantized BEFORE the
+    normalizing sum so shares are exact integer division, never a
+    float sum whose order matters.
+
+    Scale shape: one hash-agg to the |domains|-row count frame; every
+    later step (per-alpha weights, window sums, shares, tail-boost vs
+    the natural α=100 share) runs on that metadata-sized frame.
+
+    Returns (alpha_pct, domain, n_docs, weight, share_ppm, boost_ppm)
+    where boost_ppm = share_α·1e6/share_natural — >1e6 means the
+    temperature up-samples that domain."""
+    allowed = {100, 50, 25}
+    if not set(alphas) <= allowed:
+        raise ValueError(f"alphas must be within {sorted(allowed)} "
+                         "(sqrt-chain exactness)")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+    def weight(alpha: int):
+        c = F.col("n_docs").cast("double")
+        if alpha == 100:
+            return F.col("n_docs").cast("long")
+        root = F.sqrt(c) if alpha == 50 else F.sqrt(F.sqrt(c))
+        return F.floor(root * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    panel = None
+    for a in alphas:
+        part = counts.select(
+            F.lit(int(a)).alias("alpha_pct"), "domain", "n_docs",
+            weight(a).alias("weight"))
+        panel = part if panel is None else panel.unionAll(part)
+    shared = panel.withColumn(
+        "share_ppm",
+        F.expr("(weight * 1000000) DIV sum(weight) OVER "
+               "(PARTITION BY alpha_pct)").cast("long"))
+    natural = shared.filter(F.col("alpha_pct") == 100).select(
+        "domain", F.col("share_ppm").alias("_nat"))
+    return (
+        shared.join(F.broadcast(natural), "domain")
+        .select(
+            "alpha_pct", "domain", "n_docs", "weight", "share_ppm",
+            F.when(F.col("_nat") > 0,
+                   F.expr("(share_ppm * 1000000) DIV _nat"))
+            .cast("long").alias("boost_ppm"),
+        )
+    )

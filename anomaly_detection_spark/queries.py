@@ -8922,6 +8922,54 @@ ORDER BY label
 SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-scaled domain mixture (curation.temperature_mixture):
+    α ∈ {1, .5, .25} sampling weights over documents sources — α
+    restricted to sqrt chains so the weights are IEEE-bit-identical in
+    every engine, micro-quantized before the normalizing sum so shares
+    and tail-boosts are pure integer division. One hash-agg to the
+    |domains| frame; everything else is metadata-sized."""
+    from anomaly_detection_spark.functions import curation
+
+    d = load(spark, sf, "documents")
+    return curation.temperature_mixture(d, "source").orderBy(
+        "alpha_pct", "domain")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), panel AS (
+  SELECT 100 AS alpha_pct, domain, n_docs, n_docs AS weight FROM counts
+  UNION ALL
+  SELECT 50, domain, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)
+           AS BIGINT)
+  FROM counts
+  UNION ALL
+  SELECT 25, domain, n_docs,
+         CAST(FLOOR(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5)
+           AS BIGINT)
+  FROM counts
+), shared AS (
+  SELECT alpha_pct, domain, n_docs, weight,
+         CAST((weight * 1000000)
+              // SUM(weight) OVER (PARTITION BY alpha_pct) AS BIGINT)
+           AS share_ppm
+  FROM panel
+)
+SELECT s.alpha_pct, s.domain, s.n_docs, s.weight, s.share_ppm,
+       CASE WHEN n.share_ppm > 0
+            THEN CAST((s.share_ppm * 1000000) // n.share_ppm AS BIGINT)
+       END AS boost_ppm
+FROM shared s
+JOIN (SELECT domain, share_ppm FROM shared WHERE alpha_pct = 100) n
+  USING (domain)
+ORDER BY alpha_pct, domain
+"""
+
+
 def q_contrastive_pairs(spark, sf):
     """Hard-negative mining (similarity.contrastive_pairs): per anchor the
     best same-label and best different-label neighbour among its
@@ -9445,4 +9493,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "class_separation": (q_class_separation, SQL_CLASS_SEPARATION),
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
 }

@@ -154,3 +154,49 @@ def test_group_cap_sample_caps_and_is_deterministic(spark):
         (hashlib.md5(str(i).encode()).hexdigest(), str(i))
         for i in range(200))[:5]
     assert {d for _, d in expect} == {d for s, d in got if s == "big"}
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    from anomaly_detection_spark.functions import curation
+
+    rows = ([("big", i) for i in range(900)]
+            + [("mid", i) for i in range(90)]
+            + [("tiny", i) for i in range(10)])
+    df = spark.createDataFrame(rows, ["source", "x"])
+    got = {(r["alpha_pct"], r["domain"]): r.asDict()
+           for r in curation.temperature_mixture(df, "source").collect()}
+
+    # alpha=100 is the exact natural share
+    assert got[(100, "big")]["share_ppm"] == 900 * 1_000_000 // 1000
+    assert got[(100, "tiny")]["boost_ppm"] == 1_000_000
+
+    # falling alpha moves share from head to tail, monotonically
+    for d, direction in (("big", -1), ("tiny", 1)):
+        s100 = got[(100, d)]["share_ppm"]
+        s50 = got[(50, d)]["share_ppm"]
+        s25 = got[(25, d)]["share_ppm"]
+        assert (s50 - s100) * direction > 0
+        assert (s25 - s50) * direction > 0
+    assert got[(25, "tiny")]["boost_ppm"] > 1_000_000
+    assert got[(25, "big")]["boost_ppm"] < 1_000_000
+
+    # weights are the exact quantized sqrt chain
+    import math
+    assert got[(50, "big")]["weight"] == math.floor(
+        math.sqrt(900.0) * 1e6 + 0.5)
+    assert got[(25, "tiny")]["weight"] == math.floor(
+        math.sqrt(math.sqrt(10.0)) * 1e6 + 0.5)
+
+    # shares within an alpha are a partition of (almost) 1e6
+    for a in (100, 50, 25):
+        tot = sum(got[(a, d)]["share_ppm"] for d in ("big", "mid", "tiny"))
+        assert 1_000_000 - 3 <= tot <= 1_000_000
+
+
+def test_temperature_mixture_rejects_unsafe_alpha(spark):
+    import pytest as _pytest
+    from anomaly_detection_spark.functions import curation
+
+    df = spark.createDataFrame([("a", 1)], ["source", "x"])
+    with _pytest.raises(ValueError):
+        curation.temperature_mixture(df, "source", alphas=(70,))
