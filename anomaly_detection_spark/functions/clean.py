@@ -91,3 +91,68 @@ def fill_missing(
         else:
             exprs.append(F.col(c))
     return filled.select(*exprs)
+
+
+def winsorized_stats(df: DataFrame, group_col: str, cents_col: str,
+                     lo_pct: int = 1, hi_pct: int = 99) -> DataFrame:
+    """Winsorization profile per group: the exact type-1 percentile clip
+    bounds (smallest value whose cumulative count reaches ⌈q·n/100⌉),
+    how many rows each side would clip, and the mean before vs after
+    clipping — the robust-preprocessing decision report ("does tail
+    clipping move the mean enough to matter") in exact integer cents.
+
+    Scale shape: ONE corpus scan builds a (group, value)-histogram
+    (map-side combined); bounds, clip counts and both means are computed
+    on that bounded distinct-value frame — the same
+    histogram-not-rows discipline as ``ml.robust_outlier_stats``. Means
+    are integer DIV micro (never floor-of-double; Σv·c·1e6 passes 2^53).
+
+    Returns (group, n, p_lo_cents, p_hi_cents, n_clipped_low,
+    n_clipped_high, mean_micro, winsorized_mean_micro)."""
+    from pyspark.sql import Window
+
+    lo, hi = int(lo_pct), int(hi_pct)
+    hist = df.groupBy(F.col(group_col).alias("_g"),
+                      F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    wcum = (Window.partitionBy("_g").orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("_g")
+    h = hist.select(
+        "_g", "_v", "_c",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"))
+    bounds = (
+        h.groupBy("_g").agg(
+            F.max("_n").alias("n"),
+            F.min(F.when(F.col("_cum") * 100 >= F.col("_n") * lo,
+                         F.col("_v"))).alias("p_lo"),
+            F.min(F.when(F.col("_cum") * 100 >= F.col("_n") * hi,
+                         F.col("_v"))).alias("p_hi"),
+        )
+    )
+    j = hist.join(F.broadcast(bounds), "_g")
+    clipped = F.when(F.col("_v") < F.col("p_lo"), F.col("p_lo")) \
+        .when(F.col("_v") > F.col("p_hi"), F.col("p_hi")) \
+        .otherwise(F.col("_v"))
+    agg = j.groupBy("_g").agg(
+        F.max("n").alias("n"),
+        F.max("p_lo").alias("p_lo_cents"),
+        F.max("p_hi").alias("p_hi_cents"),
+        F.sum(F.when(F.col("_v") < F.col("p_lo"), F.col("_c"))
+              .otherwise(F.lit(0))).alias("n_clipped_low"),
+        F.sum(F.when(F.col("_v") > F.col("p_hi"), F.col("_c"))
+              .otherwise(F.lit(0))).alias("n_clipped_high"),
+        F.sum(F.col("_v") * F.col("_c")).alias("_sum"),
+        F.sum(clipped * F.col("_c")).alias("_wsum"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("p_lo_cents").cast("long").alias("p_lo_cents"),
+        F.col("p_hi_cents").cast("long").alias("p_hi_cents"),
+        F.col("n_clipped_low").cast("long").alias("n_clipped_low"),
+        F.col("n_clipped_high").cast("long").alias("n_clipped_high"),
+        F.expr("(_sum * 1000000) DIV n").alias("mean_micro"),
+        F.expr("(_wsum * 1000000) DIV n").alias("winsorized_mean_micro"),
+    )

@@ -8922,6 +8922,56 @@ ORDER BY label
 SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
 
 
+def q_winsorized_stats(spark, sf):
+    """Winsorization decision report per event_type
+    (clean.winsorized_stats): exact type-1 p1/p99 clip bounds from the
+    one-scan value histogram, clip counts, and integer-micro means
+    before/after — the "is tail clipping worth it" profile that pairs
+    with robust_outliers (same histogram-not-rows scale shape)."""
+    from anomaly_detection_spark.functions import clean
+
+    e = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    e = e.select("event_type", _cents(F.col("value")).alias("cents"))
+    return clean.winsorized_stats(
+        e, "event_type", "cents").orderBy("event_type")
+
+
+SQL_WINSORIZED_STATS = """
+WITH hist AS (
+  SELECT event_type AS g, CAST(ROUND(value*100) AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), h AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM hist
+), bounds AS (
+  SELECT g, MAX(n) AS n,
+         MIN(CASE WHEN cum * 100 >= n * 1 THEN v END) AS p_lo,
+         MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p_hi
+  FROM h GROUP BY g
+)
+SELECT h.g AS event_type,
+  CAST(MAX(b.n) AS BIGINT) AS n,
+  CAST(MAX(b.p_lo) AS BIGINT) AS p_lo_cents,
+  CAST(MAX(b.p_hi) AS BIGINT) AS p_hi_cents,
+  CAST(SUM(CASE WHEN h.v < b.p_lo THEN h.c ELSE 0 END) AS BIGINT)
+    AS n_clipped_low,
+  CAST(SUM(CASE WHEN h.v > b.p_hi THEN h.c ELSE 0 END) AS BIGINT)
+    AS n_clipped_high,
+  CAST((SUM(h.v * h.c) * 1000000) // MAX(b.n) AS BIGINT) AS mean_micro,
+  CAST((SUM(CASE WHEN h.v < b.p_lo THEN b.p_lo
+                 WHEN h.v > b.p_hi THEN b.p_hi
+                 ELSE h.v END * h.c) * 1000000) // MAX(b.n) AS BIGINT)
+    AS winsorized_mean_micro
+FROM hist h JOIN bounds b ON h.g = b.g
+GROUP BY h.g ORDER BY event_type
+"""
+
+
 def q_temperature_mixture(spark, sf):
     """Temperature-scaled domain mixture (curation.temperature_mixture):
     α ∈ {1, .5, .25} sampling weights over documents sources — α
@@ -9494,4 +9544,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "class_separation": (q_class_separation, SQL_CLASS_SEPARATION),
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
 }

@@ -65,3 +65,44 @@ def test_mad_zero_flags_nothing(spark):
     got = _run(spark, {"g": [5, 5, 5, 5, 1000]})["g"]
     assert got["mad_cents"] == 0
     assert got["n_outliers"] == 0 and got["outlier_ppm"] == 0
+
+
+def test_winsorized_stats_model_parity(spark):
+    """Exact type-1 percentile bounds, clip counts, and means against a
+    pure-Python model on a fixture with a known heavy tail."""
+    import math
+
+    from anomaly_detection_spark.functions import clean
+
+    xs = list(range(1, 101)) + [100000, -5000]  # 102 values, two tails
+    df = spark.createDataFrame([("g", v) for v in xs], ["g", "cents"])
+    got = clean.winsorized_stats(df, "g", "cents").collect()[0].asDict()
+
+    s = sorted(xs)
+    n = len(s)
+
+    def type1(q_pct):
+        return s[math.ceil(q_pct * n / 100) - 1]
+
+    p_lo, p_hi = type1(1), type1(99)
+    clipped = [min(max(v, p_lo), p_hi) for v in xs]
+    assert got["n"] == n
+    assert got["p_lo_cents"] == p_lo
+    assert got["p_hi_cents"] == p_hi
+    assert got["n_clipped_low"] == sum(1 for v in xs if v < p_lo)
+    assert got["n_clipped_high"] == sum(1 for v in xs if v > p_hi)
+    assert got["mean_micro"] == sum(xs) * 1_000_000 // n
+    assert got["winsorized_mean_micro"] == sum(clipped) * 1_000_000 // n
+    # the whole point: clipping pulls the tail-inflated mean way down
+    assert got["winsorized_mean_micro"] < got["mean_micro"]
+
+
+def test_winsorized_noop_on_clean_data(spark):
+    from anomaly_detection_spark.functions import clean
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 51)], ["g", "cents"])
+    got = clean.winsorized_stats(df, "g", "cents").collect()[0].asDict()
+    assert got["n_clipped_low"] == 0   # p1 of 50 values is the minimum
+    assert got["p_lo_cents"] == 1 and got["p_hi_cents"] == 50
+    assert got["winsorized_mean_micro"] == got["mean_micro"]
