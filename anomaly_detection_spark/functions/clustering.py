@@ -210,3 +210,59 @@ def class_separation(emb: DataFrame, k_labels: int | None = None,
             F.expr("(min_inter_sqdist * n * 1000000) DIV intra_sqsum"),
         ).cast("long"),
     )
+
+
+def kcenter_coreset(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal — the 2-approx
+    of the k-center cover and the classic coreset/"herding" selector for
+    training-data curation): start from the smallest id, then k−1 times
+    pick the point farthest from the selected set (exact integer squared
+    distance on shifted-int8 coordinates, ties → smallest id). Returns
+    the per-center cell rollup under the final selection:
+    (center_id, n_points, radius_sq, sum_sqdist) — radius_sq is the
+    k-center objective (max cell radius²).
+
+    Scale shape: each greedy round is ONE corpus scan — the selected
+    vectors ride the min-distance expression as LITERALS and a single
+    ``max_by`` aggregate returns the 1-row winner; no join, no shuffle
+    of the vectors, k·(scan + 1-row collect) total. Assignment ties
+    break on selection index (the oracle replays the same total order).
+    If the max min-distance hits 0 (every remaining point duplicates a
+    center) selection stops early — the set is already fully covered."""
+    pts = emb.select(F.col(id_col),
+                     shifted_quantize(F.col(vec_col)).alias("qv"))
+    first = pts.orderBy(id_col).limit(1).collect()
+    if not first:
+        return pts.select(
+            F.col(id_col).alias("center_id"),
+            F.lit(None).cast("long").alias("n_points"),
+            F.lit(None).cast("long").alias("radius_sq"),
+            F.lit(None).cast("long").alias("sum_sqdist"))
+    sel_ids = [first[0][id_col]]
+    sel_vecs = [list(first[0]["qv"])]
+    for _ in range(int(k) - 1):
+        mind = F.least(*[_sq_dist(F.col("qv"), c) for c in sel_vecs]) \
+            if len(sel_vecs) > 1 else _sq_dist(F.col("qv"), sel_vecs[0])
+        row = pts.select(
+            F.max_by(
+                F.struct(F.col(id_col).alias("i"), F.col("qv").alias("v"),
+                         mind.alias("d")),
+                F.struct(mind.alias("d"),
+                         (-F.col(id_col)).alias("ni"))).alias("m")
+        ).first()["m"]
+        if row is None or int(row["d"]) == 0:
+            break
+        sel_ids.append(row["i"])
+        sel_vecs.append(list(row["v"]))
+    assigned = assign_clusters(pts, sel_vecs)
+    center_map = F.create_map(*[
+        x for j, i in enumerate(sel_ids) for x in (F.lit(j), F.lit(i))])
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+             F.max("dist").cast("long").alias("radius_sq"),
+             F.sum("dist").cast("long").alias("sum_sqdist"))
+        .select(center_map[F.col("cluster")].alias("center_id"),
+                "n_points", "radius_sq", "sum_sqdist")
+    )

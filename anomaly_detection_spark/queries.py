@@ -8922,6 +8922,73 @@ ORDER BY label
 SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
 
 
+_KC_K = 5
+
+
+def q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset over embeddings
+    (clustering.kcenter_coreset, k=5): farthest-point traversal where
+    each round is one corpus scan with the selected vectors as literals
+    and a single max_by 1-row collect; the per-center cell rollup
+    (n_points, radius², Σdist²) is the k-center objective. The oracle
+    replays the greedy rounds as an unrolled MATERIALIZED pyramid with
+    the same (distance DESC, id ASC) total order."""
+    from anomaly_detection_spark.functions import clustering
+
+    e = load(spark, sf, "embeddings")
+    return clustering.kcenter_coreset(e, k=_KC_K).orderBy("center_id")
+
+
+def _kcenter_sql(k: int, dim: int) -> str:
+    d1 = dim + 1
+    dist = (f"CAST(list_sum(list_transform(range(1, {d1}), "
+            f"i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i]))) AS BIGINT)")
+    parts = [f"""
+WITH qz AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127
+                      / (CASE WHEN mx > 0 THEN mx ELSE 1 END)
+                      + 0.5) AS BIGINT) + 127) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings)
+), sel0 AS MATERIALIZED (
+  SELECT 0 AS j, vec_id, qv FROM qz ORDER BY vec_id LIMIT 1
+)"""]
+    for r in range(1, k):
+        parts.append(f""", m{r} AS MATERIALIZED (
+  SELECT q.vec_id, MIN({dist}) AS d
+  FROM qz q CROSS JOIN sel{r - 1} s GROUP BY q.vec_id
+), sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1}
+  UNION ALL
+  SELECT {r} AS j, z.vec_id, z.qv
+  FROM qz z JOIN (SELECT vec_id FROM m{r}
+                  ORDER BY d DESC, vec_id LIMIT 1) p USING (vec_id)
+)""")
+    parts.append(f""", assigned AS (
+  SELECT vec_id, j, d FROM (
+    SELECT q.vec_id, s.j, {dist},
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.j) AS rn
+    FROM qz q CROSS JOIN sel{k - 1} s
+  ) t(vec_id, j, d, rn) WHERE rn = 1
+)
+SELECT s.vec_id AS center_id,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(MAX(a.d) AS BIGINT) AS radius_sq,
+  CAST(SUM(a.d) AS BIGINT) AS sum_sqdist
+FROM assigned a JOIN sel{k - 1} s USING (j)
+GROUP BY s.vec_id ORDER BY center_id
+""")
+    return "".join(parts)
+
+
+SQL_KCENTER_CORESET = _kcenter_sql(_KC_K, _KM_DIM)
+
+
 def q_winsorized_stats(spark, sf):
     """Winsorization decision report per event_type
     (clean.winsorized_stats): exact type-1 p1/p99 clip bounds from the
@@ -9545,4 +9612,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
+    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
 }

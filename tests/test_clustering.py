@@ -171,3 +171,58 @@ def test_class_separation_model_parity(spark):
         assert got[l]["fisher_ppm"] == (mi * n * 1_000_000) // sq
     # well-separated planted blobs: separation dwarfs spread
     assert all(r["fisher_ppm"] > 1_000_000 for r in got.values())
+
+
+def _py_kcenter(rows, k):
+    pts = sorted((i, _py_quantize(v)) for i, v in rows)
+    sel = [pts[0]]
+    ids = {pts[0][0]}
+    for _ in range(k - 1):
+        best = None
+        for i, q in pts:
+            d = min(sum((a - b) ** 2 for a, b in zip(q, s))
+                    for _, s in sel)
+            # max distance, ties -> smallest id
+            key = (-d, i)
+            if best is None or key < best[0]:
+                best = (key, i, q, d)
+        if best[3] == 0:
+            break
+        sel.append((best[1], best[2]))
+        ids.add(best[1])
+    cells = {}
+    for i, q in pts:
+        dj = min((sum((a - b) ** 2 for a, b in zip(q, s)), j)
+                 for j, (_, s) in enumerate(sel))
+        cid = sel[dj[1]][0]
+        n, mx, sm = cells.get(cid, (0, 0, 0))
+        cells[cid] = (n + 1, max(mx, dj[0]), sm + dj[0])
+    return cells
+
+
+def test_kcenter_model_parity(spark):
+    from anomaly_detection_spark.functions.clustering import kcenter_coreset
+
+    rows = _mk_vectors(17, 50)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = {r["center_id"]: (r["n_points"], r["radius_sq"], r["sum_sqdist"])
+           for r in kcenter_coreset(df, k=4).collect()}
+    assert got == _py_kcenter(rows, 4)
+
+
+def test_kcenter_duplicates_stop_early(spark):
+    from anomaly_detection_spark.functions.clustering import kcenter_coreset
+
+    # 2 distinct locations, many duplicates, k=4: after 2 picks every
+    # remaining point is at distance 0 -> selection stops at 2 centers
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + \
+           [(i + 5, [0.0, 1.0]) for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = kcenter_coreset(df, k=4).collect()
+    assert len(got) == 2
+    assert {r["center_id"] for r in got} == {0, 5}
+    assert all(r["radius_sq"] == 0 for r in got)
