@@ -130,6 +130,20 @@ HEADLINE = [
     "bpe_pair_stats",
     "bpe_learn_merges",
     "kmeans_clusters",
+    # round-4 final additions: corpus-level sketch similarity, lakehouse
+    # compaction planning, FD mining, batch-padding economics, robust
+    # stats, embedding diagnostics, contrastive mining, mixture
+    # temperature, winsorization, coreset selection
+    "domain_similarity",
+    "compaction_plan",
+    "fd_discovery",
+    "length_batching",
+    "robust_outliers",
+    "class_separation",
+    "contrastive_pairs",
+    "temperature_mixture",
+    "winsorized_stats",
+    "kcenter_coreset",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
