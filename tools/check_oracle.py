@@ -137,12 +137,20 @@ def main():
         doc["git"] = git
         doc["generated_utc"] = datetime.now(timezone.utc).isoformat(timespec="seconds")
         sweeps = doc.setdefault("sweeps", {})
-        sweeps[os.path.basename(SF_DIR.rstrip("/"))] = {
+        # merge per QUERY, not per sweep: a partial re-run (new queries
+        # only) must not clobber the full-registry record
+        key = os.path.basename(SF_DIR.rstrip("/"))
+        prior = sweeps.get(key, {})
+        merged = dict(prior.get("queries", {}))
+        merged.update(results)
+        all_failed = sorted(
+            q for q, r in merged.items() if r.get("status") != "PASS")
+        sweeps[key] = {
             "sf_dir": SF_DIR,
-            "passed": len(names) - len(failed),
-            "total": len(names),
-            "failed": failed,
-            "queries": results,
+            "passed": len(merged) - len(all_failed),
+            "total": len(merged),
+            "failed": all_failed,
+            "queries": merged,
         }
         with open(json_path, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
