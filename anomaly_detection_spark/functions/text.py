@@ -68,6 +68,56 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_ok + sw_ok + punct_ok) / 3.0, 6)
 
 
+# Gopher quality-filter thresholds (Rae et al. 2021, table A1) — the
+# word-level subset that applies to single-line corpora.  Every rule is an
+# integer comparison (``3·n ≤ chars`` instead of ``chars/n ≥ 3``) so the
+# DuckDB oracle is bit-identical: no float division anywhere.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3      # mean word length ∈ [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_PER_10_WORDS = 1   # symbol-to-word ratio ≤ 0.1
+GOPHER_MIN_ALPHA_WORDS_5TH = 4       # ≥ 80% of words contain a letter
+GOPHER_MIN_STOPWORD_KINDS = 2        # ≥ 2 distinct common function words
+
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """The Gopher document-quality rules (Rae et al. 2021) as pure integer
+    Column predicates over one whitespace tokenization — word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (``#``/``...``), alphabetic
+    word fraction, distinct-stopword presence — plus the conjunction
+    ``keep``.  All comparisons are cross-multiplied integers (never a float
+    ratio), and everything stays in whole-stage codegen: this is a
+    scan-speed keep/drop decision over every document of a 100 TB corpus.
+    Returns a dict of named int32 0/1 flag Columns (+ ``n_toks`` long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks).cast("long")
+    chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    hash_syms = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ell_syms = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    syms = (hash_syms + ell_syms.cast("long")).cast("long")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    toks_l = tokens(F.lower(c))
+    sw_arr = F.array([F.lit(s) for s in STOPWORDS])
+    sw_kinds = F.size(F.filter(sw_arr, lambda s: F.exists(toks_l, lambda t: t == s)))
+    flags = {
+        "wc_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mwl_ok": (chars >= F.lit(GOPHER_MIN_MEAN_WORD_LEN) * n)
+        & (chars <= F.lit(GOPHER_MAX_MEAN_WORD_LEN) * n),
+        "sym_ok": F.lit(10) * syms <= F.lit(GOPHER_MAX_SYMBOL_PER_10_WORDS) * n,
+        "alpha_ok": F.lit(5) * alpha >= F.lit(GOPHER_MIN_ALPHA_WORDS_5TH) * n,
+        "sw_ok": sw_kinds >= GOPHER_MIN_STOPWORD_KINDS,
+    }
+    out: dict[str, Column] = {"n_toks": n}
+    keep = None
+    for name, pred in flags.items():
+        out[name] = pred.cast("int")
+        keep = pred if keep is None else (keep & pred)
+    out["keep"] = keep.cast("int")
+    return out
+
+
 def lang_id(col: Column | str) -> Column:
     """Tiny n-gram/stopword language heuristic: English if common English
     function words dominate. Deliberately simple and SQL-twin-able; real

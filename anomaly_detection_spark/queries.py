@@ -8922,6 +8922,142 @@ ORDER BY label
 SQL_CLASS_SEPARATION = _class_separation_sql(_KM_DIM)
 
 
+_CAL_BANDS = [-100_000, -50_000, 0, 50_000, 100_000]  # micro per token
+
+
+def q_score_calibration(spark, sf):
+    """Classifier calibration-by-band report: documents bucketed by the
+    hashed-linear quality score into 6 bands via integer comparisons
+    ``logit_sum ≥ threshold·n_toks`` (mean-logit thresholds with NO
+    division — negative-operand DIV semantics differ across engines),
+    then per band the positive rate of a reference label (lang='en').
+    The eval step every model-based curation filter needs before its
+    keep-threshold is trusted: one scan, one 6-row hash-agg; precision
+    per band, not a global AUC black box."""
+    from anomaly_detection_spark.functions import scoring
+
+    d = load(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    s = scoring.hashed_linear_logit_micro(toks, _QC_WEIGHTS_MICRO)
+    base = d.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        s.alias("s"), F.size(toks).cast("long").alias("n"))
+    band = None
+    for t in _CAL_BANDS:
+        term = (F.col("s") >= F.lit(int(t)) * F.col("n")).cast("int")
+        band = term if band is None else band + term
+    return (
+        base.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("pos").cast("long").alias("n_pos"))
+        .select("band", "n_docs", "n_pos",
+                F.expr("(n_pos * 1000000) DIV n_docs").alias("pos_ppm"))
+        .orderBy("band")
+    )
+
+
+SQL_SCORE_CALIBRATION = f"""
+WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+    CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+      t -> CAST({_W_SQL}[CAST({_B_SQL.format(t="t")} + 1 AS INTEGER)]
+           AS BIGINT)))) AS BIGINT) AS sc,
+    CAST(len(toks) AS BIGINT) AS n
+  FROM t
+), banded AS (
+  SELECT pos,
+    ({" + ".join(f"(CASE WHEN sc >= ({t}) * n THEN 1 ELSE 0 END)"
+                 for t in _CAL_BANDS)}) AS band
+  FROM s
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT) AS pos_ppm
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher document-quality rules (Rae et al. 2021) as integer-exact flag
+    columns: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, distinct-stopword presence, and the
+    conjunction keep — the published web-corpus keep/drop gate that runs at
+    scan speed over every document (one pass, zero shuffles, pure
+    whole-stage codegen; every ratio is a cross-multiplied integer
+    comparison so the oracle is bit-identical)."""
+    d = load(spark, sf, "documents")
+    fl = text.gopher_flags(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in fl.items()])
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+    {_TOKS_SQL.replace("trim(text)", "trim(lower(text))")} AS toks_l
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, t -> CAST(length(t) AS BIGINT)))) AS BIGINT) AS chars,
+    CAST(length(text) - length(replace(text, '#', ''))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS syms,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+    CAST(len(list_filter({_SW_SQL}, s -> list_contains(toks_l, s))) AS BIGINT) AS swk
+  FROM t
+)
+SELECT doc_id, n AS n_toks,
+  CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS INTEGER) AS wc_ok,
+  CAST(CASE WHEN chars >= 3 * n AND chars <= 10 * n THEN 1 ELSE 0 END AS INTEGER) AS mwl_ok,
+  CAST(CASE WHEN 10 * syms <= n THEN 1 ELSE 0 END AS INTEGER) AS sym_ok,
+  CAST(CASE WHEN 5 * alpha >= 4 * n THEN 1 ELSE 0 END AS INTEGER) AS alpha_ok,
+  CAST(CASE WHEN swk >= 2 THEN 1 ELSE 0 END AS INTEGER) AS sw_ok,
+  CAST(CASE WHEN n >= 50 AND n <= 100000
+    AND chars >= 3 * n AND chars <= 10 * n
+    AND 10 * syms <= n AND 5 * alpha >= 4 * n
+    AND swk >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+"""
+
+
+def q_token_entropy(spark, sf):
+    """Per-document unigram token entropy + type-token ratio: the
+    repetition/diversity quality signal (low entropy ⇒ boilerplate or
+    degenerate repetition).  Entropy via the c·log2(c) identity —
+    H = log2(n) − Σ c·log2(c) / n — so the heavy stage is a map-side-
+    combinable (doc_id, token) count agg followed by a doc_id agg; no
+    window, no per-doc collect, both shuffles on well-distributed keys."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_toks"),
+             F.count(F.lit(1)).cast("long").alias("distinct_toks"),
+             F.sum(F.col("c") * F.log2("c")).alias("s"))
+        .select("doc_id", "n_toks", "distinct_toks",
+                F.expr("distinct_toks * 1000000 DIV n_toks").alias("ttr_ppm"),
+                F.round(F.log2("n_toks") - F.col("s") / F.col("n_toks"), 6)
+                .alias("entropy"))
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+), cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_toks,
+  CAST(COUNT(*) AS BIGINT) AS distinct_toks,
+  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
 _KC_K = 5
 
 
@@ -9613,4 +9749,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
+    "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
 }

@@ -144,6 +144,9 @@ HEADLINE = [
     "temperature_mixture",
     "winsorized_stats",
     "kcenter_coreset",
+    "score_calibration",
+    "gopher_quality",
+    "token_entropy",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

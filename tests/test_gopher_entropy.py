@@ -1,0 +1,71 @@
+"""Planted-string fixtures for the Gopher quality gate and per-doc token
+entropy: each rule violated by exactly one crafted document, entropy checked
+against hand-computed values (uniform ⇒ log2(k), constant ⇒ 0)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions import text
+from anomaly_detection_spark.queries import q_gopher_quality, q_token_entropy
+
+
+GOOD = "the quick brown fox jumps over and over the lazy dog of tales " * 5
+SHORT = "the cat sat of it and"                       # < 50 words
+SYMBOLIC = ("the code of tags " + "#tag " * 20) * 3   # >1 '#' per 10 words
+TINY_WORDS = "a b c d e f g h i j " * 6               # mean word len < 3
+NUMERIC = "the 123 456 789 000 111 222 333 444 of " * 6  # <80% alpha words
+
+
+def _flags(spark, s):
+    df = spark.createDataFrame([(s,)], "text string")
+    fl = text.gopher_flags(F.col("text"))
+    return df.select(*[v.alias(k) for k, v in fl.items()]).collect()[0].asDict()
+
+
+def test_gopher_good_doc_keeps(spark):
+    r = _flags(spark, GOOD)
+    assert r == {"n_toks": 65, "wc_ok": 1, "mwl_ok": 1, "sym_ok": 1,
+                 "alpha_ok": 1, "sw_ok": 1, "keep": 1}
+
+
+def test_gopher_each_rule_fires_alone(spark):
+    assert _flags(spark, SHORT)["wc_ok"] == 0
+    r = _flags(spark, SYMBOLIC)
+    assert r["sym_ok"] == 0 and r["wc_ok"] == 1 and r["keep"] == 0
+    r = _flags(spark, TINY_WORDS)
+    assert r["mwl_ok"] == 0 and r["wc_ok"] == 1
+    r = _flags(spark, NUMERIC)
+    assert r["alpha_ok"] == 0 and r["wc_ok"] == 1 and r["keep"] == 0
+
+
+def test_gopher_stopword_kinds_rule(spark):
+    # 60 distinct-ish words but only ONE stopword kind present
+    one_sw = "the " + " ".join(f"word{i} nice{i}" for i in range(30))
+    r = _flags(spark, one_sw)
+    assert r["sw_ok"] == 0 and r["wc_ok"] == 1
+
+
+def test_token_entropy_planted(spark, tmp_path):
+    rows = [(1, "x x x x x x x x"),          # constant: H = 0, ttr 125000
+            (2, "a b c d a b c d"),          # uniform 4: H = 2.0, ttr 500000
+            (3, "w w w y")]                   # H = log2(4) - 3*log2(3)/4
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in q_token_entropy(spark, str(tmp_path)).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["ttr_ppm"] == 125000
+    assert got[2]["entropy"] == 2.0 and got[2]["distinct_toks"] == 4
+    h3 = round(math.log2(4) - 3 * math.log2(3) / 4, 6)
+    assert got[3]["entropy"] == h3 and got[3]["n_toks"] == 4
+
+
+def test_gopher_query_matches_flags_over_corpus(spark):
+    df = q_gopher_quality(spark, "/root/testdata/sf0.001")
+    n = df.count()
+    agg = df.agg(F.sum("keep"), F.sum("wc_ok")).collect()[0]
+    # the synthetic corpus straddles the 50-word Gopher floor: the gate
+    # must neither pass everything nor drop everything
+    assert n == 500 and 0 < agg[0] < n and 0 < agg[1] < n
