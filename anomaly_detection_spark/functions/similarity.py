@@ -513,3 +513,71 @@ def contrastive_pairs(
         (F.col("pos_cos_micro") - F.col("neg_cos_micro"))
         .cast("long").alias("margin_micro"),
     )
+
+
+def knn_label_noise(
+    emb: DataFrame, k: int = 5, n_planes: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screening by k-NN label disagreement (the confident-
+    learning / Deep-kNN heuristic): per anchor, its k most-similar LSH
+    sign-bucket mates vote with their labels; an anchor whose neighbours
+    mostly disagree with its own label is a mislabeling candidate — the
+    audit every labeled training set needs before the labels are trusted.
+
+    Scale shape: identical to ``contrastive_pairs`` — hyperplane-bucket
+    equi-join (Σ|bucket|², never n²), int8-quantized integer-micro
+    cosine, one top-k window per anchor, then a per-anchor count agg.
+    The verdict is the integer majority test ``2·n_disagree ≥
+    n_neighbors`` (no float threshold).  Anchors alone in their bucket
+    are dropped: no evidence, not a clean bill.
+
+    Returns (vec_id, label, n_neighbors, n_disagree, disagree_ppm,
+    noisy) ordered by disagreement."""
+    nonzero = emb.filter(
+        F.array_max(F.transform(
+            F.col(vec_col), lambda v: F.abs(v.cast("double")))) > 0)
+    nrm = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = nonzero.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"),
+        int8_quantize(F.col(vec_col)).alias("_v"),
+        lsh_sign_bucket(F.col(vec_col), n_planes, dim).alias("_b"),
+    ).withColumn("_nn", nrm(F.col("_v")))
+    a = base.select(F.col("_id").alias("vec_id"),
+                    F.col("_lbl").alias("label"), F.col("_v").alias("qv"),
+                    F.col("_nn").alias("qn"), "_b")
+    c = base.select(F.col("_id").alias("_nid"),
+                    F.col("_lbl").alias("_nlbl"), F.col("_v").alias("cv"),
+                    F.col("_nn").alias("cn"), "_b")
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos_micro = F.floor(
+        idot.cast("double")
+        / (F.sqrt(F.col("qn").cast("double"))
+           * F.sqrt(F.col("cn").cast("double")))
+        * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        a.join(c, "_b")
+        .filter(F.col("vec_id") != F.col("_nid"))
+        .select("vec_id", "label",
+                (F.col("_nlbl") != F.col("label")).cast("long")
+                .alias("_dis"),
+                cos_micro.alias("_cm"), "_nid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cm"), F.asc("_nid"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k)
+    return (
+        topk.groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+             F.sum("_dis").cast("long").alias("n_disagree"))
+        .select(
+            "vec_id", "label", "n_neighbors", "n_disagree",
+            F.expr("n_disagree * 1000000 DIV n_neighbors")
+            .alias("disagree_ppm"),
+            (F.lit(2) * F.col("n_disagree") >= F.col("n_neighbors"))
+            .cast("int").alias("noisy"))
+    )

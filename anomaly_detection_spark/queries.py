@@ -9279,6 +9279,66 @@ ORDER BY query_id
 """
 
 
+_KNN_NOISE_K = 5
+
+
+def q_knn_label_noise(spark, sf):
+    """Label-noise screening (similarity.knn_label_noise): per anchor the
+    k=5 most-similar LSH-bucket mates vote with their labels; integer
+    majority test 2·n_disagree ≥ n_neighbors flags mislabeling
+    candidates. Bucket equi-join keeps pair work Σ|bucket|², never n²;
+    anchors alone in their bucket are dropped (no evidence ≠ clean)."""
+    from anomaly_detection_spark.functions.similarity import knn_label_noise
+
+    return knn_label_noise(
+        load(spark, sf, "embeddings"), k=_KNN_NOISE_K, n_planes=4
+    ).orderBy("vec_id")
+
+
+SQL_KNN_LABEL_NOISE = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qv,
+         {_lsh_bucket_bits_sql('embedding', 4)} AS b
+  FROM base WHERE mx > 0
+), nn AS (
+  SELECT vec_id, label, qv, b,
+         list_sum(list_transform(qv, x -> x * x)) AS nrm
+  FROM n
+), scored AS (
+  SELECT a.vec_id, a.label,
+         CAST(CASE WHEN a.label <> c.label THEN 1 ELSE 0 END AS BIGINT) AS dis,
+         CAST(FLOOR(
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qv[i] * c.qv[i])) AS DOUBLE)
+           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+           * 1000000 + 0.5) AS BIGINT) AS cm,
+         c.vec_id AS nid
+  FROM nn a JOIN nn c ON a.b = c.b AND a.vec_id <> c.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cm DESC, nid) AS rn
+    FROM scored
+  ) WHERE rn <= {_KNN_NOISE_K}
+)
+SELECT vec_id, label,
+  CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+  CAST(SUM(dis) AS BIGINT) AS n_disagree,
+  CAST(SUM(dis) * 1000000 // COUNT(*) AS BIGINT) AS disagree_ppm,
+  CAST(CASE WHEN 2 * SUM(dis) >= COUNT(*) THEN 1 ELSE 0 END AS INTEGER)
+    AS noisy
+FROM topk GROUP BY vec_id, label ORDER BY vec_id
+"""
+
+
 _DSIM_K = 8
 
 
@@ -9752,4 +9812,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "knn_label_noise": (q_knn_label_noise, SQL_KNN_LABEL_NOISE),
 }

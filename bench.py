@@ -147,6 +147,7 @@ HEADLINE = [
     "score_calibration",
     "gopher_quality",
     "token_entropy",
+    "knn_label_noise",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -185,3 +185,24 @@ def test_contrastive_pairs_planted_hard_negative(spark):
     assert anchor["neg_id"] == 2
     assert anchor["neg_cos_micro"] > anchor["pos_cos_micro"]
     assert anchor["margin_micro"] < 0
+
+
+def test_knn_label_noise_planted_mislabel(spark):
+    """Six near-identical vectors, five labeled 0 and one labeled 1: the
+    odd one out is flagged noisy (all its neighbours disagree), every
+    correctly-labeled point is not (≤1 of its 5 neighbours disagrees),
+    and a lone far-away point with no bucket-mates never appears."""
+    d = 8
+    rows = [(i, [1.0] * (d - 1) + [1.0 + i / 100.0], 0) for i in range(5)]
+    rows.append((5, [1.0] * (d - 1) + [1.05], 1))      # planted mislabel
+    rows.append((6, [-1.0] * d, 0))                    # alone in its bucket
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r.asDict()
+           for r in similarity.knn_label_noise(
+               df, k=5, n_planes=2, dim=d).collect()}
+    assert 6 not in got
+    assert got[5]["noisy"] == 1 and got[5]["disagree_ppm"] == 1_000_000
+    for i in range(5):
+        assert got[i]["noisy"] == 0, f"clean point {i} flagged"
+        assert got[i]["n_disagree"] <= 1
