@@ -9279,6 +9279,116 @@ ORDER BY query_id
 """
 
 
+def q_normalization_dup_gain(spark, sf):
+    """Text-normalization dedup gain: how many MORE duplicates casefold +
+    whitespace-collapse normalization finds than byte-exact hashing — the
+    measurement that decides whether a 100 TB dedup pass should run on
+    normalized or raw fingerprints.  The corpus is the documents table
+    plus a deterministic re-emission of every 5th doc with flipped case
+    and doubled spaces (exact dups 0, normalized dups n/5 — planted, like
+    the c4/leakage fixtures).  Because normalization is a coarsening of
+    byte equality, exact-group counting nests inside normalized groups:
+    one (source, norm_hash) agg with a single countDistinct — never a
+    multi-distinct Expand over the corpus."""
+    d = load(spark, sf, "documents")
+    variant = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+        "source")
+    corpus = d.select("doc_id", "text", "source").unionByName(variant)
+    norm = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    fine = (
+        corpus.select("source", F.md5("text").alias("eh"), norm.alias("nh"))
+        .groupBy("source", "nh")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("eh").alias("de"))
+    )
+    return (
+        fine.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_docs"),
+             F.count(F.lit(1)).cast("long").alias("norm_groups"),
+             F.sum("de").cast("long").alias("exact_groups"))
+        .select(
+            "source", "n_docs",
+            (F.col("n_docs") - F.col("exact_groups")).alias("exact_dups"),
+            (F.col("n_docs") - F.col("norm_groups")).alias("norm_dups"),
+            F.expr("(exact_groups - norm_groups) * 1000000"
+                   " DIV greatest(n_docs, 1)").alias("gain_ppm"))
+        .orderBy("source")
+    )
+
+
+SQL_NORMALIZATION_DUP_GAIN = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         replace(upper(text), ' ', '  '), source
+  FROM documents WHERE doc_id % 5 = 0
+), fine AS (
+  SELECT source,
+         COUNT(*) AS n,
+         COUNT(DISTINCT md5(text)) AS de
+  FROM corpus
+  GROUP BY source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT source,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(SUM(n) - SUM(de) AS BIGINT) AS exact_dups,
+  CAST(SUM(n) - COUNT(*) AS BIGINT) AS norm_dups,
+  CAST((SUM(de) - COUNT(*)) * 1000000
+       // GREATEST(SUM(n), 1) AS BIGINT) AS gain_ppm
+FROM fine GROUP BY source ORDER BY source
+"""
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer-fertility economics per language: subword-ish regex
+    tokens per whitespace word (fertility, ppm) and characters per
+    subword token (milli) — the per-language cost model that sizes token
+    budgets and flags scripts a tokenizer fragments badly.  One codegen
+    scan, one tiny hash-agg; all ratios integer DIV after exact sums."""
+    d = load(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    return (
+        d.select(
+            "lang",
+            F.size(toks).cast("long").alias("w"),
+            text.regex_token_count(F.col("text")).cast("long").alias("r"),
+            F.length("text").cast("long").alias("ch"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("w").alias("ws_tokens"),
+             F.sum("r").alias("subword_tokens"),
+             F.sum("ch").alias("chars"))
+        .select("lang", "n_docs", "ws_tokens", "subword_tokens",
+                F.expr("subword_tokens * 1000000 DIV greatest(ws_tokens, 1)")
+                .alias("fertility_ppm"),
+                F.expr("chars * 1000 DIV greatest(subword_tokens, 1)")
+                .alias("chars_per_tok_milli"))
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH t AS (
+  SELECT lang,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS w,
+    CAST(len(regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS r,
+    CAST(length(text) AS BIGINT) AS ch
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(w) AS BIGINT) AS ws_tokens,
+  CAST(SUM(r) AS BIGINT) AS subword_tokens,
+  CAST(SUM(r) * 1000000 // GREATEST(SUM(w), 1) AS BIGINT) AS fertility_ppm,
+  CAST(SUM(ch) * 1000 // GREATEST(SUM(r), 1) AS BIGINT)
+    AS chars_per_tok_milli
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 _KNN_NOISE_K = 5
 
 
@@ -9813,4 +9923,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "knn_label_noise": (q_knn_label_noise, SQL_KNN_LABEL_NOISE),
+    "normalization_dup_gain": (q_normalization_dup_gain,
+                               SQL_NORMALIZATION_DUP_GAIN),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
 }

@@ -148,6 +148,8 @@ HEADLINE = [
     "gopher_quality",
     "token_entropy",
     "knn_label_noise",
+    "normalization_dup_gain",
+    "tokenizer_fertility",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -69,3 +69,34 @@ def test_gopher_query_matches_flags_over_corpus(spark):
     # the synthetic corpus straddles the 50-word Gopher floor: the gate
     # must neither pass everything nor drop everything
     assert n == 500 and 0 < agg[0] < n and 0 < agg[1] < n
+
+
+def test_normalization_dup_gain_planted(spark, tmp_path):
+    from anomaly_detection_spark.queries import q_normalization_dup_gain
+    rows = [(0, "hello world", "s"), (5, "foo bar", "s"),
+            (1, "unique text here", "t")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r.asDict()
+           for r in q_normalization_dup_gain(spark, str(tmp_path)).collect()}
+    # doc 0 and 5 are re-emitted upper-cased + double-spaced: byte-exact
+    # finds nothing, normalization collapses each pair
+    assert got["s"] == {"source": "s", "n_docs": 4, "exact_dups": 0,
+                        "norm_dups": 2, "gain_ppm": 500000}
+    assert got["t"]["norm_dups"] == 0 and got["t"]["gain_ppm"] == 0
+
+
+def test_tokenizer_fertility_exact(spark, tmp_path):
+    from anomaly_detection_spark.queries import q_tokenizer_fertility
+    rows = [(1, "can't stop", "en"),   # ws 2; subword: can ' t stop = 4
+            (2, "a1b2", "xx")]         # ws 1; subword: a 1 b 2 = 4
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["lang"]: r.asDict()
+           for r in q_tokenizer_fertility(spark, str(tmp_path)).collect()}
+    assert got["en"]["ws_tokens"] == 2 and got["en"]["subword_tokens"] == 4
+    assert got["en"]["fertility_ppm"] == 2_000_000
+    assert got["xx"]["fertility_ppm"] == 4_000_000
+    assert got["xx"]["chars_per_tok_milli"] == 1000
