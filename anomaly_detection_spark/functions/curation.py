@@ -511,3 +511,52 @@ def temperature_mixture(df: DataFrame, domain_col: str = "source",
             .cast("long").alias("boost_ppm"),
         )
     )
+
+
+def shard_balance(df: DataFrame, n_shards: int = 8,
+                  token_col: str = "n_tokens", id_col: str = "doc_id",
+                  bucket_width: int = 4096) -> DataFrame:
+    """Token-balanced output-shard assignment: docs are laid out in
+    (tokens DESC, id) order and dealt round-robin over ``n_shards`` —
+    the classic LPT-style heuristic that keeps every output file's token
+    total within one max-doc of the mean, so no trainer data-loader
+    rank starves while another owns the long tail.
+
+    Scale shape: the global ordering is the same TWO-PHASE distributed
+    prefix rank as ``length_batching`` (rows bucket by (−tokens,
+    id-range); per-bucket counts give exclusive offsets via a window
+    over the tiny bucket frame, broadcast back; within-bucket
+    row_number is partitioned) — never one unpartitioned row_number.
+    The report is one ``n_shards``-row agg: per shard docs, tokens, and
+    the signed deviation from the exact mean in ppm
+    (``(tokens·K − total)·1e6 DIV total`` — pure integers)."""
+    idb = (F.col(id_col) - F.pmod(id_col, F.lit(bucket_width))).cast("long")
+    t = df.select(F.col(id_col),
+                  F.col(token_col).cast("long").alias("_len"),
+                  (-F.col(token_col).cast("long")).alias("_neg"),
+                  idb.alias("_idb"))
+    per = t.groupBy("_neg", "_idb").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = (Window.orderBy("_neg", "_idb")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per.select(
+        "_neg", "_idb",
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff"))
+    wl = Window.partitionBy("_neg", "_idb").orderBy(F.asc(id_col))
+    pos = (F.col("_boff") + F.row_number().over(wl) - 1)
+    assigned = (
+        t.join(F.broadcast(offsets), ["_neg", "_idb"])
+        .select("_len", F.pmod(pos, F.lit(int(n_shards))).alias("shard"))
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_len").cast("long").alias("tokens"))
+    total = shards.agg(F.sum("tokens").alias("_tot"))
+    # deviation can be negative: both Spark's DIV and DuckDB's integer //
+    # truncate toward zero, so the plain quotient is cross-engine exact
+    return (
+        shards.crossJoin(F.broadcast(total))
+        .select("shard", "n_docs", "tokens",
+                F.expr(f"(tokens * {int(n_shards)} - _tot) * 1000000"
+                       " DIV greatest(_tot, 1)").alias("dev_ppm"))
+        .orderBy("shard")
+    )

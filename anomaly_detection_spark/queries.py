@@ -9389,6 +9389,114 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+_SHARD_K = 8
+
+
+def q_shard_balance(spark, sf):
+    """Token-balanced output sharding (curation.shard_balance): docs laid
+    out in (tokens DESC, id) order and dealt round-robin over 8 shards —
+    the LPT-style heuristic that keeps every output file's token total
+    within one max-doc of the mean.  The global ordering is the
+    length_batching two-phase distributed prefix rank, never one
+    unpartitioned row_number; the oracle replays it as a naive global
+    window, proving the distributed rank is exactly the global rank."""
+    from anomaly_detection_spark.functions.curation import shard_balance
+
+    d = load(spark, sf, "documents")
+    docs = d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return shard_balance(docs, n_shards=_SHARD_K)
+
+
+SQL_SHARD_BALANCE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+), ranked AS (
+  SELECT n, (ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1) % {_SHARD_K}
+           AS shard
+  FROM t
+), shards AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS tokens
+  FROM ranked GROUP BY shard
+)
+SELECT shard, n_docs, tokens,
+  CAST((tokens * {_SHARD_K} - SUM(tokens) OVER ()) * 1000000
+       // GREATEST(SUM(tokens) OVER (), 1) AS BIGINT) AS dev_ppm
+FROM shards ORDER BY shard
+"""
+
+
+def q_vocab_drift(spark, sf):
+    """Cross-snapshot vocabulary drift per language: the current commit's
+    token types vs the previous snapshot's vocabulary — new types,
+    dropped types, and the OOV occurrence rate (ppm of current token
+    OCCURRENCES whose type the old vocab lacks), the signal that decides
+    when a tokenizer/vocab must be retrained.  Snapshots are the doc_id
+    parity halves (embedding_drift's convention), with ~50 planted
+    novel types appended to the current half.  One shuffle on the
+    well-distributed (lang, token) key with conditional map-side
+    partial sums, then a lang-sized agg — vocabularies never transit
+    the driver."""
+    d = load(spark, sf, "documents")
+    is_cur = (F.col("doc_id") % 2 == 1)
+    planted = F.when(
+        is_cur, F.concat(F.col("text"),
+                         F.lit(" neo"), (F.col("doc_id") % 50).cast("string"),
+                         F.lit("term"))
+    ).otherwise(F.col("text"))
+    tok = d.select(
+        "lang", is_cur.alias("cur"),
+        F.explode(text.tokens(planted)).alias("t"))
+    per = tok.groupBy("lang", "t").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("bc"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("cc"))
+    return (
+        per.groupBy("lang")
+        .agg(F.sum((F.col("bc") > 0).cast("long")).alias("base_types"),
+             F.sum((F.col("cc") > 0).cast("long")).alias("cur_types"),
+             F.sum(((F.col("cc") > 0) & (F.col("bc") == 0)).cast("long"))
+             .alias("new_types"),
+             F.sum(((F.col("bc") > 0) & (F.col("cc") == 0)).cast("long"))
+             .alias("dropped_types"),
+             F.sum(F.when(F.col("bc") == 0, F.col("cc")).otherwise(0))
+             .cast("long").alias("oov_occ"),
+             F.sum("cc").cast("long").alias("cur_occ"))
+        .select("lang", "base_types", "cur_types", "new_types",
+                "dropped_types",
+                F.expr("oov_occ * 1000000 DIV greatest(cur_occ, 1)")
+                .alias("oov_ppm"))
+        .orderBy("lang")
+    )
+
+
+SQL_VOCAB_DRIFT = f"""
+WITH d AS (
+  SELECT lang, doc_id % 2 = 1 AS cur,
+    CASE WHEN doc_id % 2 = 1
+      THEN text || ' neo' || CAST(doc_id % 50 AS VARCHAR) || 'term'
+      ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT lang, cur, unnest({_TOKS_SQL}) AS t FROM d
+), per AS (
+  SELECT lang, t,
+    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS bc,
+    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS cc
+  FROM tok GROUP BY lang, t
+)
+SELECT lang,
+  CAST(SUM(CASE WHEN bc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_types,
+  CAST(SUM(CASE WHEN cc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cur_types,
+  CAST(SUM(CASE WHEN cc > 0 AND bc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_types,
+  CAST(SUM(CASE WHEN bc > 0 AND cc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS dropped_types,
+  CAST(SUM(CASE WHEN bc = 0 THEN cc ELSE 0 END) * 1000000
+       // GREATEST(SUM(cc), 1) AS BIGINT) AS oov_ppm
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 _KNN_NOISE_K = 5
 
 
@@ -9926,4 +10034,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "normalization_dup_gain": (q_normalization_dup_gain,
                                SQL_NORMALIZATION_DUP_GAIN),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "shard_balance": (q_shard_balance, SQL_SHARD_BALANCE),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
 }

@@ -150,6 +150,8 @@ HEADLINE = [
     "knn_label_noise",
     "normalization_dup_gain",
     "tokenizer_fertility",
+    "shard_balance",
+    "vocab_drift",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

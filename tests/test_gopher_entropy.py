@@ -100,3 +100,35 @@ def test_tokenizer_fertility_exact(spark, tmp_path):
     assert got["en"]["fertility_ppm"] == 2_000_000
     assert got["xx"]["fertility_ppm"] == 4_000_000
     assert got["xx"]["chars_per_tok_milli"] == 1000
+
+
+def test_shard_balance_exact_deal(spark):
+    from anomaly_detection_spark.functions.curation import shard_balance
+    # tokens 8,7,6,5,4,3,2,1 dealt round-robin over 2 shards in desc
+    # order: shard0 gets 8,6,4,2 = 20; shard1 gets 7,5,3,1 = 16
+    rows = [(i, 8 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["shard"]: r.asDict()
+           for r in shard_balance(df, n_shards=2, bucket_width=4).collect()}
+    assert got[0]["tokens"] == 20 and got[1]["tokens"] == 16
+    assert got[0]["n_docs"] == 4 and got[1]["n_docs"] == 4
+    # dev_ppm truncates toward zero in BOTH engines (Spark DIV, DuckDB
+    # integer //): (20*2-36)*1e6 -> 111111, (16*2-36)*1e6 -> -111111
+    assert got[0]["dev_ppm"] == 111111 and got[1]["dev_ppm"] == -111111
+
+
+def test_vocab_drift_planted_novel_types(spark, tmp_path):
+    from anomaly_detection_spark.queries import q_vocab_drift
+    rows = [(0, "alpha beta", "en"), (2, "alpha gamma", "en"),
+            (1, "alpha beta", "en"), (3, "beta beta", "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    r = q_vocab_drift(spark, str(tmp_path)).collect()[0].asDict()
+    # base vocab {alpha, beta, gamma}; cur texts get ' neo1term'/' neo3term'
+    # appended -> cur vocab {alpha, beta, neo1term, neo3term}
+    assert r["base_types"] == 3 and r["cur_types"] == 4
+    assert r["new_types"] == 2 and r["dropped_types"] == 1
+    # cur occurrences: alpha, beta, neo1term, beta, beta, neo3term = 6,
+    # of which 2 are OOV
+    assert r["oov_ppm"] == 2 * 1_000_000 // 6
