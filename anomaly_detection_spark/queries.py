@@ -9389,6 +9389,117 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+def q_dup_source_matrix(spark, sf):
+    """Source×source near-duplication matrix: LSH candidate pairs rolled
+    up to unordered (source_a, source_b) cells with counts and share of
+    all pairs (ppm) — the mirror-site / content-farm detector that tells
+    a crawl which domains copy from which, and the evidence for dropping
+    a whole source rather than deduping it doc-by-doc.  Pair generation
+    is the capped Σ|bucket|² LSH path; the rollup joins the (tiny) pair
+    set back to doc→source on the distributive doc_id key, then one
+    matrix-sized agg."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, k=4, bands=2)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("source", "_sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("source", "_sb"), "id_b")
+        .select(F.least("_sa", "_sb").alias("source_a"),
+                F.greatest("_sa", "_sb").alias("source_b"))
+    )
+    cells = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    total = cells.agg(F.sum("n_pairs").alias("_tot"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select("source_a", "source_b", "n_pairs",
+                F.expr("n_pairs * 1000000 DIV greatest(_tot, 1)")
+                .alias("share_ppm"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_DUP_SOURCE_MATRIX = f"""
+WITH pairs AS ({{lsh}}),
+s AS (SELECT doc_id, source FROM documents),
+j AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b
+  FROM pairs p
+  JOIN s a ON p.id_a = a.doc_id
+  JOIN s b ON p.id_b = b.doc_id
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(*) * 1000000
+       // GREATEST(SUM(COUNT(*)) OVER (), 1) AS BIGINT) AS share_ppm
+FROM j GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+# splice the (already-rendered) LSH pair SQL in as the pairs CTE;
+# .replace, not .format — the LSH SQL itself is brace-free but that's
+# an accident of today's helpers, don't depend on it
+SQL_DUP_SOURCE_MATRIX = SQL_DUP_SOURCE_MATRIX.replace(
+    "{lsh}", SQL_LSH_CANDIDATE_PAIRS)
+
+
+def q_ngram_novelty(spark, sf):
+    """Per-doc n-gram novelty vs the previous snapshot: the fraction of a
+    current-commit document's distinct 3-gram shingles the base
+    snapshot's gram set has never seen (ppm) — the memorization /
+    freshness score that ranks incoming docs by how much genuinely new
+    text they contribute (novelty ≈ 0 ⇒ the doc is stitched from
+    already-ingested content).  Snapshots are the doc_id parity halves.
+    Scale shape: base grams deduplicate via a map-side-combinable
+    distinct on the well-distributed gram key; the membership probe is a
+    left join on that same key (at 100 TB, swap in the Bloom bitset from
+    functions/membership.py); per-doc rollup is one count agg — no
+    collected vocabularies, nothing driver-side."""
+    d = load(spark, sf, "documents")
+    sh = dedup.shingles(F.col("text"), n=3)
+    base_grams = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(sh).alias("g")).distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    cur = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("g"))
+    )
+    return (
+        cur.join(base_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+             .cast("long").alias("novel_grams"))
+        .select("doc_id", "n_grams", "novel_grams",
+                F.expr("novel_grams * 1000000 DIV greatest(n_grams, 1)")
+                .alias("novelty_ppm"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS g FROM t
+), base AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0
+), cur AS (
+  SELECT doc_id, g FROM g WHERE doc_id % 2 = 1
+)
+SELECT c.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS novel_grams,
+  CAST(SUM(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000
+       // GREATEST(COUNT(*), 1) AS BIGINT) AS novelty_ppm
+FROM cur c LEFT JOIN base b ON c.g = b.g
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
 _SHARD_K = 8
 
 
@@ -10036,4 +10147,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "shard_balance": (q_shard_balance, SQL_SHARD_BALANCE),
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
 }

@@ -152,6 +152,8 @@ HEADLINE = [
     "tokenizer_fertility",
     "shard_balance",
     "vocab_drift",
+    "dup_source_matrix",
+    "ngram_novelty",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -132,3 +132,33 @@ def test_vocab_drift_planted_novel_types(spark, tmp_path):
     # cur occurrences: alpha, beta, neo1term, beta, beta, neo3term = 6,
     # of which 2 are OOV
     assert r["oov_ppm"] == 2 * 1_000_000 // 6
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    from anomaly_detection_spark.queries import q_ngram_novelty
+    rows = [(0, "a b c d", "s"),      # base: grams {a b c, b c d}
+            (2, "q r s t", "s"),      # base: {q r s, r s t}
+            (1, "a b c x", "s"),      # cur: {a b c (seen), b c x (novel)}
+            (3, "a b c d", "s")]      # cur: both grams seen
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in q_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert got[1] == {"doc_id": 1, "n_grams": 2, "novel_grams": 1,
+                      "novelty_ppm": 500000}
+    assert got[3]["novel_grams"] == 0 and got[3]["novelty_ppm"] == 0
+
+
+def test_dup_source_matrix_planted(spark, tmp_path):
+    from anomaly_detection_spark.queries import q_dup_source_matrix
+    same = "spark join filter window batch stream merge sort key value"
+    rows = [(0, same, "mirror_a"), (1, same, "mirror_b"),
+            (2, "totally different words nothing shared here at all ok",
+             "clean")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = [r.asDict() for r in q_dup_source_matrix(spark, str(tmp_path)).collect()]
+    assert got == [{"source_a": "mirror_a", "source_b": "mirror_b",
+                    "n_pairs": 1, "share_ppm": 1_000_000}]
