@@ -9443,6 +9443,214 @@ SQL_DUP_SOURCE_MATRIX = SQL_DUP_SOURCE_MATRIX.replace(
     "{lsh}", SQL_LSH_CANDIDATE_PAIRS)
 
 
+_SPECTRUM_NS = [2, 4, 8, 16]
+
+
+def q_dup_length_spectrum(spark, sf):
+    """Duplication-decay spectrum: for match lengths n ∈ {2,4,8,16}
+    tokens, how much of the corpus' n-gram mass is duplicated (types
+    seen ≥2 times and their occurrence share, ppm) — the curve that
+    picks the window size for exact-substring dedup (Lee et al. 2022:
+    short grams over-merge, long grams under-merge; the knee is where
+    you cut).  ONE corpus scan: all four gram widths are emitted from
+    in-row transforms and exploded once; the only shuffle is the
+    map-side-combinable (n, gram) count agg — the gram key is never a
+    join key (corpus_dup_ngrams' skew discipline), and the final rollup
+    is a 4-row agg."""
+    d = load(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+
+    def _bind(x, f):
+        # the one-element-array transform binding (dedup.py:74-88): the
+        # lambda VARIABLE is an attribute Catalyst cannot inline
+        # through, so x evaluates exactly once per doc however the
+        # surrounding projections collapse
+        return F.element_at(F.transform(F.array(x), f), 1)
+
+    def _lift(p, shift):
+        # binary lifting: a 2n-gram is gram n[i] ++ gram n[i+n], so each
+        # level is ONE zip_with over two slices of the previous level —
+        # O(log n) total references instead of an O(n)-deep fold
+        k = F.size(p) - shift
+        return F.when(k >= 1, F.zip_with(
+            F.slice(p, 1, k), F.slice(p, shift + 1, k),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _arm(p, n):
+        return F.transform(p, lambda s: F.struct(
+            F.lit(n).alias("n"), F.md5(s).alias("g")))
+
+    grams_all = _bind(toks, lambda t: _bind(_lift(t, 1), lambda g2: _bind(
+        _lift(g2, 2), lambda g4: _bind(_lift(g4, 4), lambda g8: _bind(
+            _lift(g8, 8), lambda g16: F.flatten(F.array(
+                _arm(g2, 2), _arm(g4, 4), _arm(g8, 8), _arm(g16, 16))))))))
+    per_gram = (
+        d.select(F.explode(grams_all).alias("p"))
+        .select("p.n", "p.g")
+        .groupBy("n", "g").agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_gram.groupBy("n")
+        .agg(F.sum("c").cast("long").alias("occurrences"),
+             F.count(F.lit(1)).cast("long").alias("gram_types"),
+             F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+             .alias("dup_types"),
+             F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+             .cast("long").alias("dup_occurrences"))
+        .select("n", "occurrences", "gram_types", "dup_types",
+                "dup_occurrences",
+                F.expr("dup_occurrences * 1000000"
+                       " DIV greatest(occurrences, 1)").alias("dup_ppm"))
+        .orderBy("n")
+    )
+
+
+_spectrum_arms = "\n  UNION ALL\n".join(f"""
+  SELECT {n} AS n,
+         md5(array_to_string(toks[i:i+{n - 1}], ' ')) AS g
+  FROM t, unnest(generate_series(1, GREATEST(len(toks) - {n - 1}, 0)))
+       AS u(i)""" for n in _SPECTRUM_NS)
+
+SQL_DUP_LENGTH_SPECTRUM = f"""
+WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+grams AS ({_spectrum_arms}
+),
+per_gram AS (
+  SELECT n, g, COUNT(*) AS c FROM grams GROUP BY n, g
+)
+SELECT n,
+  CAST(SUM(c) AS BIGINT) AS occurrences,
+  CAST(COUNT(*) AS BIGINT) AS gram_types,
+  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_types,
+  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+    AS dup_occurrences,
+  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000
+       // GREATEST(SUM(c), 1) AS BIGINT) AS dup_ppm
+FROM per_gram GROUP BY n ORDER BY n
+"""
+
+
+_JSWEEP_THRESHOLDS = [200_000, 300_000, 500_000, 700_000, 900_000]
+
+
+def q_jaccard_threshold_sweep(spark, sf):
+    """Dedup-threshold calibration: exact n-gram Jaccard (integer micro
+    units — inter·1e6 DIV union, no float rounding anywhere) over the
+    LSH candidate pairs, rolled into ONE row of how many pairs survive
+    each candidate threshold {0.2,…,0.9} — the sweep a team runs before
+    committing a 100 TB dedup pass to a single cutoff.  Work is bounded
+    by the capped candidate set; the sweep itself is conditional sums in
+    the same single agg, not one pass per threshold."""
+    d = load(spark, sf, "documents")
+    cands = dedup.lsh_candidate_pairs(d, k=4, bands=2)
+    sets = d.select(
+        F.col("doc_id"),
+        F.array_distinct(dedup.shingles(F.col("text"), n=3)).alias("sh"))
+    pairs = (
+        cands.join(sets.select(F.col("doc_id").alias("id_a"),
+                               F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
+    )
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    jm = F.when(union > 0, F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+        " DIV CAST(size(array_union(sh_a, sh_b)) AS BIGINT)"
+    )).otherwise(F.lit(0)).alias("_jm")
+    scored = pairs.select(jm)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_candidates")]
+    for t in _JSWEEP_THRESHOLDS:
+        aggs.append(
+            F.sum((F.col("_jm") >= t).cast("long")).cast("long")
+            .alias(f"ge_{t // 10000}pct"))
+    return scored.agg(*aggs)
+
+
+_jsweep_cols = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN jm >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS ge_{t // 10000}pct" for t in _JSWEEP_THRESHOLDS)
+
+SQL_JACCARD_THRESHOLD_SWEEP = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shset FROM t),
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(shset, s -> md5('0:' || s))) AS mh0,
+    list_min(list_transform(shset, s -> md5('1:' || s))) AS mh1,
+    list_min(list_transform(shset, s -> md5('2:' || s))) AS mh2,
+    list_min(list_transform(shset, s -> md5('3:' || s))) AS mh3
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, md5('0' || '|' || mh0 || '|' || mh1) AS bucket
+  FROM sig WHERE mh0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, md5('1' || '|' || mh2 || '|' || mh3) AS bucket
+  FROM sig WHERE mh2 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) > 0
+    THEN CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) * 1000000
+         // CAST(len(list_distinct(list_concat(sa.shset, sb.shset)))
+                 AS BIGINT)
+    ELSE 0 END AS jm
+  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+            JOIN sh sb ON cand.id_b = sb.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  {_jsweep_cols}
+FROM j
+"""
+
+
+def q_lang_label_mismatch(spark, sf):
+    """Language-label audit: confusion cells between the stored ``lang``
+    label and the heuristic predictor (text.lang_id) with per-label row
+    share ppm — the cheap screen that catches batches whose language
+    metadata went wrong upstream (mislabeled crawls dominate lang-ID
+    error budgets).  One corpus scan into a languages²-sized agg; the
+    share window runs on that tiny cell frame, never on rows."""
+    d = load(spark, sf, "documents")
+    cells = (
+        d.select("lang", text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("_tot", F.sum("n").over(w))
+        .select("lang", "predicted", "n",
+                F.expr("n * 1000000 DIV _tot").alias("share_ppm"),
+                (F.col("lang") != F.col("predicted")).cast("int")
+                .alias("mismatch"))
+        .orderBy("lang", "predicted")
+    )
+
+
+SQL_LANG_LABEL_MISMATCH = f"""
+WITH t AS (
+  SELECT lang,
+    CASE WHEN len(list_filter({_TOKS_SQL.replace("trim(text)", "trim(lower(text))")},
+                 t -> list_contains({_SW_SQL}, t))) * 1.0
+              / GREATEST(len({_TOKS_SQL}), 1) >= 0.05
+      THEN 'en' ELSE 'unk' END AS predicted
+  FROM documents
+), cells AS (
+  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY lang, predicted
+)
+SELECT lang, predicted, n,
+  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm,
+  CAST(CASE WHEN lang <> predicted THEN 1 ELSE 0 END AS INTEGER) AS mismatch
+FROM cells ORDER BY lang, predicted
+"""
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc n-gram novelty vs the previous snapshot: the fraction of a
     current-commit document's distinct 3-gram shingles the base
@@ -10149,4 +10357,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
     "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "lang_label_mismatch": (q_lang_label_mismatch, SQL_LANG_LABEL_MISMATCH),
+    "jaccard_threshold_sweep": (q_jaccard_threshold_sweep,
+                                SQL_JACCARD_THRESHOLD_SWEEP),
+    "dup_length_spectrum": (q_dup_length_spectrum, SQL_DUP_LENGTH_SPECTRUM),
 }

@@ -154,6 +154,9 @@ HEADLINE = [
     "vocab_drift",
     "dup_source_matrix",
     "ngram_novelty",
+    "lang_label_mismatch",
+    "jaccard_threshold_sweep",
+    "dup_length_spectrum",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -647,3 +647,61 @@ def test_corpus_dup_ngrams_no_gram_keyed_join(spark, tmp_path):
     assert join_keys, "expected join key lines in the formatted plan"
     for keys in join_keys:
         assert "_g#" not in keys and "doc_id" in keys
+
+
+def test_gopher_flags_zero_shuffle(spark, tmp_path):
+    """The Gopher gate is a pure in-row keep/drop decision: no Exchange,
+    no Generate, no Join — the whole rule set rides the corpus scan."""
+    from anomaly_detection_spark.functions.text import gopher_flags
+
+    p = str(tmp_path / "gq")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "concat('the text of doc ', id) AS text"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    fl = gopher_flags(F.col("text"))
+    plan = plan_of(df.select("doc_id", *[v.alias(k) for k, v in fl.items()]))
+    assert re.search(r"\(\d+\) (Exchange|Generate|\w*Join)\b", plan) is None
+
+
+def test_normalization_dup_gain_no_expand(spark, tmp_path):
+    """Exact-group counting nests inside normalized groups, so the agg
+    must plan a single distinct WITHOUT an Expand node (a multi-distinct
+    Expand doubles every corpus row before the shuffle)."""
+    from anomaly_detection_spark.queries import q_normalization_dup_gain
+
+    p = str(tmp_path)
+    spark.range(50).selectExpr(
+        "id AS doc_id", "concat('text ', id % 9) AS text",
+        "concat('s', id % 3) AS source"
+    ).write.parquet(p + "/documents.parquet")
+    plan = plan_of(q_normalization_dup_gain(spark, p))
+    assert re.search(r"\(\d+\) Expand\b", plan) is None
+
+
+def test_shard_balance_offsets_broadcast(spark):
+    """The two-phase rank's bucket-offset frame is tiny and must come
+    back as a broadcast join — a sort-merge here would shuffle the whole
+    corpus a second time for metadata."""
+    from anomaly_detection_spark.functions.curation import shard_balance
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 37 + 1 AS BIGINT) AS n_tokens")
+    plan = plan_of(shard_balance(df, n_shards=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_label_noise_bucket_join_is_equi(spark):
+    """Neighbour candidates come from the LSH bucket equi-join — never a
+    nested-loop/cartesian all-pairs compare."""
+    from anomaly_detection_spark.functions.similarity import knn_label_noise
+
+    df = spark.range(64).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(id % 5 + i AS FLOAT))"
+        " AS embedding",
+        "CAST(id % 3 AS INT) AS label")
+    plan = plan_of(knn_label_noise(df, k=3, n_planes=2, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
