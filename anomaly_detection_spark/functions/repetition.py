@@ -193,6 +193,73 @@ def boilerplate_ratio(df: DataFrame, phrases: DataFrame,
     )
 
 
+def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
+                     line_no_col: str = "line_no",
+                     line_col: str = "line") -> DataFrame:
+    """Corpus-global line deduplication — the C4 "three-sentence span" /
+    CCNet line-frequency dedup step (Raffel et al. 2020 §2.2 deduplicate
+    repeated lines across the corpus, keeping ONE occurrence): an
+    occurrence of a line is kept iff it is the globally FIRST occurrence
+    of that exact line text, first = minimal ``(doc, line_no)``. Every
+    later occurrence — in another document, or a repeat inside the same
+    document — is removed. Emits the per-document report the curation
+    pipeline acts on.
+
+    Scale shape (the ``corpus_dup_ngrams`` discipline): ONE hash-aggregate
+    keyed by line text computes each line-group's occurrence count and its
+    canonical keeper (``min`` of an encoded ``doc·10⁶ + line_no`` key —
+    map-side combinable, so a site-wide boilerplate line appearing in
+    millions of documents partially aggregates inside every scan task and
+    never lands one giant posting list in a single reducer). Because every
+    group keeps EXACTLY its keeper occurrence, per-doc kept counts are an
+    aggregation over group keepers — there is NO join back on the
+    power-law line key at all; the close is a tiny id-keyed left join onto
+    the per-doc spine. Token weights ride the same aggregates, so removed
+    token volume (what dedup actually saves at 100 TB) is exact.
+
+    Input is an exploded lines frame ``(id, line_no, line)`` with
+    ``line_no`` < 10⁶ (encoded-key contract; at 10¹² docs the encoded key
+    still fits a long). Returns per document:
+    ``(id, n_lines, n_tokens, kept_lines, removed_lines, kept_ppm,
+    removed_tokens)``, one row per input document (docs losing every line
+    report ``kept_lines = 0``).
+    """
+    ntok = F.size(F.filter(F.split(F.col(line_col), " "),
+                           lambda w: w != ""))
+    occ = lines.select(
+        F.col(id_col), F.col(line_col).alias("_l"),
+        (F.col(id_col) * F.lit(1_000_000) + F.col(line_no_col)).alias("_k"),
+        ntok.alias("_t"),
+    )
+    groups = occ.groupBy("_l").agg(
+        F.min("_k").alias("_kk"),
+        F.max("_t").alias("_gt"),
+    )
+    # integer div, NOT a double divide: doubles lose exactness past 2^53,
+    # and the encoded key reaches 10^18 at 10^12 docs
+    keepers = groups.groupBy(
+        F.expr("_kk div 1000000").alias(id_col)
+    ).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.sum("_gt").alias("_kept_tok"),
+    )
+    spine = occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("_t").alias("n_tokens"),
+    )
+    kept = F.coalesce(F.col("_kept"), F.lit(0))
+    kept_tok = F.coalesce(F.col("_kept_tok"), F.lit(0))
+    return spine.join(keepers, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        kept.cast("long").alias("kept_lines"),
+        (F.col("n_lines") - kept).cast("long").alias("removed_lines"),
+        _ppm(kept, F.col("n_lines")).alias("kept_ppm"),
+        (F.col("n_tokens") - kept_tok).cast("long").alias("removed_tokens"),
+    )
+
+
 def corpus_dup_ngrams(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 5,
                       min_docs: int = 2) -> DataFrame:

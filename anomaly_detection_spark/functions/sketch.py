@@ -1,0 +1,100 @@
+"""Count-min sketch: bounded-memory approximate frequency counting over
+unbounded key spaces (Cormode & Muthukrishnan 2005), the mergeable-sketch
+companion to the exact ``heavy_hitters`` profile and the Bloom-filter
+membership path (``functions/membership.py``).
+
+Why it earns its place at 100 TB: the exact heavy-hitter aggregate keys a
+shuffle by the value itself, so its state is proportional to the DISTINCT
+key count — fine for enum-ish columns, unbounded for open vocabularies
+(tokens, URLs, user agents). The sketch is a fixed ``depth × width``
+counter table: every occurrence folds into it via map-side combine inside
+the scan tasks, the shuffled state is ≤ ``depth·width`` rows per task
+REGARDLESS of cardinality, and two sketches merge by counter addition —
+so per-partition / per-day sketches roll up to corpus totals without ever
+rescanning (the same merge==recompute contract as ``profiler`` histograms,
+property-tested in ``tests/test_sketch.py``).
+
+Estimates are biased UP only (collisions add, never subtract):
+``exact ≤ est ≤ exact + εN`` with ε = e/width at the standard depth. All
+hashes are first-8-hex-digits-of-md5 — bit-identical in every engine, so
+the DuckDB oracle replays the sketch exactly (no Spark-private xxhash).
+
+Reference analogue: frequency profiling behind ``user_profile_builder.py``'s
+``Counter`` columns (47-57,121-127), which hold exact per-user maps the
+sketch replaces when the key space outgrows memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(c: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for key ``c``: first 8 md5 hex digits of
+    ``"row:key"`` mod width — engine-portable and independent per row."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), c)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 512, weight_col: str | None = None) -> DataFrame:
+    """Fold a key stream into a count-min sketch ``(row, bucket, cnt)``.
+
+    ONE pass, ONE map-side-combined aggregate: each occurrence expands to
+    its ``depth`` (row, bucket) cells in-row (a single explode of a
+    ``depth``-element struct array, one md5 per cell), then a
+    hash-aggregate whose key space is at most ``depth·width`` collapses
+    everything inside the scan tasks. The hottest token in a 100 TB
+    corpus adds map-side partial counts like any other — there is no
+    skewed reducer because the shuffle key is the CELL, not the value.
+    """
+    c = F.col(key_col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"), _bucket(c, r, width).alias("b"))
+        for r in range(depth)
+    ])
+    # explode_outer: plain explode's inferred non-empty pre-filter would
+    # inline the whole hash-array expression into a filter condition and
+    # re-evaluate every md5 there (see repetition.repetition_stats); the
+    # literal array is never empty, so outer ≡ inner.
+    ex = df.select(F.explode_outer(cells).alias("_p"), w.alias("_w"))
+    return ex.groupBy(
+        F.col("_p.r").alias("row"), F.col("_p.b").alias("bucket")
+    ).agg(F.sum("_w").cast("long").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): counters add.
+    ``merge(build(A), build(B)) == build(A ∪ B)`` exactly — the property
+    that turns per-partition/per-snapshot sketches into corpus totals
+    without a rescan."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over the sketch's rows of
+    the key's counter. The sketch is ≤ depth·width rows — broadcast — so
+    estimation is a map-side join however many keys are probed; a missing
+    cell reads as 0 (key never seen)."""
+    c = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.explode_outer(F.array(*[
+            F.struct(F.lit(r).alias("row"), _bucket(c, r, width).alias("bucket"))
+            for r in range(depth)
+        ])).alias("_p"),
+    ).select(key_col, "_p.row", "_p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -6968,6 +6968,70 @@ FROM r WHERE rank <= 3 ORDER BY "column", rank
 """
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min sketch frequency estimation (functions/sketch.py) over
+    the open token vocabulary: fold every token occurrence into a 4×512
+    counter table (bounded state regardless of cardinality — the path
+    `heavy_hitters`' exact aggregate cannot take when the key space is
+    unbounded), then point-estimate the top-10 exact tokens against it.
+    The exact counts are the in-test verification side: the sketch
+    guarantee ``exact ≤ est ≤ exact + εN`` is emitted as `overcount`.
+    Sketch cells use first-8-hex md5 per row — the DuckDB oracle replays
+    the identical table. Merge==recompute is property-tested in
+    tests/test_sketch.py. Reference analogue: the Counter frequency maps
+    of user_profile_builder.py:121-127, exact-only."""
+    from anomaly_detection_spark.functions import sketch as sk
+
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        F.explode_outer(text.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    cms = sk.cms_build(toks, "token", depth=4, width=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
+    est = sk.cms_estimate(cms, top.select("token"), "token",
+                          depth=4, width=512)
+    return (
+        top.join(est, "token")
+        .select(
+            "token", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+_CMS_HASH = ("CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||token),1,8))"
+             " AS BIGINT) % 512")
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+), rows_ AS (
+  SELECT unnest([0, 1, 2, 3]) AS r
+), sketch AS (
+  SELECT r AS row, {_CMS_HASH} AS bucket, COUNT(*) AS cnt
+  FROM toks, rows_ GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+), top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT 10
+), probes AS (
+  SELECT token, exact_cnt, r, {_CMS_HASH} AS bucket FROM top, rows_
+), est AS (
+  SELECT token, exact_cnt,
+         MIN(COALESCE(s.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN sketch s ON p.r = s.row AND p.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est ORDER BY exact_cnt DESC, token
+"""
+
+
 def q_json_key_profile(spark, sf):
     """Semi-structured schema discovery (profiler.json_key_profile) over
     the events.props JSON column: per top-level key, presence count,
@@ -7948,6 +8012,94 @@ SELECT doc_id,
   (len(kept) * 1000000) // len(lines) AS kept_ppm,
   md5(array_to_string(kept, chr(10))) AS kept_md5
 FROM f ORDER BY doc_id
+"""
+
+
+def q_global_line_dedup(spark, sf):
+    """Corpus-GLOBAL line dedup (repetition.line_dedup_stats — the C4
+    'discard all but one of any three-sentence span occurring more than
+    once' step, recast line-level): synthesizes the same deterministic
+    line structure as `c4_line_filter` (so every 11th document carries an
+    IDENTICAL boilerplate line — a genuinely hot key exercising the
+    map-side combine), then keeps only each distinct line's globally first
+    occurrence. One line-keyed hash-aggregate, keeper attribution WITHOUT
+    any join back on the power-law line key; removed-token volume exact."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    kk = (F.col("doc_id") % 4 + 3).cast("int")
+    base = d.select(
+        "doc_id", kk.alias("k"), text.tokens(F.col("text")).alias("toks"))
+    nl = F.floor((F.size("toks") + F.col("k") - 1) / F.col("k")).cast("int")
+    raw_lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(F.col("toks"), (i - 1) * F.col("k") + 1, F.col("k")),
+                " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit("."))
+             .otherwise(F.lit("")),
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(raw_lines,
+                 F.array(F.lit("if (x) { enable javascript }"))),
+    ).otherwise(raw_lines)
+    # posexplode_outer, not posexplode: the inferred non-empty pre-filter
+    # would inline the whole line construction into the scan filter and
+    # re-evaluate it per position (see repetition_stats).
+    ex = base.select(
+        "doc_id", F.posexplode_outer(lines).alias("pos", "line"),
+    ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "line")
+    return repetition.line_dedup_stats(ex).orderBy("doc_id")
+
+
+SQL_GLOBAL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 4 + 3 AS INTEGER) AS k, {_TOKS_SQL} AS toks
+  FROM documents
+), l AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+         THEN list_append(raw_lines, 'if (x) {{ enable javascript }}')
+         ELSE raw_lines END AS lines
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        generate_series(1, CAST(FLOOR((len(toks) + k - 1) / k) AS INTEGER)),
+        i -> array_to_string(toks[(i-1)*k+1 : i*k], ' ')
+             || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      ) AS raw_lines
+    FROM t)
+), occ AS (
+  SELECT doc_id, u['ord'] AS line_no, u['line'] AS line,
+    doc_id * 1000000 + u['ord'] AS k,
+    len(list_filter(string_split(u['line'], ' '), w -> w <> '')) AS tok
+  FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+        i -> {{'ord': i, 'line': lines[i]}})) AS u
+    FROM l)
+), groups AS (
+  SELECT line, MIN(k) AS kk, MAX(tok) AS gt FROM occ GROUP BY line
+), keepers AS (
+  SELECT CAST(kk // 1000000 AS BIGINT) AS doc_id,
+         COUNT(*) AS kept, SUM(gt) AS kept_tok
+  FROM groups GROUP BY 1
+), spine AS (
+  SELECT doc_id, COUNT(*) AS n_lines, SUM(tok) AS n_tokens
+  FROM occ GROUP BY doc_id
+)
+SELECT s.doc_id,
+  s.n_lines,
+  CAST(s.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept_lines,
+  CAST(s.n_lines - COALESCE(k.kept, 0) AS BIGINT) AS removed_lines,
+  CAST(FLOOR(1000000.0 * COALESCE(k.kept, 0) / s.n_lines + 0.5) AS BIGINT)
+    AS kept_ppm,
+  CAST(s.n_tokens - COALESCE(k.kept_tok, 0) AS BIGINT) AS removed_tokens
+FROM spine s LEFT JOIN keepers k ON s.doc_id = k.doc_id
+ORDER BY s.doc_id
 """
 
 
@@ -10211,6 +10363,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "html_text_extract": (q_html_text_extract, SQL_HTML_TEXT_EXTRACT),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "global_line_dedup": (q_global_line_dedup, SQL_GLOBAL_LINE_DEDUP),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),
@@ -10317,6 +10470,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corr_matrix": (q_corr_matrix, SQL_CORR_MATRIX),
     "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),

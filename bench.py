@@ -157,6 +157,8 @@ HEADLINE = [
     "lang_label_mismatch",
     "jaccard_threshold_sweep",
     "dup_length_spectrum",
+    "global_line_dedup",
+    "cms_heavy_hitters",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

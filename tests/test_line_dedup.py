@@ -1,0 +1,55 @@
+"""Planted fixture for corpus-global line dedup (C4's keep-first-occurrence
+span dedup): duplicate lines across documents, a repeat INSIDE one document,
+and a boilerplate line shared by three documents — keeper/removal counts and
+removed-token volume checked by hand.
+
+Reference analogue: the corpus-hygiene step before any per-user profiling
+(`data_normalizer.py` dedups exact event rows); here the unit is the line.
+"""
+
+from __future__ import annotations
+
+from anomaly_detection_spark.functions.repetition import line_dedup_stats
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, line_no int, line string")
+    out = line_dedup_stats(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_keep_first_occurrence_semantics(spark):
+    boiler = "subscribe to our newsletter"            # 4 tokens, 3 docs
+    rows = [
+        (1, 1, "alpha beta gamma"),                   # unique -> kept
+        (1, 2, boiler),                               # first occ -> kept
+        (2, 1, boiler),                               # later doc -> removed
+        (2, 2, "delta epsilon"),                      # unique -> kept
+        (3, 1, boiler),                               # removed
+        (3, 2, "zeta eta"),                           # first occ -> kept
+        (3, 3, "zeta eta"),                           # SAME-doc repeat -> removed
+    ]
+    got = _run(spark, rows)
+    assert got[1] == {"doc_id": 1, "n_lines": 2, "n_tokens": 7,
+                      "kept_lines": 2, "removed_lines": 0,
+                      "kept_ppm": 1_000_000, "removed_tokens": 0}
+    assert got[2]["kept_lines"] == 1 and got[2]["removed_lines"] == 1
+    assert got[2]["removed_tokens"] == 4                # lost the boiler line
+    assert got[3]["n_lines"] == 3 and got[3]["kept_lines"] == 1
+    assert got[3]["removed_tokens"] == 4 + 2            # boiler + repeat
+
+
+def test_doc_losing_every_line_still_reports(spark):
+    rows = [(1, 1, "x y"), (2, 1, "x y")]
+    got = _run(spark, rows)
+    assert got[2] == {"doc_id": 2, "n_lines": 1, "n_tokens": 2,
+                      "kept_lines": 0, "removed_lines": 1,
+                      "kept_ppm": 0, "removed_tokens": 2}
+
+
+def test_within_doc_first_line_wins_by_line_no(spark):
+    # Same doc, duplicate line: keeper is the LOWER line_no occurrence.
+    rows = [(7, 5, "a b c"), (7, 2, "a b c")]
+    got = _run(spark, rows)
+    assert got[7]["kept_lines"] == 1 and got[7]["removed_lines"] == 1

@@ -705,3 +705,42 @@ def test_knn_label_noise_bucket_join_is_equi(spark):
     plan = plan_of(knn_label_noise(df, k=3, n_planes=2, dim=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_no_line_keyed_join(spark):
+    """Global line dedup must never join on the (power-law) line-text key —
+    boilerplate lines appear in millions of docs. The line key may appear
+    only under hash-aggregates (map-side combined); the only join is the
+    per-doc close on the id key."""
+    from anomaly_detection_spark.functions.repetition import line_dedup_stats
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "CAST(id % 3 + 1 AS INT) AS line_no",
+        "CASE WHEN id % 5 = 0 THEN 'subscribe now' "
+        "ELSE concat('line ', id) END AS line")
+    plan = plan_of(line_dedup_stats(df))
+    join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert join_keys, "expected join key lines in the formatted plan"
+    for keys in join_keys:
+        assert "_l#" not in keys and "doc_id" in keys
+    # shuffles: line agg + keeper agg (+ possibly the spine agg); the
+    # per-doc close must be a broadcast, never a shuffled sort-merge
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_build_single_cell_keyed_exchange(spark):
+    """The sketch fold is ONE map-side-combined aggregate keyed by the
+    (row, bucket) cell — bounded state, no shuffle keyed by the value —
+    and estimation joins the ≤ depth·width sketch as a broadcast."""
+    from anomaly_detection_spark.functions.sketch import cms_build, cms_estimate
+
+    df = spark.range(500).selectExpr("concat('t', id % 40) AS k")
+    sk = cms_build(df, "k", depth=4, width=64)
+    plan = plan_of(sk)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan  # map-side combine present
+    est = cms_estimate(sk, spark.range(5).selectExpr("concat('t', id) AS k"),
+                       "k", depth=4, width=64)
+    eplan = plan_of(est)
+    assert "BroadcastHashJoin" in eplan and "SortMergeJoin" not in eplan
