@@ -291,3 +291,67 @@ def seasonal_residuals(events: DataFrame, ts_col: str = "ts",
             .alias("z_micro"),
         )
     )
+
+
+#: Integer EWMA kernel, λ = 1/4 truncated at K = 8 lags: weight of the
+#: k-th previous day ∝ (3/4)^(k-1), scaled by 4^(K-1) so every weight is
+#: an exact integer — the whole prediction stays in integer arithmetic
+#: and the DuckDB oracle matches bit-for-bit (no float kernel, no sqrt).
+EWMA_WEIGHTS = [3 ** (k - 1) * 4 ** (8 - k) for k in range(1, 9)]
+
+
+def ewma_control(daily: DataFrame, group_col: str = "event_type",
+                 day_col: str = "day", value_col: str = "cnt") -> DataFrame:
+    """EWMA control chart over a per-group daily series — the streaming-SPC
+    anomaly screen (Roberts 1959; NIST/SEMATECH 6.3.2.4) the reference
+    approximates with its rolling-mean daily-count drift detector
+    (``time_series_analyzer.py:132-138``, 7-day window): each day's count
+    is compared to the exponentially-weighted mean of its trailing 8 days
+    and flagged when the residual exceeds a 3σ Poisson band.
+
+    Exactness contract: the kernel is the INTEGER vector ``EWMA_WEIGHTS``
+    (λ = 1/4 scaled by 4⁷), the prediction is the integer division
+    ``(Σ wᵢ·xᵢ · 10⁶) div Σ wᵢ`` in ppm, and the 3σ test is the integer
+    comparison ``(x·den − num)² > 9·num·den`` (both sides exact longs —
+    square the Poisson band instead of taking a square root). Counts up
+    to ~10⁷/day fit the squared arithmetic in a long; beyond that, scale
+    the kernel down.
+
+    Shape at 100 TB: the raw stream folds to (group, day) counts by a
+    map-side-combined aggregate BEFORE this function; here the only
+    shuffle is the window partition on ``group`` over the tiny daily
+    series (≤ days-of-history rows per group). Eight ``lag()`` reads over
+    ONE window spec — one sort, no self-join per lag.
+
+    First days of each series (no trailing history) emit NULL prediction
+    and flag 0. Returns ``(group, day, cnt, pred_micro, flag)``.
+    """
+    w = Window.partitionBy(group_col).orderBy(day_col)
+    x = F.col(value_col)
+    num = sum(
+        (F.coalesce(F.lag(x, k).over(w), F.lit(0)) * F.lit(wk)
+         for k, wk in enumerate(EWMA_WEIGHTS, start=1)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(F.lag(x, k).over(w).isNotNull(), F.lit(wk)).otherwise(F.lit(0))
+         for k, wk in enumerate(EWMA_WEIGHTS, start=1)),
+        F.lit(0),
+    )
+    mid = daily.select(
+        group_col, day_col, x.cast("long").alias("cnt"),
+        num.cast("long").alias("_num"),
+        den.cast("long").alias("_den"),
+    )
+    resid = F.col("cnt") * F.col("_den") - F.col("_num")
+    return mid.select(
+        group_col, day_col, "cnt",
+        F.when(F.col("_den") > 0,
+               F.expr("(_num * 1000000) div _den")).cast("long")
+        .alias("pred_micro"),
+        F.when(
+            (F.col("_den") > 0)
+            & (resid * resid > F.lit(9) * F.col("_num") * F.col("_den")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("flag"),
+    )

@@ -841,6 +841,51 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_ewma_control(spark, sf):
+    """EWMA control chart (timeseries.ewma_control) per event type: daily
+    counts vs the exponentially-weighted mean of the trailing 8 days
+    (integer λ=1/4 kernel), 3σ Poisson band squared into pure-integer
+    arithmetic — the SPC twin of `change_points`' flat-window z-score.
+    Reference analogue: time_series_analyzer.py:132-138 rolling-mean
+    daily-count drift. Map-side-combined daily rollup, then one window
+    sort per event type over the tiny series."""
+    from anomaly_detection_spark.functions.timeseries import ewma_control
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return ewma_control(daily).orderBy("event_type", "day")
+
+
+_EWMA_W = [3 ** (k - 1) * 4 ** (8 - k) for k in range(1, 9)]
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(cnt, {k}) OVER w, 0) * {wk}"
+    for k, wk in enumerate(_EWMA_W, start=1))
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(cnt, {k}) OVER w IS NOT NULL THEN {wk} ELSE 0 END"
+    for k, wk in enumerate(_EWMA_W, start=1))
+
+SQL_EWMA_CONTROL = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+         CAST({_EWMA_NUM} AS BIGINT) AS num,
+         CAST({_EWMA_DEN} AS BIGINT) AS den
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, cnt,
+  CASE WHEN den > 0 THEN (num * 1000000) // den END AS pred_micro,
+  CAST(CASE WHEN den > 0
+            AND (cnt * den - num) * (cnt * den - num) > 9 * num * den
+       THEN 1 ELSE 0 END AS INTEGER) AS flag
+FROM lagged ORDER BY event_type, day
+"""
+
+
 def q_change_points(spark, sf):
     """W3 sliding change-point detection: daily totals vs trailing-7-day
     mean/std, z from exact integer sums (closed-form variance)."""
@@ -10331,6 +10376,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "daily_event_rollup": (q_daily_event_rollup, SQL_DAILY_EVENT_ROLLUP),
     "change_points": (q_change_points, SQL_CHANGE_POINTS),
+    "ewma_control": (q_ewma_control, SQL_EWMA_CONTROL),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

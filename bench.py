@@ -159,6 +159,7 @@ HEADLINE = [
     "dup_length_spectrum",
     "global_line_dedup",
     "cms_heavy_hitters",
+    "ewma_control",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
