@@ -96,3 +96,90 @@ def compaction_summary(files: DataFrame, part_col: str = "part",
         F.floor((F.col("n_files") - files_out) * F.lit(1_000_000)
                 / F.col("n_files")).cast("long").alias("reduction_ppm"),
     )
+
+
+def ranked_file_ids(df: DataFrame, order_col, id_col: str,
+                    rows_per_file: int, bin_col,
+                    out_col: str = "file_id") -> DataFrame:
+    """Assign each row the file it would land in under a sorted write:
+    global rank in ``(order_col, id_col)`` order, ``rows_per_file`` rows
+    per file — what ``repartitionByRange(...).sortWithinPartitions(...)``
+    produces, made DETERMINISTIC (range partitioning samples its
+    boundaries, so real file splits vary run to run; fixed-size splits of
+    the total order never do).
+
+    Never a global ``row_number`` window (single-task funnel — the
+    ``curation.shuffle_rank`` discipline): the caller supplies ``bin_col``,
+    a coarse bucketing that is monotone non-decreasing in ``order_col``
+    (e.g. ``value div 4096``); per-bin counts give exclusive bin offsets
+    via a window over the bin count only, broadcast back, and the
+    within-bin rank runs per bin. Ties break by ``id_col``, so the order
+    is total and engine-independent.
+    """
+    o = F.col(order_col) if isinstance(order_col, str) else order_col
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    t = df.select("*", o.alias("_o"), b.alias("_b"))
+    per_bin = t.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bin.select(
+        "_b", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff"))
+    wl = Window.partitionBy("_b").orderBy(F.asc("_o"), F.asc(id_col))
+    rank = F.col("_boff") + F.row_number().over(wl) - 1
+    return (
+        t.join(F.broadcast(offsets), "_b")
+        .withColumn("_rank", rank)
+        .withColumn(out_col, F.expr(f"_rank div {int(rows_per_file)}"))
+        .drop("_o", "_b", "_boff", "_rank")
+    )
+
+
+def zone_stats(df: DataFrame, file_col: str = "file_id",
+               stat_cols: list[str] | None = None) -> DataFrame:
+    """Per-file zone map: row count plus min/max per tracked column — the
+    parquet row-group / Iceberg manifest statistics a scan planner prunes
+    with. One map-side-combined aggregate; output is file-count-sized
+    (metadata, not data)."""
+    stat_cols = stat_cols or []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(*aggs)
+
+
+def skip_report(zones: DataFrame, predicates: list[tuple[str, str, int, int]],
+                stat_cols: list[str]) -> DataFrame:
+    """Evaluate range predicates against a zone-map frame: how many files
+    (and rows of I/O) must a scan touch, and what fraction is PRUNED by
+    min/max stats alone? ``predicates`` is ``(pred_id, col, lo, hi)`` with
+    inclusive integer bounds; a file is scanned iff its envelope
+    intersects ``[lo, hi]``. This quantifies what a layout choice is
+    worth BEFORE rewriting 100 TB — the planner-side what-if behind
+    ``zorder_layout`` vs a single-column sort.
+
+    The zones frame is metadata-sized, so the predicate sweep is a tiny
+    explode + aggregate; returns one row per predicate:
+    ``(pred_id, n_files, files_scanned, rows_scanned, skip_ppm)``.
+    """
+    pl = F.array(*[
+        F.struct(F.lit(p).alias("pid"), F.lit(c).alias("col"),
+                 F.lit(int(lo)).alias("lo"), F.lit(int(hi)).alias("hi"))
+        for (p, c, lo, hi) in predicates
+    ])
+    ex = zones.select("*", F.explode_outer(pl).alias("_p"))
+    mn, mx = F.lit(None), F.lit(None)
+    for c in stat_cols:
+        mn = F.when(F.col("_p.col") == c, F.col(f"min_{c}")).otherwise(mn)
+        mx = F.when(F.col("_p.col") == c, F.col(f"max_{c}")).otherwise(mx)
+    hit = (mx >= F.col("_p.lo")) & (mn <= F.col("_p.hi"))
+    out = ex.groupBy(F.col("_p.pid").alias("pred_id")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(hit.cast("long")).alias("files_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long").alias("rows_scanned"),
+    )
+    skipped = F.col("n_files") - F.col("files_scanned")
+    return out.select(
+        "pred_id", "n_files", "files_scanned", "rows_scanned",
+        F.floor(F.lit(1_000_000.0) * skipped / F.col("n_files") + F.lit(0.5))
+        .cast("long").alias("skip_ppm"),
+    )

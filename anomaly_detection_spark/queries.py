@@ -10344,6 +10344,111 @@ FROM plan GROUP BY part ORDER BY part
 """
 
 
+def q_scan_skip_report(spark, sf):
+    """Zone-map pruning what-if (maintenance.zone_stats + skip_report):
+    lay events out three ways — insertion order, value-sorted, Z-ordered
+    on (value bucket, user) — split the total order into fixed 512-row
+    files, and measure how many files (and rows of I/O) three range
+    predicates must touch under each layout's per-file min/max envelope.
+    This is the planner-side evidence behind `zorder_codes`: a
+    single-column sort prunes its own column near-perfectly and the other
+    not at all; Morton order prunes BOTH dimensions partially. File
+    ranks come from the two-phase prefix-sum (never a global-window
+    funnel); zones are metadata-sized, so the predicate sweep is free.
+    Reference analogue: none (the reference rescans its CSVs fully —
+    data layout is precisely what it lacks at scale)."""
+    from anomaly_detection_spark.functions import curation
+    from anomaly_detection_spark.functions import maintenance as mt
+
+    R = 512
+    PREDS = [("val_low", "cents", 100, 5000),
+             ("val_mid", "cents", 20000, 24000),
+             ("user_10s", "uid", 10, 19)]
+    SC = ["cents", "uid"]
+
+    e = load(spark, sf, "events")
+    base = e.select(
+        "event_id", _cents(F.col("value")).alias("cents"),
+        F.col("user_id").cast("long").alias("uid"))
+
+    def report(files, layout):
+        zones = mt.zone_stats(files, "file_id", SC)
+        return mt.skip_report(zones, PREDS, SC) \
+            .select(F.lit(layout).alias("layout"), "*")
+
+    nat = base.withColumn("file_id", F.expr(f"event_id div {R}"))
+    srt = mt.ranked_file_ids(base, "cents", "event_id", R,
+                             F.expr("cents div 4096"))
+    zc = base.withColumn(
+        "_z", curation.morton_code(F.expr("cents div 256"), F.col("uid"),
+                                   bits=8))
+    zo = mt.ranked_file_ids(zc, "_z", "event_id", R, F.expr("_z div 1024"))
+    return (
+        report(nat, "natural")
+        .unionByName(report(srt, "value_sorted"))
+        .unionByName(report(zo, "zorder_value_user"))
+        .orderBy("layout", "pred_id")
+    )
+
+
+SQL_SCAN_SKIP_REPORT = f"""
+WITH base AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(user_id AS BIGINT) AS uid
+  FROM events
+), nat AS (
+  SELECT *, event_id // 512 AS file_id FROM base
+), srt AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY cents, event_id) - 1) // 512
+         AS file_id
+  FROM base
+), zb AS (
+  SELECT *, CAST({_morton_sql('((cents // 256) & 255)', '(uid & 255)', 8)}
+         AS BIGINT) AS z
+  FROM base
+), zo AS (
+  SELECT *, (ROW_NUMBER() OVER (ORDER BY z, event_id) - 1) // 512 AS file_id
+  FROM zb
+), zones AS (
+  SELECT 'natural' AS layout, file_id, COUNT(*) AS n_rows,
+         MIN(cents) AS min_c, MAX(cents) AS max_c,
+         MIN(uid) AS min_u, MAX(uid) AS max_u
+  FROM nat GROUP BY 1, 2
+  UNION ALL
+  SELECT 'value_sorted', file_id, COUNT(*), MIN(cents), MAX(cents),
+         MIN(uid), MAX(uid)
+  FROM srt GROUP BY 1, 2
+  UNION ALL
+  SELECT 'zorder_value_user', file_id, COUNT(*), MIN(cents), MAX(cents),
+         MIN(uid), MAX(uid)
+  FROM zo GROUP BY 1, 2
+), preds AS (
+  SELECT * FROM (VALUES ('val_low', 'cents', 100, 5000),
+                        ('val_mid', 'cents', 20000, 24000),
+                        ('user_10s', 'uid', 10, 19)) p(pid, col, lo, hi)
+), j AS (
+  SELECT z.layout, p.pid,
+         CASE WHEN p.col = 'cents' THEN z.min_c ELSE z.min_u END AS mn,
+         CASE WHEN p.col = 'cents' THEN z.max_c ELSE z.max_u END AS mx,
+         p.lo, p.hi, z.n_rows
+  FROM zones z, preds p
+), agg AS (
+  SELECT layout, pid AS pred_id, COUNT(*) AS n_files,
+         SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END)
+           AS files_scanned,
+         SUM(CASE WHEN mx >= lo AND mn <= hi THEN n_rows ELSE 0 END)
+           AS rows_scanned
+  FROM j GROUP BY 1, 2
+)
+SELECT layout, pred_id, CAST(n_files AS BIGINT) AS n_files,
+       CAST(files_scanned AS BIGINT) AS files_scanned,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(FLOOR(1000000.0 * (n_files - files_scanned) / n_files + 0.5)
+            AS BIGINT) AS skip_ppm
+FROM agg ORDER BY layout, pred_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -10538,6 +10643,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+    "scan_skip_report": (q_scan_skip_report, SQL_SCAN_SKIP_REPORT),
     "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
     "length_batching": (q_length_batching, SQL_LENGTH_BATCHING),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),

@@ -160,6 +160,7 @@ HEADLINE = [
     "global_line_dedup",
     "cms_heavy_hitters",
     "ewma_control",
+    "scan_skip_report",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

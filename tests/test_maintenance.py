@@ -65,3 +65,57 @@ def test_all_big_partition_is_untouched(spark):
         df, target_size=100, small_threshold=100).collect()[0]
     assert (got["n_small"], got["n_groups"], got["files_out"]) == (0, 0, 2)
     assert got["reduction_ppm"] == 0
+
+
+# ----------------------------------------------------- zone-map skip audit
+
+def test_ranked_file_ids_matches_total_order(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(40)], "id long, v long")
+    out = maintenance.ranked_file_ids(
+        df, "v", "id", rows_per_file=10, bin_col=F.expr("v div 25"))
+    rows = sorted((r["v"], r["id"], r["file_id"]) for r in out.collect())
+    # file_id must equal global (v, id)-rank // 10
+    for rank, (v, i, fid) in enumerate(rows):
+        assert fid == rank // 10, (rank, v, i, fid)
+
+
+def test_zone_stats_and_skip_report_planted(spark):
+    from pyspark.sql import functions as F
+
+    # two files: values 0..9 and 100..109
+    df = spark.createDataFrame(
+        [(i, i if i < 10 else i + 90) for i in range(20)], "id long, v long")
+    files = df.withColumn("file_id", F.expr("id div 10"))
+    zones = maintenance.zone_stats(files, "file_id", ["v"])
+    z = {r["file_id"]: r.asDict() for r in zones.collect()}
+    assert z[0] == {"file_id": 0, "n_rows": 10, "min_v": 0, "max_v": 9}
+    assert z[1]["min_v"] == 100 and z[1]["max_v"] == 109
+
+    rep = maintenance.skip_report(
+        zones,
+        [("hit_one", "v", 5, 8), ("hit_both", "v", 9, 100),
+         ("hit_none", "v", 50, 60)],
+        ["v"])
+    got = {r["pred_id"]: r.asDict() for r in rep.collect()}
+    assert got["hit_one"]["files_scanned"] == 1
+    assert got["hit_one"]["rows_scanned"] == 10
+    assert got["hit_one"]["skip_ppm"] == 500_000
+    assert got["hit_both"]["files_scanned"] == 2
+    assert got["hit_none"]["files_scanned"] == 0
+    assert got["hit_none"]["skip_ppm"] == 1_000_000
+
+
+def test_skip_report_inclusive_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, 10), (1, 20)], "id long, v long")
+    zones = maintenance.zone_stats(
+        df.withColumn("file_id", F.lit(0)), "file_id", ["v"])
+    rep = maintenance.skip_report(
+        zones, [("lo_edge", "v", 20, 30), ("hi_edge", "v", 0, 10),
+                ("outside", "v", 21, 30)], ["v"])
+    got = {r["pred_id"]: r["files_scanned"] for r in rep.collect()}
+    assert got == {"lo_edge": 1, "hi_edge": 1, "outside": 0}

@@ -744,3 +744,19 @@ def test_cms_build_single_cell_keyed_exchange(spark):
                        "k", depth=4, width=64)
     eplan = plan_of(est)
     assert "BroadcastHashJoin" in eplan and "SortMergeJoin" not in eplan
+
+
+def test_ranked_file_ids_offsets_broadcast(spark):
+    """The bin-offset frame (≤ #bins rows) must come back as a broadcast
+    join; the global rank must never be a partition-less window funnel."""
+    from anomaly_detection_spark.functions.maintenance import ranked_file_ids
+
+    df = spark.range(1000).selectExpr("id", "(id * 37) % 500 AS v")
+    plan = plan_of(ranked_file_ids(df, "v", "id", 64, F.expr("v div 100")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the row_number window must be partitioned by the bin key — a
+    # windowspecdefinition whose first element is an ORDER spec (no
+    # partition column) would be the single-task global funnel
+    m = re.search(r"row_number\(\) windowspecdefinition\(_b#\d+L,", plan)
+    assert m, "row_number window is not partitioned by the bin key"
