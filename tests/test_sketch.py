@@ -79,3 +79,32 @@ def test_sketch_state_is_bounded(spark):
     df = spark.range(5000).select(F.concat(F.lit("k"), "id").alias("k"))
     sk = cms_build(df, "k", depth=D, width=W)
     assert sk.count() <= D * W
+
+
+def test_cms_build_works_as_streaming_aggregate(spark, tmp_path):
+    """The sketch fold is a plain keyed aggregate, so the SAME cms_build
+    runs unchanged as a Structured Streaming query (complete mode): the
+    final sketch after two file-batches equals the batch sketch over the
+    union — the incremental-ingest shape (fold each commit, never rescan)."""
+    a = [("x",)] * 3 + [("y",)] * 2
+    b = [("x",)] * 1 + [("z",)] * 4
+    spark.createDataFrame(a, "k string").coalesce(1) \
+        .write.parquet(str(tmp_path / "in" / "b0"))
+    spark.createDataFrame(b, "k string").coalesce(1) \
+        .write.parquet(str(tmp_path / "in" / "b1"))
+
+    stream = spark.readStream.schema("k string") \
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "in" / "*"))
+    q = (
+        cms_build(stream, "k", depth=D, width=W)
+        .writeStream.format("memory").queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _cells(spark.sql("SELECT * FROM cms_stream"))
+    want = _cells(cms_build(_df(spark, [r[0] for r in a + b]), "k",
+                            depth=D, width=W))
+    assert got == want
