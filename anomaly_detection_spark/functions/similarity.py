@@ -581,3 +581,72 @@ def knn_label_noise(
             (F.lit(2) * F.col("n_disagree") >= F.col("n_neighbors"))
             .cast("int").alias("noisy"))
     )
+
+
+def spectral_top_direction(emb: DataFrame, dim: int = 64,
+                           vec_col: str = "qv", iters: int = 3,
+                           scale_bits: int = 14) -> DataFrame:
+    """Top singular direction of the quantized embedding matrix by
+    INTEGER power iteration — the spectral-structure diagnostic behind
+    PCA/LSA (uncentered; at scale the mean folds in analytically rather
+    than by materializing centered vectors). Starting from the all-ones
+    vector, each round computes ``v ← Mᵀ(Mv)`` distributed: one scan
+    produces every row's projection ``d = ⟨q, v⟩`` and ONE wide
+    aggregate accumulates the ``dim`` component sums ``Σ d·qⱼ`` (the
+    IVF-codebook shape — never a posexplode of the corpus), then the
+    1-row result renormalizes to max-component 2^``scale_bits`` in pure
+    integer arithmetic (truncating div on the absolute value, so Spark's
+    ``div`` and DuckDB's ``//`` agree for negative components).
+
+    Everything is exact integers — deterministic across engines and
+    partitionings. Overflow headroom: |d| ≤ dim·127·2^scale_bits ≈ 1.3e8
+    and each component sum ≤ n·127·|d|, so a long holds to n ≈ 5·10⁸
+    rows; beyond that, per-partition partial normalization (same merge
+    law) keeps the arithmetic in range.
+
+    Input must carry ``vec_col`` as an int8-quantized long array
+    (``int8_quantize``). Returns a 1-row frame with column ``v``
+    (array<long>, the direction at scale 2^``scale_bits``).
+    """
+    q = emb.select(F.col(vec_col).alias("_q"))
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.array(*[F.lit(1).cast("long")] * dim).alias("v"))
+    for _ in range(iters):
+        joined = q.crossJoin(F.broadcast(v))
+        d = F.aggregate(
+            F.zip_with("_q", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = joined.select(d.alias("_d"), "_q")
+        sums = scored.agg(*[
+            F.sum(F.col("_d") * F.col("_q")[j]).alias(f"s{j}")
+            for j in range(dim)
+        ])
+        mx = sums.select(
+            "*",
+            F.greatest(*[F.abs(F.col(f"s{j}")) for j in range(dim)],
+                       F.lit(1)).alias("_mx"),
+        )
+        comp = [
+            F.when(
+                F.col(f"s{j}") < 0,
+                -F.expr(f"(abs(s{j}) * {1 << scale_bits}) div _mx"),
+            ).otherwise(
+                F.expr(f"(abs(s{j}) * {1 << scale_bits}) div _mx")
+            ).cast("long")
+            for j in range(dim)
+        ]
+        v = mx.select(F.array(*comp).alias("v"))
+    return v
+
+
+def spectral_projections(emb: DataFrame, direction: DataFrame,
+                         vec_col: str = "qv") -> DataFrame:
+    """Each row's integer projection onto a ``spectral_top_direction``
+    result: broadcast the 1-row direction, one zip_with dot product per
+    row — a pure scan, no shuffle. Appends column ``proj`` (long)."""
+    d = F.aggregate(
+        F.zip_with(vec_col, "v", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return emb.crossJoin(F.broadcast(direction)) \
+        .withColumn("proj", d).drop("v")

@@ -7723,6 +7723,79 @@ def q_embedding_int8_topk(spark, sf):
     )
 
 
+def q_embedding_spectral_top(spark, sf):
+    """Spectral structure of the embedding table
+    (similarity.spectral_top_direction): top singular direction of the
+    int8-quantized matrix by 3 rounds of INTEGER power iteration — each
+    round is one scan + ONE wide 64-component sum aggregate (the
+    IVF-codebook shape), renormalized in a 1-row frame with truncating
+    integer division so Spark and DuckDB agree bit-for-bit. Emits
+    per-label projection envelopes along the dominant direction — the
+    PCA-style class-structure diagnostic next to `class_separation`'s
+    centroid geometry. Uncentered by design (at 10^12 rows the mean
+    folds in analytically; materializing centered vectors would double
+    the integer dynamic range for nothing)."""
+    from anomaly_detection_spark.functions.similarity import (
+        int8_quantize, spectral_projections, spectral_top_direction)
+
+    e = load(spark, sf, "embeddings")
+    qz = e.select(
+        "vec_id", "label", int8_quantize(F.col("embedding")).alias("qv"))
+    direction = spectral_top_direction(qz, dim=64, iters=3)
+    proj = spectral_projections(qz, direction)
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("proj").alias("sum_proj"),
+        F.min("proj").alias("min_proj"),
+        F.max("proj").alias("max_proj"),
+    ).orderBy("label")
+
+
+def _spectral_iter_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f""", d{i} AS (
+  SELECT qv, list_sum(list_transform(range(1, 65),
+      k -> qv[k] * v[k])) AS d
+  FROM qz, {prev}
+), s{i} AS (
+  SELECT j, SUM(d * qv[j]) AS s FROM d{i}, dims GROUP BY j
+), n{i} AS (
+  SELECT GREATEST(MAX(ABS(s)), 1) AS mx FROM s{i}
+), v{i} AS (
+  SELECT list(CASE WHEN s < 0 THEN -((ABS(s) * 16384) // mx)
+              ELSE (ABS(s) * 16384) // mx END ORDER BY j) AS v
+  FROM s{i}, n{i}
+)"""
+
+
+SQL_EMBEDDING_SPECTRAL_TOP = f"""
+WITH qz AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 /
+                      (CASE WHEN mx > 0 THEN mx ELSE 1 END) + 0.5)
+           AS BIGINT)) AS qv
+  FROM (
+    SELECT *, list_max(list_transform(embedding,
+                                      v -> abs(CAST(v AS DOUBLE)))) AS mx
+    FROM embeddings)
+), dims AS (
+  SELECT unnest(range(1, 65)) AS j
+), v0 AS (
+  SELECT list_transform(range(1, 65), i -> CAST(1 AS BIGINT)) AS v
+){_spectral_iter_sql(1)}{_spectral_iter_sql(2)}{_spectral_iter_sql(3)}, proj AS (
+  SELECT label, list_sum(list_transform(range(1, 65),
+      k -> qv[k] * v[k])) AS d
+  FROM qz, v3
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS sum_proj,
+       CAST(MIN(d) AS BIGINT) AS min_proj,
+       CAST(MAX(d) AS BIGINT) AS max_proj
+FROM proj GROUP BY label ORDER BY label
+"""
+
+
 def q_embedding_int8_ivf(spark, sf):
     """INT8 × IVF composed ANN (similarity.int8_ivf_topk) — the production
     configuration at 100 TB: 4×-compressed vectors searched with the
@@ -10640,6 +10713,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
+    "embedding_spectral_top": (q_embedding_spectral_top, SQL_EMBEDDING_SPECTRAL_TOP),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

@@ -161,6 +161,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "ewma_control",
     "scan_skip_report",
+    "embedding_spectral_top",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
