@@ -355,3 +355,53 @@ def ewma_control(daily: DataFrame, group_col: str = "event_type",
             F.lit(1),
         ).otherwise(F.lit(0)).cast("int").alias("flag"),
     )
+
+
+def cusum_control(daily: DataFrame, group_col: str = "event_type",
+                  day_col: str = "day", value_col: str = "cnt",
+                  h_mad: int = 5) -> DataFrame:
+    """Two-sided CUSUM drift detector over a per-group daily series (Page
+    1954) — the persistent-small-shift complement to ``ewma_control``'s
+    level tracker and ``change_points``' spike z-score: a run of days all
+    slightly above the series mean accumulates until it crosses the
+    threshold, which a per-day band never notices.
+
+    The textbook recursion ``C⁺_t = max(0, C⁺_{t−1} + dev_t)`` is not a
+    window aggregate, but its closed form is: with ``S_t`` the prefix sum
+    of deviations, ``C⁺_t = S_t − min(0, min_{i≤t} S_i)`` and
+    ``C⁻_t = max(0, max_{i≤t} S_i) − S_t`` — one running sum plus a
+    running min/max over the SAME ordered window, so the whole detector
+    is two window passes per group, no recursion, no UDF.
+
+    Exactness: deviations are mean-centered WITHOUT division —
+    ``dev_t = n·x_t − Σx`` (everything scales by the group's day count n)
+    — and the alarm ``C > h_mad · mean|dev|`` is compared as
+    ``n·C > h_mad · Σ|dev|``. Pure longs end to end; the DuckDB oracle
+    replays it bit-for-bit. Safe while ``n²·x`` fits a long (n = days of
+    history, so ~10⁹ days · counts — never the constraint).
+
+    Returns ``(group, day, cnt, cusum_pos, cusum_neg, flag)``; the cusum
+    columns are in the n-scaled deviation unit.
+    """
+    x = F.col(value_col).cast("long")
+    stats = Window.partitionBy(group_col)
+    t = daily.select(
+        group_col, day_col, x.alias("cnt"),
+        (F.count(F.lit(1)).over(stats) * x
+         - F.sum(x).over(stats)).alias("_dev"),
+        F.count(F.lit(1)).over(stats).alias("_n"),
+    ).withColumn("_a", F.sum(F.abs(F.col("_dev"))).over(stats))
+    run = Window.partitionBy(group_col).orderBy(day_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    t = t.withColumn("_s", F.sum("_dev").over(run)) \
+         .withColumn("_mn", F.least(F.lit(0), F.min("_s").over(run))) \
+         .withColumn("_mx", F.greatest(F.lit(0), F.max("_s").over(run)))
+    cpos = F.col("_s") - F.col("_mn")
+    cneg = F.col("_mx") - F.col("_s")
+    alarm = ((F.col("_n") * cpos > F.lit(h_mad) * F.col("_a"))
+             | (F.col("_n") * cneg > F.lit(h_mad) * F.col("_a")))
+    return t.select(
+        group_col, day_col, "cnt",
+        cpos.alias("cusum_pos"), cneg.alias("cusum_neg"),
+        alarm.cast("int").alias("flag"),
+    )

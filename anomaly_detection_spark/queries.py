@@ -886,6 +886,56 @@ FROM lagged ORDER BY event_type, day
 """
 
 
+def q_cusum_control(spark, sf):
+    """Two-sided CUSUM drift alarm (timeseries.cusum_control) per event
+    type: the Page 1954 recursion in its closed window form (prefix sum
+    minus running min), deviations mean-centered WITHOUT division
+    (everything n-scaled), alarm at 5× the mean absolute deviation —
+    pure-long arithmetic the oracle replays exactly. Catches the
+    persistent small shift that per-day bands (`ewma_control`) and spike
+    z-scores (`change_points`) both miss. Reference analogue:
+    time_series_analyzer.py trend drift over daily counts."""
+    from anomaly_detection_spark.functions.timeseries import cusum_control
+
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cusum_control(daily).orderBy("event_type", "day")
+
+
+SQL_CUSUM_CONTROL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+         COUNT(*) OVER g * cnt - SUM(cnt) OVER g AS dev,
+         COUNT(*) OVER g AS n
+  FROM daily
+  WINDOW g AS (PARTITION BY event_type)
+), t2 AS (
+  SELECT *, SUM(ABS(dev)) OVER (PARTITION BY event_type) AS a,
+         SUM(dev) OVER r AS s
+  FROM t
+  WINDOW r AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+), t3 AS (
+  SELECT *, LEAST(0, MIN(s) OVER r) AS mn,
+         GREATEST(0, MAX(s) OVER r) AS mx
+  FROM t2
+  WINDOW r AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, cnt,
+       CAST(s - mn AS BIGINT) AS cusum_pos,
+       CAST(mx - s AS BIGINT) AS cusum_neg,
+       CAST(CASE WHEN n * (s - mn) > 5 * a OR n * (mx - s) > 5 * a
+            THEN 1 ELSE 0 END AS INTEGER) AS flag
+FROM t3 ORDER BY event_type, day
+"""
+
+
 def q_change_points(spark, sf):
     """W3 sliding change-point detection: daily totals vs trailing-7-day
     mean/std, z from exact integer sums (closed-form variance)."""
@@ -10555,6 +10605,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "daily_event_rollup": (q_daily_event_rollup, SQL_DAILY_EVENT_ROLLUP),
     "change_points": (q_change_points, SQL_CHANGE_POINTS),
     "ewma_control": (q_ewma_control, SQL_EWMA_CONTROL),
+    "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

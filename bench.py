@@ -162,6 +162,7 @@ HEADLINE = [
     "ewma_control",
     "scan_skip_report",
     "embedding_spectral_top",
+    "cusum_control",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -58,3 +58,49 @@ def test_groups_are_independent(spark):
            for r in ewma_control(df).collect()}
     assert got[("b", "2026-01-01")]["pred_micro"] is None
     assert got[("a", "2026-01-02")]["pred_micro"] == 16_000_000
+
+
+# ------------------------------------------------------------------ CUSUM
+
+def _cusum(spark, counts, group="a"):
+    from anomaly_detection_spark.functions.timeseries import cusum_control
+    rows = [(group, f"2026-01-{d + 1:02d}", c) for d, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "event_type string, day string, cnt long")
+    return {r["day"]: r.asDict() for r in cusum_control(df).collect()}
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    # replay C+_t = max(0, C+_{t-1} + dev_t) in python (n-scaled) and
+    # compare the closed window form against it exactly
+    counts = [10, 12, 9, 15, 11, 30, 31, 29, 8, 10]
+    n, tot = len(counts), sum(counts)
+    cpos = cneg = 0
+    want = []
+    for x in counts:
+        dev = n * x - tot
+        cpos = max(0, cpos + dev)
+        cneg = max(0, cneg - dev)
+        want.append((cpos, cneg))
+    got = _cusum(spark, counts)
+    for d, (wp, wn) in enumerate(want):
+        r = got[f"2026-01-{d + 1:02d}"]
+        assert (r["cusum_pos"], r["cusum_neg"]) == (wp, wn)
+
+
+def test_cusum_flags_persistent_shift_not_single_spike(spark):
+    # a sustained +3 shift over the back half must alarm eventually
+    shift = [10] * 10 + [13] * 10
+    got = _cusum(spark, shift)
+    assert got["2026-01-20"]["flag"] == 1
+    assert got["2026-01-02"]["flag"] == 0
+    # symmetric: a sustained downward shift alarms on the negative side
+    down = [13] * 10 + [10] * 10
+    gd = _cusum(spark, down)
+    assert gd["2026-01-20"]["flag"] == 1
+    assert gd["2026-01-20"]["cusum_neg"] > gd["2026-01-20"]["cusum_pos"]
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    got = _cusum(spark, [7] * 12)
+    assert all(r["flag"] == 0 and r["cusum_pos"] == 0 and r["cusum_neg"] == 0
+               for r in got.values())
