@@ -97,3 +97,87 @@ def best_links(
         .filter(F.col("rn") == 1)
         .select("dirty_id", "clean_id", "jacc_ppm")
     )
+
+
+def golden_records(records: DataFrame, cluster_col: str,
+                   freq_cols: list[str], latest_cols: list[str],
+                   order_col: str) -> DataFrame:
+    """Survivorship: collapse each linked cluster to one golden row — the
+    master-data-management step after ``best_links``. Two published rules:
+
+    * ``freq_cols`` — most frequent non-NULL value wins (ties: smallest
+      value), plus a ``<col>_conflicts`` count of competing distinct
+      non-NULL values beyond the winner;
+    * ``latest_cols`` — the non-NULL value with the highest ``order_col``
+      wins (``order_col`` must be a unique integer per record — e.g.
+      epoch micros ⊕ record id — so there are no ties to break).
+
+    Scale shape: every attribute rides ONE stacked long format
+    ``(cluster, attr, value, order)`` built with a single in-row explode
+    — never one shuffle per attribute. Frequency attrs take a map-side-
+    combined count then a per-(cluster, attr) top-1 window; latest attrs
+    a top-1 window directly. The close is one pivot-style aggregate back
+    to a row per cluster. Three shuffles total regardless of how many
+    attributes are consolidated, all keyed by (cluster, attr) — no skew
+    (clusters are entity-sized, not corpus-sized).
+
+    All values pass through as strings (cast before calling for typed
+    attrs). Returns one row per cluster: ``(cluster, n_records,
+    <freq col>, <freq col>_conflicts …, <latest col> …)``.
+    """
+    cl = F.col(cluster_col)
+
+    def stacked(cols):
+        arr = F.array(*[
+            F.struct(F.lit(c).alias("attr"),
+                     F.col(c).cast("string").alias("value"))
+            for c in cols
+        ])
+        return F.explode_outer(arr).alias("_s")
+
+    freq = records.select(cl, stacked(freq_cols)) \
+        .select(cluster_col, "_s.attr", "_s.value") \
+        .filter(F.col("value").isNotNull())
+    counts = freq.groupBy(cluster_col, "attr", "value") \
+        .agg(F.count(F.lit(1)).alias("_c"))
+    wf = Window.partitionBy(cluster_col, "attr") \
+        .orderBy(F.desc("_c"), F.asc("value"))
+    freq_win = counts.select(
+        cluster_col, "attr", "value",
+        F.row_number().over(wf).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(cluster_col, "attr")).alias("_nv"),
+    ).filter(F.col("_rn") == 1).select(
+        cluster_col, "attr", "value",
+        (F.col("_nv") - 1).cast("long").alias("_conflicts"))
+
+    latest = records.select(cl, F.col(order_col).alias("_o"),
+                            stacked(latest_cols)) \
+        .select(cluster_col, "_o", "_s.attr", "_s.value")
+    wl = Window.partitionBy(cluster_col, "attr").orderBy(
+        F.desc(F.col("value").isNotNull().cast("int")), F.desc("_o"))
+    latest_win = latest.select(
+        cluster_col, "attr", "value",
+        F.row_number().over(wl).alias("_rn"),
+    ).filter(F.col("_rn") == 1).select(
+        cluster_col, "attr", "value",
+        F.lit(None).cast("long").alias("_conflicts"))
+
+    longf = freq_win.unionByName(latest_win)
+    n_rec = records.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_records"))
+    picks = [
+        F.max(F.when(F.col("attr") == c, F.col("value"))).alias(c)
+        for c in freq_cols + latest_cols
+    ] + [
+        F.max(F.when(F.col("attr") == c, F.col("_conflicts")))
+        .alias(f"{c}_conflicts")
+        for c in freq_cols
+    ]
+    joined = n_rec.join(longf.groupBy(cluster_col).agg(*picks), cluster_col,
+                        "left")
+    return joined.select(
+        cluster_col, "n_records", *(freq_cols + latest_cols),
+        *[F.coalesce(F.col(f"{c}_conflicts"), F.lit(0))
+          .alias(f"{c}_conflicts") for c in freq_cols],
+    )

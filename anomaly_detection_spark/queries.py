@@ -8471,6 +8471,83 @@ FROM q GROUP BY domain ORDER BY domain
 """
 
 
+def q_golden_records(spark, sf):
+    """Survivorship / golden-record consolidation (linkage.golden_records)
+    — the MDM step after fuzzy linking: multi-source customer records are
+    synthesized deterministically (2-3 source rows per customer; source 2
+    disagrees on segment for every 7th key; every (key+source)%5 name is
+    NULL), then each cluster collapses to one golden row — most-frequent-
+    non-NULL for segment (ties to the smallest value, conflict count
+    emitted), latest-non-NULL by record order for name. All attributes
+    ride ONE stacked explode and three (cluster, attr)-keyed shuffles
+    total, however many columns are consolidated. Reference analogue:
+    data_normalizer.py merges sources by exact id only — no survivorship
+    semantics at all."""
+    from anomaly_detection_spark.functions.linkage import golden_records
+
+    c = load(spark, sf, "customer")
+    srcs = F.when(F.col("c_custkey") % 3 == 0,
+                  F.array(F.lit(1), F.lit(2), F.lit(3)))         .otherwise(F.array(F.lit(1), F.lit(2)))
+    r = c.select("c_custkey", "c_name", "c_mktsegment",
+                 F.explode_outer(srcs).alias("s"))
+    rec = r.select(
+        F.col("c_custkey").alias("cluster_id"),
+        (F.col("c_custkey") * 10 + F.col("s")).alias("ord"),
+        F.when((F.col("s") == 2) & (F.col("c_custkey") % 7 == 0),
+               F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.when((F.col("c_custkey") + F.col("s")) % 5 == 0,
+               F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("c_name"), F.lit("-"),
+                            F.col("s").cast("string"))).alias("name"),
+    )
+    return golden_records(rec, "cluster_id", ["segment"], ["name"], "ord") \
+        .orderBy("cluster_id")
+
+
+SQL_GOLDEN_RECORDS = """
+WITH rec AS (
+  SELECT c_custkey AS cluster_id,
+         c_custkey * 10 + s AS ord,
+         CASE WHEN s = 2 AND c_custkey % 7 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS segment,
+         CASE WHEN (c_custkey + s) % 5 = 0 THEN NULL
+              ELSE c_name || '-' || CAST(s AS VARCHAR) END AS name
+  FROM (SELECT *, unnest(CASE WHEN c_custkey % 3 = 0 THEN [1, 2, 3]
+                         ELSE [1, 2] END) AS s
+        FROM customer)
+), nrec AS (
+  SELECT cluster_id, COUNT(*) AS n_records FROM rec GROUP BY 1
+), segc AS (
+  SELECT cluster_id, segment AS value, COUNT(*) AS c
+  FROM rec WHERE segment IS NOT NULL GROUP BY 1, 2
+), segw AS (
+  SELECT cluster_id, value,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY c DESC, value ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS nv
+  FROM segc
+), seg AS (
+  SELECT cluster_id, value AS segment,
+         CAST(nv - 1 AS BIGINT) AS segment_conflicts
+  FROM segw WHERE rn = 1
+), phw AS (
+  SELECT cluster_id, name,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY (name IS NOT NULL) DESC, ord DESC)
+           AS rn
+  FROM rec
+), ph AS (
+  SELECT cluster_id, name FROM phw WHERE rn = 1
+)
+SELECT n.cluster_id, n.n_records, s.segment, p.name,
+       COALESCE(s.segment_conflicts, 0) AS segment_conflicts
+FROM nrec n LEFT JOIN seg s USING (cluster_id)
+LEFT JOIN ph p USING (cluster_id)
+ORDER BY n.cluster_id
+"""
+
+
 def q_entity_linkage(spark, sf):
     """Fuzzy record linkage (linkage.best_links): every 7th customer is
     re-emitted as a 'dirty' source record (lowercased, '#' → space) and
@@ -10643,6 +10720,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),
     "entity_linkage": (q_entity_linkage, SQL_ENTITY_LINKAGE),
+    "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),

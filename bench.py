@@ -163,6 +163,7 @@ HEADLINE = [
     "scan_skip_report",
     "embedding_spectral_top",
     "cusum_control",
+    "golden_records",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

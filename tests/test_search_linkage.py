@@ -156,3 +156,32 @@ def test_best_links_min_ppm_gate(spark):
     cdf = spark.createDataFrame([(1, "aaaa", 0)], "rec_id long, name string, blk int")
     ddf = spark.createDataFrame([(2, "zzzz", 0)], "rec_id long, name string, blk int")
     assert best_links(ddf, cdf, ["blk"], min_ppm=500000).count() == 0
+
+
+# ------------------------------------------------------------ survivorship
+
+def test_golden_records_rules(spark):
+    from anomaly_detection_spark.functions.linkage import golden_records
+
+    rows = [
+        # cluster 1: freq attr 'seg' 2-1 split; latest 'nm' with null last
+        (1, 1, "A", "x1"),
+        (1, 2, "B", "x2"),
+        (1, 3, "A", None),     # latest row's name is NULL -> x2 survives
+        # cluster 2: freq tie 1-1 -> smallest value wins; all names null
+        (2, 1, "B", None),
+        (2, 2, "A", None),
+        # cluster 3: all seg null -> golden NULL, 0 conflicts
+        (3, 1, None, "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, ord long, seg string, nm string")
+    got = {r["cluster_id"]: r.asDict()
+           for r in golden_records(df, "cluster_id", ["seg"], ["nm"],
+                                   "ord").collect()}
+    assert got[1]["seg"] == "A" and got[1]["seg_conflicts"] == 1
+    assert got[1]["nm"] == "x2" and got[1]["n_records"] == 3
+    assert got[2]["seg"] == "A" and got[2]["seg_conflicts"] == 1
+    assert got[2]["nm"] is None
+    assert got[3]["seg"] is None and got[3]["seg_conflicts"] == 0
+    assert got[3]["nm"] == "only"
