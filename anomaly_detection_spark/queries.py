@@ -7025,6 +7025,86 @@ ORDER BY 1
 """
 
 
+def q_join_size_estimate(spark, sf):
+    """Sketch-based join-cardinality estimation (sketch.cms_inner_product):
+    |A ⋈ B| on three TPC-H fk pairs estimated from 4×1024 count-min
+    sketches of each key column — the planner-side statistic that decides
+    broadcast vs shuffle vs salting WITHOUT executing the join or holding
+    per-key counts (whose cardinality is unbounded at 100 TB). The exact
+    Σ f_A·f_B rides the key-count join as the verification side; the CMS
+    guarantee (estimate never undercounts) is emitted as over_ppm."""
+    from anomaly_detection_spark.functions.sketch import (
+        cms_build, cms_inner_product)
+
+    PAIRS = [
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+    ]
+    outs = []
+    for pair, ta, ca, tb, cb in PAIRS:
+        a, b = load(spark, sf, ta), load(spark, sf, tb)
+        ska = cms_build(a.select(ca), ca, depth=4, width=1024)
+        skb = cms_build(b.select(cb), cb, depth=4, width=1024)
+        est = cms_inner_product(ska, skb)
+        fa = a.groupBy(F.col(ca).alias("_k")).agg(F.count(F.lit(1)).alias("_fa"))
+        fb = b.groupBy(F.col(cb).alias("_k")).agg(F.count(F.lit(1)).alias("_fb"))
+        exact = fa.join(fb, "_k").agg(
+            F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0))
+            .cast("long").alias("exact_rows"))
+        outs.append(
+            exact.crossJoin(est)
+            .select(F.lit(pair).alias("pair"), "exact_rows", "est_rows"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "pair", "exact_rows", "est_rows",
+        F.floor(F.lit(1_000_000.0) * (F.col("est_rows") - F.col("exact_rows"))
+                / F.greatest(F.col("exact_rows"), F.lit(1)) + F.lit(0.5))
+        .cast("long").alias("over_ppm"),
+    ).orderBy("pair")
+
+
+def _cms_pair_sql(pair: str, ta: str, ca: str, tb: str, cb: str) -> str:
+    def sk(t, c):
+        h = (f"CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'"
+             f"||CAST({c} AS VARCHAR)),1,8)) AS BIGINT) % 1024")
+        return (f"SELECT r, {h} AS bucket, COUNT(*) AS cnt "
+                f"FROM {t}, rows_ GROUP BY 1, 2")
+    return f"""
+  SELECT '{pair}' AS pair,
+    (SELECT COALESCE(SUM(fa.c * fb.c), 0) FROM
+       (SELECT {ca} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) fa
+       JOIN (SELECT {cb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) fb
+       USING (k)) AS exact_rows,
+    (SELECT CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ip) END FROM (
+       SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+       FROM ({sk(ta, ca)}) a JOIN ({sk(tb, cb)}) b
+         ON a.r = b.r AND a.bucket = b.bucket
+       GROUP BY a.r)) AS est_rows"""
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r), u AS (
+{_cms_pair_sql('orders_customer', 'orders', 'o_custkey',
+               'customer', 'c_custkey')}
+  UNION ALL
+{_cms_pair_sql('lineitem_part', 'lineitem', 'l_partkey',
+               'part', 'p_partkey')}
+  UNION ALL
+{_cms_pair_sql('lineitem_orders', 'lineitem', 'l_orderkey',
+               'orders', 'o_orderkey')}
+)
+SELECT pair, CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST(est_rows AS BIGINT) AS est_rows,
+       CAST(FLOOR(1000000.0 * (est_rows - exact_rows)
+                  / GREATEST(exact_rows, 1) + 0.5) AS BIGINT) AS over_ppm
+FROM u ORDER BY pair
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Per-column heavy hitters (profiler.frequent_values): top-3 values
     of three documents columns from ONE scan — stack-unpivot, one
@@ -10824,6 +10904,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "checksum_reconcile": (q_checksum_reconcile, SQL_CHECKSUM_RECONCILE),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),

@@ -164,6 +164,7 @@ HEADLINE = [
     "embedding_spectral_top",
     "cusum_control",
     "golden_records",
+    "join_size_estimate",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

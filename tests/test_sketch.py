@@ -108,3 +108,25 @@ def test_cms_build_works_as_streaming_aggregate(spark, tmp_path):
     want = _cells(cms_build(_df(spark, [r[0] for r in a + b]), "k",
                             depth=D, width=W))
     assert got == want
+
+
+def test_inner_product_estimates_join_size(spark):
+    from anomaly_detection_spark.functions.sketch import cms_inner_product
+
+    a_keys = ["k1"] * 3 + ["k2"] * 2 + ["a_only"] * 4
+    b_keys = ["k1"] * 5 + ["k2"] * 1 + ["b_only"] * 7
+    exact = 3 * 5 + 2 * 1  # = 17
+    ska = cms_build(_df(spark, a_keys), "k", depth=D, width=W)
+    skb = cms_build(_df(spark, b_keys), "k", depth=D, width=W)
+    est = cms_inner_product(ska, skb).collect()[0]["est_rows"]
+    assert est >= exact                   # one-sided error
+    assert est <= exact + len(a_keys) * len(b_keys) // W + 9
+
+
+def test_inner_product_disjoint_keys_near_zero(spark):
+    from anomaly_detection_spark.functions.sketch import cms_inner_product
+
+    ska = cms_build(_df(spark, ["x", "y"]), "k", depth=D, width=W)
+    skb = cms_build(_df(spark, ["p", "q"]), "k", depth=D, width=W)
+    est = cms_inner_product(ska, skb).collect()[0]["est_rows"]
+    assert 0 <= est <= 1  # only a full-depth collision could make it 1
