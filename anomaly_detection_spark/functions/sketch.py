@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _bucket(c: Column, row: int, width: int) -> Column:
@@ -130,3 +131,64 @@ def cms_inner_product(a: DataFrame, b: DataFrame,
     return per_row.agg(
         F.when(F.count(F.lit(1)) < depth, F.lit(0))
         .otherwise(F.min("_ip")).cast("long").alias("est_rows"))
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the Theta-sketch family): keep the ``k`` smallest md5 hashes of the
+    DISTINCT keys. Where the CMS estimates frequencies and the Bloom
+    filter membership, KMV estimates CARDINALITY in bounded space — and
+    unlike HyperLogLog implementations (engine-private register layouts)
+    the k-min set over md5 is bit-identical in every engine, so the
+    DuckDB oracle replays it exactly.
+
+    Shape: per-key hash (first 15 md5 hex digits → 60-bit integer, no
+    collisions in practice), ONE distinct-agg on the hash, then the
+    standard two-phase top-k: partial ``TakeOrderedAndProject`` inside
+    each task ships ≤ k rows per partition — never a global sort of the
+    key space. Returns ``(pos, hash)`` with pos 1..k ascending.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # NULL keys are excluded (a NULL hash would sort engine-dependently)
+    hashes = df.select(h.alias("hash")).filter(F.col("hash").isNotNull()) \
+        .distinct()
+    # orderBy + limit plans as TakeOrderedAndProject (partial per task);
+    # the pos window then runs over ≤ k rows — metadata-sized by then
+    kmin = hashes.orderBy("hash").limit(k)
+    w = Window.orderBy("hash")
+    return kmin.select(F.row_number().over(w).alias("pos"), "hash")
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two KMV sketches: union the hash sets, keep the k smallest
+    (re-ranked). ``merge(build(A), build(B)) == build(A ∪ B)`` exactly —
+    per-partition/per-snapshot sketches roll up without rescans."""
+    u = a.select("hash").unionByName(b.select("hash")).distinct()
+    kmin = u.orderBy("hash").limit(k)
+    w = Window.orderBy("hash")
+    return kmin.select(F.row_number().over(w).alias("pos"), "hash")
+
+
+#: The 60-bit hash keyspace KMV fractions are measured against.
+KMV_SPACE = 16 ** 15
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the sketch holds
+    fewer than k hashes the count is EXACT (every distinct key is
+    present); otherwise ``(k − 1) · SPACE div kth_min_hash`` — the
+    standard unbiased KMV estimator, floored in integer arithmetic so
+    both engines agree bit-for-bit. Returns one row ``(n_hashes, est)``."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("hash").alias("_kth"),
+    )
+    return agg.select(
+        "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+        .otherwise(F.expr(f"cast(({k - 1} * cast({KMV_SPACE} as decimal(38,0)))"
+                          f" div _kth as bigint)"))
+        .cast("long").alias("est"),
+    )

@@ -7025,6 +7025,81 @@ ORDER BY 1
 """
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketches (sketch.kmv_build/kmv_estimate) over
+    four key columns: the engine-portable cardinality sketch (k smallest
+    md5 hashes; HyperLogLog register layouts are engine-private, the
+    k-min set is not). Columns under k=256 distinct values take the exact
+    path (the sketch IS the distinct set); larger ones exercise the
+    (k−1)·SPACE div kth_min estimator — signed error vs the exact
+    distinct count is emitted per column. Sketches fold with ONE
+    distinct-agg + partial top-k per task (TakeOrderedAndProject), never
+    a global sort of the key space; merge==recompute is property-tested
+    in tests/test_sketch.py."""
+    from anomaly_detection_spark.functions.sketch import (
+        kmv_build, kmv_estimate)
+
+    COLS = [
+        ("documents.lang", "documents", "lang"),
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+    outs = []
+    for label, table, col in COLS:
+        t = load(spark, sf, table)
+        est = kmv_estimate(kmv_build(t, col, k=256), k=256)
+        exact = t.filter(F.col(col).isNotNull()).agg(
+            F.countDistinct(col).cast("long").alias("exact"))
+        outs.append(
+            est.crossJoin(exact)
+            .select(F.lit(label).alias("column"), "n_hashes", "est",
+                    "exact"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "column", "n_hashes", "est", "exact",
+        F.floor(F.lit(1_000_000.0) * (F.col("est") - F.col("exact"))
+                / F.greatest(F.col("exact"), F.lit(1)) + F.lit(0.5))
+        .cast("long").alias("err_ppm"),
+    ).orderBy("column")
+
+
+def _kmv_col_sql(label: str, table: str, col: str) -> str:
+    h = (f"CAST(('0x'||substr(md5(CAST({col} AS VARCHAR)),1,15)) AS BIGINT)")
+    return f"""
+  SELECT '{label}' AS "column", n_hashes, est,
+    (SELECT COUNT(DISTINCT {col}) FROM {table}
+     WHERE {col} IS NOT NULL) AS exact
+  FROM (
+    SELECT COUNT(*) AS n_hashes,
+      CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+           ELSE CAST(CAST(1152921504606846976 AS HUGEINT) * 255
+                     // MAX(hash) AS BIGINT) END AS est
+    FROM (SELECT DISTINCT {h} AS hash FROM {table}
+          WHERE {col} IS NOT NULL
+          ORDER BY hash LIMIT 256))"""
+
+
+SQL_KMV_DISTINCT = f"""
+WITH u AS (
+{_kmv_col_sql('documents.lang', 'documents', 'lang')}
+  UNION ALL
+{_kmv_col_sql('events.user_id', 'events', 'user_id')}
+  UNION ALL
+{_kmv_col_sql('lineitem.l_partkey', 'lineitem', 'l_partkey')}
+  UNION ALL
+{_kmv_col_sql('orders.o_custkey', 'orders', 'o_custkey')}
+)
+SELECT "column", CAST(n_hashes AS BIGINT) AS n_hashes,
+       CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+       CAST(FLOOR(1000000.0 * (est - exact) / GREATEST(exact, 1) + 0.5)
+            AS BIGINT) AS err_ppm
+FROM u ORDER BY "column"
+"""
+
+
 def q_join_size_estimate(spark, sf):
     """Sketch-based join-cardinality estimation (sketch.cms_inner_product):
     |A ⋈ B| on three TPC-H fk pairs estimated from 4×1024 count-min
@@ -10905,6 +10980,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),

@@ -165,6 +165,7 @@ HEADLINE = [
     "cusum_control",
     "golden_records",
     "join_size_estimate",
+    "kmv_distinct",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -130,3 +130,44 @@ def test_inner_product_disjoint_keys_near_zero(spark):
     skb = cms_build(_df(spark, ["p", "q"]), "k", depth=D, width=W)
     est = cms_inner_product(ska, skb).collect()[0]["est_rows"]
     assert 0 <= est <= 1  # only a full-depth collision could make it 1
+
+
+# ------------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_k(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_estimate
+
+    df = _df(spark, [f"v{i}" for i in range(40)] * 3)  # 40 distinct
+    got = kmv_estimate(kmv_build(df, "k", k=64), k=64).collect()[0]
+    assert got["n_hashes"] == 40 and got["est"] == 40
+
+
+def test_kmv_estimates_within_tolerance_above_k(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_estimate
+
+    n = 2000
+    df = _df(spark, [f"key{i}" for i in range(n)])
+    got = kmv_estimate(kmv_build(df, "k", k=128), k=128).collect()[0]
+    assert got["n_hashes"] == 128
+    # KMV relative error ~ 1/sqrt(k) ≈ 9%; allow 3 sigma
+    assert abs(got["est"] - n) < 0.27 * n
+
+
+def test_kmv_merge_equals_recompute(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_merge
+
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(300)] + a[:100]
+    sa = kmv_build(_df(spark, a), "k", k=64)
+    sb = kmv_build(_df(spark, b), "k", k=64)
+    merged = [(r["pos"], r["hash"]) for r in kmv_merge(sa, sb, k=64).collect()]
+    whole = [(r["pos"], r["hash"])
+             for r in kmv_build(_df(spark, a + b), "k", k=64).collect()]
+    assert sorted(merged) == sorted(whole)
+
+
+def test_kmv_ignores_nulls(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build
+
+    df = spark.createDataFrame([("x",), (None,), ("y",)], "k string")
+    assert kmv_build(df, "k", k=16).count() == 2
