@@ -192,3 +192,64 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
                           f" div _kth as bigint)"))
         .cast("long").alias("est"),
     )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches (the Theta-sketch
+    intersection, Dasgupta et al. 2016): take the k smallest hashes of
+    the UNION of the two sketches — a uniform sample of the union — and
+    count how many of those are present in BOTH sketches. That fraction
+    estimates the Jaccard similarity; multiplied by the union cardinality
+    estimate it yields the intersection size — all WITHOUT joining the
+    underlying tables (the point at 100 TB: cross-table key overlap,
+    split-leakage screens, vocabulary sharing between sources, from
+    kilobyte sketches).
+
+    The theta cut: a sketch only KNOWS membership below its own kth-min
+    hash, so the union sample is restricted to hashes ≤ θ =
+    min(θ_a, θ_b) over the sketches that are full (a sketch with fewer
+    than k hashes holds its entire set and imposes no cut). Within the
+    cut, "in both" is decidable exactly; the Theta estimator
+    ``count·SPACE div θ`` scales counts back up. When neither sketch is
+    full everything is exact.
+
+    All frames here are ≤ 2k rows; joins are sketch-sized. Returns one
+    row ``(n_union_sample, inter_in_sample, union_est, inter_est,
+    jaccard_ppm)``.
+    """
+    ah = a.select("hash")
+    bh = b.select("hash")
+    theta = (
+        a.agg(F.count(F.lit(1)).alias("_n"), F.max("hash").alias("_m"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("_nb"),
+                         F.max("hash").alias("_mb")))
+        .select(
+            F.least(
+                F.when(F.col("_n") >= k, F.col("_m"))
+                .otherwise(F.lit(KMV_SPACE)),
+                F.when(F.col("_nb") >= k, F.col("_mb"))
+                .otherwise(F.lit(KMV_SPACE)),
+            ).alias("_theta"))
+    )
+    u = ah.unionByName(bh).distinct().crossJoin(F.broadcast(theta)) \
+        .filter(F.col("hash") <= F.col("_theta"))
+    both = u.join(ah, "hash", "left_semi").join(bh, "hash", "left_semi")
+    ucnt = u.agg(F.count(F.lit(1)).alias("n_union_sample"),
+                 F.max("_theta").alias("_th"))
+    icnt = both.agg(F.count(F.lit(1)).alias("inter_in_sample"))
+    def scale(name: str):  # Theta estimator; exact when no cut applied
+        return F.when(
+            F.col("_th") >= F.lit(KMV_SPACE), F.col(name)
+        ).otherwise(F.expr(
+            f"cast(({name} * cast({KMV_SPACE} as decimal(38,0)))"
+            f" div _th as bigint)"))
+
+    est = ucnt.crossJoin(icnt)
+    return est.select(
+        "n_union_sample", "inter_in_sample",
+        scale("n_union_sample").cast("long").alias("union_est"),
+        scale("inter_in_sample").cast("long").alias("inter_est"),
+        F.floor(F.lit(1_000_000.0) * F.col("inter_in_sample")
+                / F.greatest(F.col("n_union_sample"), F.lit(1)) + F.lit(0.5))
+        .cast("long").alias("jaccard_ppm"),
+    )

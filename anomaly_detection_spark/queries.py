@@ -7025,6 +7025,126 @@ ORDER BY 1
 """
 
 
+def q_vocab_overlap_sketch(spark, sf):
+    """Cross-source vocabulary overlap from KMV/Theta sketches
+    (sketch.kmv_overlap): the bigram vocabularies of three source pairs
+    compared WITHOUT ever joining the token sets — k=128 k-min-hash
+    sketches per source, theta-cut union sample, exact membership inside
+    the cut, Theta scale-up. The exact distinct-set Jaccard rides along
+    as the verification side. At 100 TB this is how you screen ALL
+    source pairs for shared boilerplate/contamination at kilobytes per
+    source instead of a quadratic set-join sweep."""
+    from anomaly_detection_spark.functions.dedup import _shingles_of
+    from anomaly_detection_spark.functions.sketch import (
+        kmv_build, kmv_overlap)
+
+    d = load(spark, sf, "documents")
+    base = d.select(
+        "source", text.tokens(F.lower(F.col("text"))).alias("_toks"))
+    grams = base.select(
+        "source", F.explode_outer(_shingles_of(F.col("_toks"), 2)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    PAIRS = [("src0", "src1"), ("src0", "src2"), ("src1", "src2")]
+    outs = []
+    for sa, sb in PAIRS:
+        A = grams.filter(F.col("source") == sa)
+        B = grams.filter(F.col("source") == sb)
+        ov = kmv_overlap(kmv_build(A, "g", k=128),
+                         kmv_build(B, "g", k=128), k=128)
+        da = A.select("g").distinct()
+        db = B.select("g").distinct()
+        ex = (
+            da.join(db, "g", "left_semi")
+            .agg(F.count(F.lit(1)).alias("inter_exact"))
+            .crossJoin(da.unionByName(db).distinct()
+                       .agg(F.count(F.lit(1)).alias("union_exact")))
+        )
+        outs.append(ov.crossJoin(ex).select(
+            F.lit(f"{sa}|{sb}").alias("pair"),
+            "union_est", "inter_est", "jaccard_ppm",
+            F.col("union_exact").cast("long").alias("union_exact"),
+            F.col("inter_exact").cast("long").alias("inter_exact"),
+            F.floor(F.lit(1_000_000.0) * F.col("inter_exact")
+                    / F.greatest(F.col("union_exact"), F.lit(1))
+                    + F.lit(0.5)).cast("long").alias("jaccard_exact_ppm"),
+        ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("pair")
+
+
+_KMV_SPACE_SQL = "1152921504606846976"
+
+
+def _vocab_overlap_pair_sql(sa: str, sb: str) -> str:
+    sp = _KMV_SPACE_SQL
+    return f"""(
+  WITH toks AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE source IN ('{sa}', '{sb}')
+  ), grams AS (
+    SELECT source, unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])
+      ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM toks
+  ), ska AS (
+    SELECT DISTINCT CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS hash
+    FROM grams WHERE source = '{sa}' ORDER BY hash LIMIT 128
+  ), skb AS (
+    SELECT DISTINCT CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS hash
+    FROM grams WHERE source = '{sb}' ORDER BY hash LIMIT 128
+  ), th AS (
+    SELECT LEAST(
+      (SELECT CASE WHEN COUNT(*) >= 128 THEN MAX(hash) ELSE {sp} END
+       FROM ska),
+      (SELECT CASE WHEN COUNT(*) >= 128 THEN MAX(hash) ELSE {sp} END
+       FROM skb)) AS th
+  ), u AS (
+    SELECT hash FROM (SELECT hash FROM ska UNION SELECT hash FROM skb), th
+    WHERE hash <= th
+  ), cnts AS (
+    SELECT (SELECT COUNT(*) FROM u) AS nu,
+           (SELECT COUNT(*) FROM u
+            WHERE hash IN (SELECT hash FROM ska)
+              AND hash IN (SELECT hash FROM skb)) AS ni,
+           (SELECT th FROM th) AS th
+  ), ex AS (
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT g FROM grams WHERE source = '{sa}'
+         INTERSECT SELECT DISTINCT g FROM grams WHERE source = '{sb}'))
+        AS inter_exact,
+      (SELECT COUNT(DISTINCT g) FROM grams) AS union_exact
+  )
+  SELECT '{sa}|{sb}' AS pair,
+    CAST(CASE WHEN th >= {sp} THEN nu
+         ELSE CAST(nu * CAST({sp} AS HUGEINT) // th AS BIGINT) END
+      AS BIGINT) AS union_est,
+    CAST(CASE WHEN th >= {sp} THEN ni
+         ELSE CAST(ni * CAST({sp} AS HUGEINT) // th AS BIGINT) END
+      AS BIGINT) AS inter_est,
+    CAST(FLOOR(1000000.0 * ni / GREATEST(nu, 1) + 0.5) AS BIGINT)
+      AS jaccard_ppm,
+    CAST(union_exact AS BIGINT) AS union_exact,
+    CAST(inter_exact AS BIGINT) AS inter_exact,
+    CAST(FLOOR(1000000.0 * inter_exact / GREATEST(union_exact, 1) + 0.5)
+      AS BIGINT) AS jaccard_exact_ppm
+  FROM cnts, ex
+)"""
+
+
+SQL_VOCAB_OVERLAP_SKETCH = (
+    _vocab_overlap_pair_sql("src0", "src1")
+    + " UNION ALL " + _vocab_overlap_pair_sql("src0", "src2")
+    + " UNION ALL " + _vocab_overlap_pair_sql("src1", "src2")
+    + " ORDER BY pair"
+)
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketches (sketch.kmv_build/kmv_estimate) over
     four key columns: the engine-portable cardinality sketch (k smallest
@@ -10981,6 +11101,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "vocab_overlap_sketch": (q_vocab_overlap_sketch, SQL_VOCAB_OVERLAP_SKETCH),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),
     "seasonal_residuals": (q_seasonal_residuals, SQL_SEASONAL_RESIDUALS),

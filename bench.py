@@ -166,6 +166,7 @@ HEADLINE = [
     "golden_records",
     "join_size_estimate",
     "kmv_distinct",
+    "vocab_overlap_sketch",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

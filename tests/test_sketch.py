@@ -171,3 +171,38 @@ def test_kmv_ignores_nulls(spark):
 
     df = spark.createDataFrame([("x",), (None,), ("y",)], "k string")
     assert kmv_build(df, "k", k=16).count() == 2
+
+
+def test_kmv_overlap_exact_when_sets_fit(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_overlap
+
+    a = [f"x{i}" for i in range(30)]
+    b = [f"x{i}" for i in range(20, 50)]  # overlap = 10, union = 50
+    ov = kmv_overlap(kmv_build(_df(spark, a), "k", k=64),
+                     kmv_build(_df(spark, b), "k", k=64), k=64) \
+        .collect()[0]
+    assert ov["union_est"] == 50 and ov["inter_est"] == 10
+    assert ov["jaccard_ppm"] == 200_000
+
+
+def test_kmv_overlap_estimates_above_k(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_overlap
+
+    a = [f"k{i}" for i in range(1000)]
+    b = [f"k{i}" for i in range(500, 1500)]  # union 1500, inter 500, J=1/3
+    ov = kmv_overlap(kmv_build(_df(spark, a), "k", k=128),
+                     kmv_build(_df(spark, b), "k", k=128), k=128) \
+        .collect()[0]
+    assert abs(ov["union_est"] - 1500) < 450
+    assert abs(ov["jaccard_ppm"] - 333_333) < 150_000
+    assert 0 < ov["inter_est"] < 1100
+
+
+def test_kmv_overlap_disjoint(spark):
+    from anomaly_detection_spark.functions.sketch import kmv_build, kmv_overlap
+
+    ov = kmv_overlap(kmv_build(_df(spark, ["a", "b"]), "k", k=16),
+                     kmv_build(_df(spark, ["c", "d"]), "k", k=16), k=16) \
+        .collect()[0]
+    assert ov["inter_est"] == 0 and ov["jaccard_ppm"] == 0
+    assert ov["union_est"] == 4
