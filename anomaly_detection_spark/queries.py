@@ -8746,6 +8746,71 @@ FROM q GROUP BY domain ORDER BY domain
 """
 
 
+def q_edit_distance_links(spark, sf):
+    """Edit-distance record linkage: deterministic single-char-deletion
+    typos are planted in part names (deletion position ≥ 3 keyed by
+    p_partkey), then each dirty name links to its best clean match by
+    Levenshtein distance ≤ 2 within a 2-char-prefix block — the classic
+    fuzzy-match complement to `entity_linkage`'s bigram-Jaccard scorer
+    (edit distance catches transposition/deletion typos that bigram sets
+    under-penalize on short strings). Levenshtein is a built-in JVM
+    expression on both engines with the identical textbook definition,
+    so the oracle matches exactly; blocking bounds candidates to
+    Σ|block|² like every pair-generating path in this repo."""
+    p = load(spark, sf, "part")
+    pos = (F.col("p_partkey") % (F.length("p_name") - 3) + 3).cast("int")
+    dirty = p.select("p_partkey", "p_name", pos.alias("_pos")).select(
+        "p_partkey",
+        F.concat(
+            F.expr("substring(p_name, 1, _pos - 1)"),
+            F.expr("substring(p_name, _pos + 1, 200)"),
+        ).alias("dirty_name"),
+        F.substring("p_name", 1, 2).alias("_blk"),
+    )
+    clean = p.select("p_name").distinct()         .select("p_name", F.substring("p_name", 1, 2).alias("_blk"))
+    cand = dirty.join(clean, "_blk").select(
+        "p_partkey", "dirty_name", "p_name",
+        F.levenshtein("dirty_name", "p_name").alias("dist"),
+    ).filter(F.col("dist") <= 2)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("dist"), F.asc("p_name"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("p_partkey", "dirty_name",
+                F.col("p_name").alias("matched_name"),
+                F.col("dist").cast("int").alias("dist"))
+        .orderBy("p_partkey")
+    )
+
+
+SQL_EDIT_DISTANCE_LINKS = """
+WITH d AS (
+  SELECT p_partkey,
+         substring(p_name, 1, pos - 1)
+           || substring(p_name, pos + 1, 200) AS dirty_name,
+         substring(p_name, 1, 2) AS blk
+  FROM (SELECT p_partkey, p_name,
+               CAST(p_partkey % (length(p_name) - 3) + 3 AS INTEGER) AS pos
+        FROM part)
+), c AS (
+  SELECT p_name, substring(p_name, 1, 2) AS blk
+  FROM (SELECT DISTINCT p_name FROM part)
+), cand AS (
+  SELECT d.p_partkey, d.dirty_name, c.p_name,
+         levenshtein(d.dirty_name, c.p_name) AS dist
+  FROM d JOIN c USING (blk)
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY dist ASC, p_name ASC) AS rn
+  FROM cand WHERE dist <= 2
+)
+SELECT p_partkey, dirty_name, p_name AS matched_name,
+       CAST(dist AS INTEGER) AS dist
+FROM r WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
 def q_golden_records(spark, sf):
     """Survivorship / golden-record consolidation (linkage.golden_records)
     — the MDM step after fuzzy linking: multi-source customer records are
@@ -10996,6 +11061,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),
     "entity_linkage": (q_entity_linkage, SQL_ENTITY_LINKAGE),
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+    "edit_distance_links": (q_edit_distance_links, SQL_EDIT_DISTANCE_LINKS),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),

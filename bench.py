@@ -167,6 +167,7 @@ HEADLINE = [
     "join_size_estimate",
     "kmv_distinct",
     "vocab_overlap_sketch",
+    "edit_distance_links",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -185,3 +185,16 @@ def test_golden_records_rules(spark):
     assert got[2]["nm"] is None
     assert got[3]["seg"] is None and got[3]["seg_conflicts"] == 0
     assert got[3]["nm"] == "only"
+
+
+def test_edit_distance_links_recover_planted_typos(spark):
+    from anomaly_detection_spark.queries import QUERIES
+
+    out = QUERIES["edit_distance_links"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    # every planted single-deletion typo links back to a name at dist 1
+    # (another clean name could be closer only at dist 0, impossible here)
+    assert all(r["dist"] == 1 for r in out)
+    assert all(len(r["dirty_name"]) == len(r["matched_name"]) - 1
+               for r in out)
