@@ -886,6 +886,82 @@ FROM lagged ORDER BY event_type, day
 """
 
 
+def q_session_paths(spark, sf):
+    """Clickstream path mining: top-20 session-opening event-type paths
+    (first 3 events per 30-min-gap session, '>'-joined) with corpus
+    share — the navigation-pattern rollup `event_transitions`' Markov
+    pairs can't show (paths are ordered 3-grams ACROSS the session
+    boundary logic). Total order inside a session is (ts, event_id) so
+    simultaneous events never make the path engine-dependent; the
+    ordered collect happens per session (bounded rows), the global
+    rollup is a map-side-combined count + TakeOrdered top-k — no global
+    sort, no skew (path cardinality is tiny by construction)."""
+    e = load(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+    wid = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ws = Window.partitionBy("user_id", "session_id")         .orderBy("us", "event_id")
+    pos = wid.withColumn("_pos", F.row_number().over(ws))         .filter(F.col("_pos") <= 3)
+    paths = pos.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("_pos"), F.col("event_type")))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    total = paths.agg(F.count(F.lit(1)).alias("_tot"))
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+    return top.crossJoin(F.broadcast(total)).select(
+        "path", "n_sessions",
+        F.floor(F.lit(1_000_000.0) * F.col("n_sessions") / F.col("_tot")
+                + F.lit(0.5)).cast("long").alias("share_ppm"),
+    ).orderBy(F.desc("n_sessions"), F.asc("path"))
+
+
+SQL_SESSION_PATHS = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER
+      (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM e
+), wid AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), pos AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY us, event_id) AS p
+  FROM wid
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY p) AS path
+  FROM pos WHERE p <= 3 GROUP BY 1, 2
+), counts AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+), top AS (
+  SELECT path, n_sessions FROM counts
+  ORDER BY n_sessions DESC, path ASC LIMIT 20
+)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(FLOOR(1000000.0 * n_sessions
+                  / (SELECT COUNT(*) FROM paths) + 0.5) AS BIGINT)
+         AS share_ppm
+FROM top ORDER BY n_sessions DESC, path ASC
+"""
+
+
 def q_cusum_control(spark, sf):
     """Two-sided CUSUM drift alarm (timeseries.cusum_control) per event
     type: the Page 1954 recursion in its closed window form (prefix sum
@@ -11023,6 +11099,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "change_points": (q_change_points, SQL_CHANGE_POINTS),
     "ewma_control": (q_ewma_control, SQL_EWMA_CONTROL),
     "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

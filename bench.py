@@ -168,6 +168,7 @@ HEADLINE = [
     "kmv_distinct",
     "vocab_overlap_sketch",
     "edit_distance_links",
+    "session_paths",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -162,3 +162,16 @@ def test_incremental_exact_dups_planted(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_paths_deterministic_order_and_share(spark):
+    from anomaly_detection_spark.queries import QUERIES
+
+    out = QUERIES["session_paths"][0](spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert 0 < len(out) <= 20
+    # descending counts with path tiebreak; shares sum to <= 1e6
+    counts = [r["n_sessions"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r["share_ppm"] <= 1_000_000 for r in out)
+    assert all(1 <= len(r["path"].split(">")) <= 3 for r in out)
