@@ -886,6 +886,52 @@ FROM lagged ORDER BY event_type, day
 """
 
 
+def q_revenue_grouping_sets(spark, sf):
+    """OLAP grouping-sets rollup: revenue at (nation × segment), per
+    nation, and grand total from ONE aggregation pass — Spark's
+    ``rollup`` lowers to a single Expand + hash aggregate (each input
+    row fans to its grouping sets map-side; no re-scan per level, which
+    is what separates this from a UNION of three GROUP BYs at 100 TB).
+    ``grouping_id`` disambiguates genuine NULL keys from subtotal rows —
+    both engines use the same left-to-right bit convention, pinned here.
+    Exact integer cents throughout."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "gid", "revenue_cents", "n_orders",
+        )
+        .orderBy("gid", "nation", "segment")
+    )
+
+
+SQL_REVENUE_GROUPING_SETS = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS gid,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY gid, nation, segment
+"""
+
+
 def q_session_paths(spark, sf):
     """Clickstream path mining: top-20 session-opening event-type paths
     (first 3 events per 30-min-gap session, '>'-joined) with corpus
@@ -11100,6 +11146,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma_control": (q_ewma_control, SQL_EWMA_CONTROL),
     "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
+    "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

@@ -169,6 +169,7 @@ HEADLINE = [
     "vocab_overlap_sketch",
     "edit_distance_links",
     "session_paths",
+    "revenue_grouping_sets",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -760,3 +760,14 @@ def test_ranked_file_ids_offsets_broadcast(spark):
     # partition column) would be the single-task global funnel
     m = re.search(r"row_number\(\) windowspecdefinition\(_b#\d+L,", plan)
     assert m, "row_number window is not partitioned by the bin key"
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """Spark lowers rollup to Expand + ONE hash aggregate — the plan must
+    not contain a Union of per-level aggregations (each level rescanning
+    the join) and the Expand node must be present."""
+    from anomaly_detection_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["revenue_grouping_sets"][0](spark, SF))
+    assert "Expand" in plan
+    assert "Union" not in plan
