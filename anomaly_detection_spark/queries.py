@@ -886,6 +886,87 @@ FROM lagged ORDER BY event_type, day
 """
 
 
+def q_cdc_merge(spark, sf):
+    """Row-level MERGE INTO / CDC apply (functions/cdc.cdc_apply): a
+    deterministic Debezium-style changelog over orders — updates every
+    5th key (+100 cents), deletes every 11th, inserts a fresh key for
+    every 13th, with per-key LSNs so keys hit by BOTH an update and a
+    delete (every 55th) resolve latest-wins — folded into the base
+    snapshot by ONE changelog-side window + ONE full-outer equi-join
+    (the base side never shuffles twice; with a broadcast-able changelog
+    it never shuffles at all). Emits the post-merge per-status rollup.
+    Reference analogue: risk_history_tracker.py:35-101's ad-hoc
+    append-and-prune upsert, made first-class."""
+    from anomaly_detection_spark.functions.cdc import cdc_apply
+
+    o = load(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    st = lambda op, seq, cents, status: F.struct(  # noqa: E731
+        F.lit(op).alias("op"), seq.alias("seq"),
+        cents.alias("cents"), status.alias("status"))
+    k = F.col("k")
+    ch_arr = F.array(
+        F.when(k % 5 == 0,
+               st("U", k * 10 + 1, F.col("cents") + 100, F.col("status"))),
+        F.when(k % 11 == 0,
+               st("D", k * 10 + 2, F.lit(None).cast("long"),
+                  F.lit(None).cast("string"))),
+        F.when(k % 13 == 0,
+               st("I", k * 10 + 3, k.cast("long"), F.lit("N"))),
+    )
+    changes = base.select(k, F.explode_outer(ch_arr).alias("_c")) \
+        .filter(F.col("_c").isNotNull()) \
+        .select(
+            F.when(F.col("_c.op") == "I", k + 1_000_000_000)
+            .otherwise(k).alias("k"),
+            F.col("_c.op").alias("op"), F.col("_c.seq").alias("seq"),
+            F.col("_c.cents").alias("cents"),
+            F.col("_c.status").alias("status"),
+        )
+    merged = cdc_apply(base, changes, "k", ["cents", "status"])
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    ).orderBy("status")
+
+
+SQL_CDC_MERGE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), ch AS (
+  SELECT k, 'U' AS op, k * 10 + 1 AS seq, cents + 100 AS cents, status
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 'D', k * 10 + 2, NULL, NULL FROM base WHERE k % 11 = 0
+  UNION ALL
+  SELECT k + 1000000000, 'I', k * 10 + 3, k, 'N'
+  FROM base WHERE k % 13 = 0
+), latest AS (
+  SELECT k, op, cents, status FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1
+), merged AS (
+  SELECT COALESCE(b.k, l.k) AS k,
+         CASE WHEN l.op IN ('I', 'U') THEN l.cents ELSE b.cents END
+           AS cents,
+         CASE WHEN l.op IN ('I', 'U') THEN l.status ELSE b.status END
+           AS status
+  FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+  WHERE l.op IS NULL OR l.op <> 'D'
+)
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_revenue_grouping_sets(spark, sf):
     """OLAP grouping-sets rollup: revenue at (nation × segment), per
     nation, and grand total from ONE aggregation pass — Spark's
@@ -11147,6 +11228,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
+    "cdc_merge": (q_cdc_merge, SQL_CDC_MERGE),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

@@ -170,6 +170,7 @@ HEADLINE = [
     "edit_distance_links",
     "session_paths",
     "revenue_grouping_sets",
+    "cdc_merge",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
