@@ -93,3 +93,32 @@ def cdc_stats(base: DataFrame, changes: DataFrame, key_col: str,
         (F.col("n_base") + F.col("n_inserted") - F.col("n_deleted"))
         .alias("n_final"),
     )
+
+
+def scd2_build(changes: DataFrame, key_col: str, payload_cols: list[str],
+               op_col: str = "op", seq_col: str = "seq") -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a changelog into
+    effective-dated version rows ``(key, *payload, valid_from, valid_to,
+    is_current)`` — every ``I``/``U`` opens a version at its sequence
+    number, closed by the key's NEXT change (exclusive) whatever its kind;
+    a ``D`` closes the prior version without opening one, so a key whose
+    last change is a delete has no current row.
+
+    ONE window per key over the commit-sized changelog (lead of the next
+    seq), a filter, nothing else — the dimension build is
+    changelog-sized, never fact-table-sized. Fold an existing snapshot in
+    as seq-0 ``I`` rows to seed initial versions. ``seq`` must be unique
+    per key (same contract as ``cdc_apply``).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(seq_col))
+    nxt = F.lead(seq_col).over(w)
+    return (
+        changes.withColumn("_valid_to", nxt)
+        .filter(F.col(op_col) != "D")
+        .select(
+            key_col, *payload_cols,
+            F.col(seq_col).cast("long").alias("valid_from"),
+            F.col("_valid_to").cast("long").alias("valid_to"),
+            F.col("_valid_to").isNull().cast("int").alias("is_current"),
+        )
+    )

@@ -967,6 +967,76 @@ FROM merged GROUP BY 1 ORDER BY 1
 """
 
 
+def q_scd2_versions(spark, sf):
+    """SCD Type-2 dimension build (cdc.scd2_build): the cdc_merge
+    changelog (updates %5, deletes %11, inserts %13, latest-wins LSNs)
+    rendered as effective-dated version rows — every I/U opens a version,
+    the key's next change closes it, keys ending in a delete (%55 hits
+    both U and D) have NO current row. One changelog-sized window; the
+    dimension build never touches fact-table volume. The standard
+    warehouse modeling step downstream of CDC ingestion."""
+    from anomaly_detection_spark.functions.cdc import scd2_build
+
+    o = load(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    st = lambda op, seq, cents, status: F.struct(  # noqa: E731
+        F.lit(op).alias("op"), seq.alias("seq"),
+        cents.alias("cents"), status.alias("status"))
+    k = F.col("k")
+    ch_arr = F.array(
+        F.when(k % 5 == 0,
+               st("U", k * 10 + 1, F.col("cents") + 100, F.col("status"))),
+        F.when(k % 11 == 0,
+               st("D", k * 10 + 2, F.lit(None).cast("long"),
+                  F.lit(None).cast("string"))),
+        F.when(k % 13 == 0,
+               st("I", k * 10 + 3, k.cast("long"), F.lit("N"))),
+    )
+    changes = base.select(k, F.explode_outer(ch_arr).alias("_c")) \
+        .filter(F.col("_c").isNotNull()) \
+        .select(
+            F.when(F.col("_c.op") == "I", k + 1_000_000_000)
+            .otherwise(k).alias("k"),
+            F.col("_c.op").alias("op"), F.col("_c.seq").alias("seq"),
+            F.col("_c.cents").alias("cents"),
+            F.col("_c.status").alias("status"),
+        )
+    return scd2_build(changes, "k", ["cents", "status"]) \
+        .orderBy("k", "valid_from")
+
+
+SQL_SCD2_VERSIONS = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS status
+  FROM orders
+), ch AS (
+  SELECT k, 'U' AS op, k * 10 + 1 AS seq, cents + 100 AS cents, status
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 'D', k * 10 + 2, NULL, NULL FROM base WHERE k % 11 = 0
+  UNION ALL
+  SELECT k + 1000000000, 'I', k * 10 + 3, k, 'N'
+  FROM base WHERE k % 13 = 0
+), v AS (
+  SELECT k, cents, status, op,
+         CAST(seq AS BIGINT) AS valid_from,
+         CAST(LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT)
+           AS valid_to
+  FROM ch
+)
+SELECT k, cents, status, valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM v WHERE op <> 'D' ORDER BY k, valid_from
+"""
+
+
 def q_revenue_grouping_sets(spark, sf):
     """OLAP grouping-sets rollup: revenue at (nation × segment), per
     nation, and grand total from ONE aggregation pass — Spark's
@@ -11229,6 +11299,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
     "cdc_merge": (q_cdc_merge, SQL_CDC_MERGE),
+    "scd2_versions": (q_scd2_versions, SQL_SCD2_VERSIONS),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

@@ -171,6 +171,7 @@ HEADLINE = [
     "session_paths",
     "revenue_grouping_sets",
     "cdc_merge",
+    "scd2_versions",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -58,3 +58,23 @@ def test_cdc_delete_absent_key_is_noop(spark):
                                     "k long, op string, seq long, v long")
     got = cdc_apply(base, changes, "k", ["v"]).collect()
     assert [(r["k"], r["v"]) for r in got] == [(1, 10)]
+
+
+def test_scd2_versions_planted(spark):
+    from anomaly_detection_spark.functions.cdc import scd2_build
+
+    changes = spark.createDataFrame(
+        [(1, "I", 10, 100), (1, "U", 20, 150), (1, "D", 30, None),
+         (2, "I", 11, 200),
+         (3, "U", 12, 300), (3, "U", 22, 310)],
+        "k long, op string, seq long, v long")
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["v"])
+        for r in scd2_build(changes, "k", ["v"]).collect())
+    assert got == [
+        (1, 10, 20, 0, 100),   # closed by the update
+        (1, 20, 30, 0, 150),   # closed by the delete -> no current row
+        (2, 11, None, 1, 200),
+        (3, 12, 22, 0, 300),
+        (3, 22, None, 1, 310),
+    ]
