@@ -886,6 +886,77 @@ FROM lagged ORDER BY event_type, day
 """
 
 
+#: The schema-evolution fixture: v1 -> v2 exercises every compat class.
+_SCHEMA_V1 = [
+    ("doc_id", "string", 1), ("n_chars", "int", 0),
+    ("score", "float", 0), ("lang", "string", 1),
+    ("legacy_flag", "int", 0), ("source", "string", 0),
+    ("loose", "string", 1),
+]
+_SCHEMA_V2 = [
+    ("doc_id", "string", 1),            # unchanged
+    ("n_chars", "bigint", 0),           # widened  (ok)
+    ("score", "double", 0),             # widened  (ok)
+    ("lang", "int", 1),                 # retyped  (breaking)
+    ("source", "string", 1),            # requiredness_tightened (breaking)
+    ("loose", "string", 0),             # requiredness_loosened  (ok)
+    ("embedding", "array<float>", 0),   # added optional (ok)
+    ("checksum", "string", 1),          # added required (breaking)
+]
+
+
+def q_schema_compat_check(spark, sf):
+    """Schema-evolution adjudication (schema_evo.schema_compat): a v1→v2
+    schema proposal classified column-by-column under the Iceberg
+    evolution contract — widening promotions (int→bigint, float→double)
+    pass, retypes/drops/required-adds/requiredness-tightening break, the
+    fixture exercises every class. The write-side half of the S1
+    schema_match rule; metadata-sized however large the table is. The
+    (sf-independent) fixture is the declared schema registry itself, not
+    data."""
+    from anomaly_detection_spark.functions.schema_evo import schema_compat
+
+    old = spark.createDataFrame(_SCHEMA_V1, "name string, dtype string, required int")
+    new = spark.createDataFrame(_SCHEMA_V2, "name string, dtype string, required int")
+    return schema_compat(old, new).orderBy("name")
+
+
+def _schema_values_sql(rows) -> str:
+    vals = ", ".join(f"('{n}', '{t}', {r})" for n, t, r in rows)
+    return f"(VALUES {vals}) s(name, dtype, required)"
+
+
+SQL_SCHEMA_COMPAT_CHECK = f"""
+WITH o AS (SELECT * FROM {_schema_values_sql(_SCHEMA_V1)}),
+n AS (SELECT * FROM {_schema_values_sql(_SCHEMA_V2)}),
+j AS (
+  SELECT COALESCE(o.name, n.name) AS name,
+         o.dtype AS old_type, n.dtype AS new_type,
+         o.required AS old_req, n.required AS new_req
+  FROM o FULL OUTER JOIN n ON o.name = n.name
+), c AS (
+  SELECT name, old_type, new_type, new_req,
+    CASE WHEN old_type IS NULL THEN 'added'
+         WHEN new_type IS NULL THEN 'dropped'
+         WHEN old_type <> new_type THEN
+           CASE WHEN (old_type = 'int' AND new_type = 'bigint')
+                  OR (old_type = 'float' AND new_type = 'double')
+                THEN 'widened' ELSE 'retyped' END
+         WHEN old_req = 1 AND new_req = 0 THEN 'requiredness_loosened'
+         WHEN old_req = 0 AND new_req = 1 THEN 'requiredness_tightened'
+         ELSE 'unchanged' END AS change
+  FROM j
+)
+SELECT name, old_type, new_type, change,
+  CASE WHEN change = 'added' THEN
+         CASE WHEN new_req = 1 THEN 'breaking' ELSE 'ok' END
+       WHEN change IN ('dropped', 'retyped', 'requiredness_tightened')
+         THEN 'breaking'
+       ELSE 'ok' END AS compat
+FROM c ORDER BY name
+"""
+
+
 def q_cdc_merge(spark, sf):
     """Row-level MERGE INTO / CDC apply (functions/cdc.cdc_apply): a
     deterministic Debezium-style changelog over orders — updates every
@@ -11300,6 +11371,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
     "cdc_merge": (q_cdc_merge, SQL_CDC_MERGE),
     "scd2_versions": (q_scd2_versions, SQL_SCD2_VERSIONS),
+    "schema_compat_check": (q_schema_compat_check, SQL_SCHEMA_COMPAT_CHECK),
     "lag_autocorr": (q_lag_autocorr, SQL_LAG_AUTOCORR),
     "first_event_per_user": (q_first_event_per_user, SQL_FIRST_EVENT_PER_USER),
     "user_day_setops": (q_user_day_setops, SQL_USER_DAY_SETOPS),

@@ -172,6 +172,7 @@ HEADLINE = [
     "revenue_grouping_sets",
     "cdc_merge",
     "scd2_versions",
+    "schema_compat_check",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

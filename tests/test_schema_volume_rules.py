@@ -74,3 +74,19 @@ def test_row_count_drift_clean_when_within_tolerance(spark, docs):
     res = ValidationRun(spark, docs, rules).run(resume=False, persist=False)
     assert res.violations.count() == 0
     assert all(_verdict_map(res).values())
+
+
+def test_schema_compat_every_class(spark):
+    from anomaly_detection_spark.queries import QUERIES
+
+    got = {r["name"]: (r["change"], r["compat"])
+           for r in QUERIES["schema_compat_check"][0](spark, "").collect()}
+    assert got["doc_id"] == ("unchanged", "ok")
+    assert got["n_chars"] == ("widened", "ok")
+    assert got["score"] == ("widened", "ok")
+    assert got["lang"] == ("retyped", "breaking")
+    assert got["legacy_flag"] == ("dropped", "breaking")
+    assert got["source"] == ("requiredness_tightened", "breaking")
+    assert got["loose"] == ("requiredness_loosened", "ok")
+    assert got["embedding"] == ("added", "ok")
+    assert got["checksum"] == ("added", "breaking")
