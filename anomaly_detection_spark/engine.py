@@ -467,3 +467,48 @@ class ValidationRun:
             "rows_scanned long, violation_count long, duration_ms long, "
             "committed_at timestamp",
         )
+
+
+def dq_scores(panel: DataFrame, spec: dict[str, tuple[int, int]],
+              partition_col: str = "partition", rule_col: str = "rule_id",
+              ppm_col: str = "est_ppm") -> DataFrame:
+    """Composite 0–100 data-quality score per partition from a
+    per-(partition, rule) violation-ppm panel — the engine-side twin of
+    the reference's 0–100 per-user risk score
+    (``risk_calculator.py:31-35,132-155``): each rule contributes a
+    weighted penalty ``w·min(ppm, cap)/cap`` (``cap`` = the ppm at which
+    that rule's credit is exhausted), and the score is
+    ``100·(1 − Σpenalty/Σw)`` in integer centi-points.
+
+    All arithmetic is integer (two documented truncating divisions —
+    per-term and final — so DuckDB replays it exactly); the panel is
+    metadata-sized, so this is a free roll-up on top of
+    ``sampled_violation_rates`` or the full run's verdict matrix. Also
+    emits each partition's ``worst_rule`` (highest penalty term, ties to
+    the lexicographically larger rule id).
+    """
+    from pyspark.sql.window import Window
+
+    w_total = sum(w for w, _ in spec.values())
+    cases = " ".join(
+        f"WHEN {rule_col} = '{rid}' THEN "
+        f"(CAST({w} AS BIGINT) * least({ppm_col}, {cap}) * 1000000) "
+        f"div {cap}"
+        for rid, (w, cap) in spec.items())
+    term = F.expr(f"CASE {cases} ELSE CAST(0 AS BIGINT) END")
+    t = panel.select(partition_col, rule_col, term.alias("_term"))
+    agg = t.groupBy(partition_col).agg(F.sum("_term").alias("_t"))
+    w = Window.partitionBy(partition_col).orderBy(
+        F.desc("_term"), F.desc(rule_col))
+    worst = (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(partition_col, F.col(rule_col).alias("worst_rule"))
+    )
+    scale = w_total * 1_000_000
+    return agg.join(worst, partition_col).select(
+        partition_col,
+        F.expr(f"(({scale} - _t) * 10000) div {scale}")
+        .cast("long").alias("dq_centi"),
+        "worst_rule",
+    )

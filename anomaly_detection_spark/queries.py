@@ -6917,6 +6917,70 @@ ORDER BY partition, rule_id
 """
 
 
+def q_dq_scores(spark, sf):
+    """Composite partition DQ score (engine.dq_scores over
+    engine.sampled_violation_rates): weighted rule penalties with ppm
+    caps collapse to one 0-100 centi-point score per partition plus its
+    worst rule — the engine-side twin of the reference's 0-100 per-user
+    risk aggregation (risk_calculator.py:31-35,132-155), rolled up from
+    the metadata-sized preflight panel at zero extra scan cost. Pure
+    integer arithmetic (two documented truncating divisions)."""
+    from anomaly_detection_spark.engine import (
+        dq_scores, sampled_violation_rates)
+    from anomaly_detection_spark.rules.core import RowRule, RuleContext
+
+    d = load(spark, sf, "documents").withColumnRenamed("source", "partition")
+    rules = [
+        RowRule("short_doc", F.col("n_chars") < 200, F.lit("")),
+        RowRule("lang_zh", F.col("lang") == "zh", F.lit("")),
+    ]
+    panel = sampled_violation_rates(d, rules, RuleContext(), sample_pct=5)
+    SPEC = {"short_doc": (5, 500_000), "lang_zh": (2, 300_000)}
+    return dq_scores(panel, SPEC).orderBy("partition")
+
+
+SQL_DQ_SCORES = """
+WITH s AS (
+  SELECT source AS partition, n_chars, lang FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < 5
+), agg AS (
+  SELECT partition, COUNT(*) AS sample_n,
+         CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_short,
+         CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zh
+  FROM s GROUP BY 1
+), panel AS (
+  SELECT partition, 'short_doc' AS rule_id,
+         (v_short * 1000000) // sample_n AS est_ppm
+  FROM agg
+  UNION ALL
+  SELECT partition, 'lang_zh', (v_zh * 1000000) // sample_n FROM agg
+), terms AS (
+  SELECT partition, rule_id,
+    CASE WHEN rule_id = 'short_doc'
+           THEN (5 * LEAST(est_ppm, 500000) * 1000000) // 500000
+         WHEN rule_id = 'lang_zh'
+           THEN (2 * LEAST(est_ppm, 300000) * 1000000) // 300000
+         ELSE 0 END AS term
+  FROM panel
+), tot AS (
+  SELECT partition, SUM(term) AS t FROM terms GROUP BY 1
+), worst AS (
+  SELECT partition, rule_id AS worst_rule FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY partition
+                                 ORDER BY term DESC, rule_id DESC) AS rn
+    FROM terms) WHERE rn = 1
+)
+SELECT t.partition,
+       CAST(((7000000 - t.t) * 10000) // 7000000 AS BIGINT) AS dq_centi,
+       w.worst_rule
+FROM tot t JOIN worst w ON t.partition = w.partition
+ORDER BY t.partition
+"""
+
+
 def q_moments_profile(spark, sf):
     """Higher-moment column profile: per-priority skewness and excess
     kurtosis of order totals, derived CLOSED-FORM from exact integer power
@@ -11506,6 +11570,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rule_cooccurrence": (q_rule_cooccurrence, SQL_RULE_COOCCURRENCE),
     "column_fingerprints": (q_column_fingerprints, SQL_COLUMN_FINGERPRINTS),
     "sampled_validation": (q_sampled_validation, SQL_SAMPLED_VALIDATION),
+    "dq_scores": (q_dq_scores, SQL_DQ_SCORES),
     "moments_profile": (q_moments_profile, SQL_MOMENTS_PROFILE),
     "violation_slices": (q_violation_slices, SQL_VIOLATION_SLICES),
     "slo_verdicts": (q_slo_verdicts, SQL_SLO_VERDICTS),

@@ -173,6 +173,7 @@ HEADLINE = [
     "cdc_merge",
     "scd2_versions",
     "schema_compat_check",
+    "dq_scores",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -360,3 +360,24 @@ def test_moments_closed_form_matches_numpy(spark):
     assert math.isclose(row["skewness"], m3 / m2 ** 1.5, rel_tol=1e-6)
     assert math.isclose(
         row["kurtosis_excess"], m4 / m2 ** 2 - 3.0, rel_tol=1e-6)
+
+
+def test_dq_scores_hand_computed(spark):
+    from anomaly_detection_spark.engine import dq_scores
+
+    panel = spark.createDataFrame(
+        [("p1", "r_a", 100_000), ("p1", "r_b", 0),
+         ("p2", "r_a", 400_000), ("p2", "r_b", 600_000),  # r_b over cap
+         ("p3", "r_a", 0), ("p3", "r_b", 0)],
+        "partition string, rule_id string, est_ppm long")
+    spec = {"r_a": (3, 200_000), "r_b": (1, 500_000)}
+    got = {r["partition"]: r.asDict()
+           for r in dq_scores(panel, spec).collect()}
+    # p1: t = 3*100k*1e6//200k = 1_500_000 ; score = (4e6-1.5e6)*1e4//4e6
+    assert got["p1"]["dq_centi"] == (4_000_000 - 1_500_000) * 10_000 // 4_000_000
+    assert got["p1"]["worst_rule"] == "r_a"
+    # p2: r_a capped? 400k > 200k cap -> full 3e6; r_b capped -> 1e6; t=4e6
+    assert got["p2"]["dq_centi"] == 0
+    assert got["p2"]["worst_rule"] == "r_a"
+    # p3: clean partition scores 100.00
+    assert got["p3"]["dq_centi"] == 10_000
