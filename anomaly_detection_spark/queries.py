@@ -6917,6 +6917,83 @@ ORDER BY partition, rule_id
 """
 
 
+def q_rule_recall_audit(spark, sf):
+    """Rule-sensitivity audit by deterministic fault injection: plant
+    known corruptions into documents (NULLed lang every 7th doc, text
+    truncated to 150 chars every 11th), run the rule suite's predicates
+    over the corrupted frame, and report per rule (planted, caught,
+    missed, recall_ppm). The `short_doc` rule is deliberately specified
+    at < 120 chars against a 150-char plant, so the audit EXPOSES an
+    under-catching rule (recall 0) next to an exact one (recall 1e6) —
+    the mutation-testing loop that tells a 10^12-row validation suite
+    which rules are lying about coverage. One fused scan computes plant
+    flags and catch flags together; the rollup is rule-count-sized."""
+    d = load(spark, sf, "documents")
+    k = F.col("doc_id")
+    corrupted = d.select(
+        "doc_id",
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(k % 11 == 0, F.substring("text", 1, 150))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    plants = {
+        "lang_required": k % 7 == 0,
+        "short_doc": k % 11 == 0,
+    }
+    catches = {
+        "lang_required": F.col("lang").isNull(),
+        "short_doc": F.length("text") < 120,  # mis-specified on purpose
+    }
+    aggs = []
+    for rid in plants:
+        p, c = plants[rid], catches[rid]
+        aggs += [
+            F.sum(p.cast("long")).alias(f"_p_{rid}"),
+            F.sum((p & c).cast("long")).alias(f"_c_{rid}"),
+        ]
+    wide = corrupted.agg(*aggs)
+    stack = ", ".join(f"'{rid}', `_p_{rid}`, `_c_{rid}`" for rid in plants)
+    long = wide.select(F.expr(
+        f"stack({len(plants)}, {stack}) AS (rule_id, planted, caught)"))
+    return long.select(
+        "rule_id", "planted", "caught",
+        (F.col("planted") - F.col("caught")).alias("missed"),
+        F.expr("(caught * 1000000) div greatest(planted, 1)")
+        .alias("recall_ppm"),
+    ).orderBy("rule_id")
+
+
+SQL_RULE_RECALL_AUDIT = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 11 = 0 THEN substring(text, 1, 150)
+              ELSE text END AS text
+  FROM documents
+), wide AS (
+  SELECT
+    CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_lang,
+    CAST(SUM(CASE WHEN doc_id % 7 = 0 AND lang IS NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS c_lang,
+    CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_short,
+    CAST(SUM(CASE WHEN doc_id % 11 = 0 AND length(text) < 120
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_short
+  FROM c
+), long AS (
+  SELECT 'lang_required' AS rule_id, p_lang AS planted, c_lang AS caught
+  FROM wide
+  UNION ALL
+  SELECT 'short_doc', p_short, c_short FROM wide
+)
+SELECT rule_id, planted, caught, planted - caught AS missed,
+       (caught * 1000000) // GREATEST(planted, 1) AS recall_ppm
+FROM long ORDER BY rule_id
+"""
+
+
 def q_dq_scores(spark, sf):
     """Composite partition DQ score (engine.dq_scores over
     engine.sampled_violation_rates): weighted rule penalties with ppm
@@ -11571,6 +11648,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "column_fingerprints": (q_column_fingerprints, SQL_COLUMN_FINGERPRINTS),
     "sampled_validation": (q_sampled_validation, SQL_SAMPLED_VALIDATION),
     "dq_scores": (q_dq_scores, SQL_DQ_SCORES),
+    "rule_recall_audit": (q_rule_recall_audit, SQL_RULE_RECALL_AUDIT),
     "moments_profile": (q_moments_profile, SQL_MOMENTS_PROFILE),
     "violation_slices": (q_violation_slices, SQL_VIOLATION_SLICES),
     "slo_verdicts": (q_slo_verdicts, SQL_SLO_VERDICTS),

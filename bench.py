@@ -174,6 +174,7 @@ HEADLINE = [
     "scd2_versions",
     "schema_compat_check",
     "dq_scores",
+    "rule_recall_audit",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
