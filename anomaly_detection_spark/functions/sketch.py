@@ -253,3 +253,48 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
                 / F.greatest(F.col("n_union_sample"), F.lit(1)) + F.lit(0.5))
         .cast("long").alias("jaccard_ppm"),
     )
+
+
+def kmv_build_grouped(df: DataFrame, group_col: str, key_col: str,
+                      k: int = 256) -> DataFrame:
+    """Per-group KMV sketches in one pass: the k smallest distinct key
+    hashes per group — ``(group, pos, hash)``. The distinct-agg and the
+    per-group top-k window both key by the group column, so the whole
+    build is two group-keyed exchanges regardless of key cardinality.
+
+    The rollup property that matters operationally: the k-min set of a
+    COARSER group (month) equals the k-min of the union of its finer
+    groups' (days') k-min sets — every one of the month's k smallest
+    hashes is necessarily among its day's k smallest — so per-day
+    sketches roll up to month/quarter/corpus estimates EXACTLY, no
+    rescan, no approximation added by the merge (demonstrated end-to-end
+    by the `kmv_rollup_daily` registry entry).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col), h.alias("hash")) \
+        .filter(F.col("hash").isNotNull()).distinct()
+    w = Window.partitionBy(group_col).orderBy("hash")
+    return hashes.withColumn("pos", F.row_number().over(w)) \
+        .filter(F.col("pos") <= k) \
+        .select(group_col, "pos", "hash")
+
+
+def kmv_estimate_grouped(sketch: DataFrame, group_col: str,
+                         k: int = 256) -> DataFrame:
+    """Per-group distinct estimate from ``kmv_build_grouped`` output —
+    the same exact-below-k / (k−1)·SPACE div kth contract as
+    ``kmv_estimate``, one row per group."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("hash").alias("_kth"),
+    )
+    return agg.select(
+        group_col, "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+        .otherwise(F.expr(
+            f"cast(({k - 1} * cast({KMV_SPACE} as decimal(38,0)))"
+            f" div _kth as bigint)"))
+        .cast("long").alias("est"),
+    )

@@ -7630,6 +7630,97 @@ SQL_VOCAB_OVERLAP_SKETCH = (
 )
 
 
+def q_kmv_rollup_daily(spark, sf):
+    """Lossless sketch rollup (sketch.kmv_build_grouped): per-day KMV
+    sketches of distinct active users merged up to months — the k-min
+    set of a month IS the k-min of the union of its days' k-min sets, so
+    the merged estimate equals the direct monthly estimate EXACTLY,
+    proven per month by emitting both columns. This is the operational
+    point of mergeable sketches at 100 TB: daily profiling jobs produce
+    kilobyte sketches; month/quarter/corpus cardinalities roll up from
+    them with no rescan and no added error. k=32 keeps both regimes
+    (exact below k, estimator above) in play on this corpus."""
+    from anomaly_detection_spark.functions.sketch import (
+        kmv_build_grouped, kmv_estimate_grouped)
+
+    K = 32
+    e = load(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id")
+    daily = kmv_build_grouped(e.select("day", "user_id"), "day", "user_id",
+                              k=K)
+    day_month = F.expr("substring(day, 1, 7)")
+    w = Window.partitionBy("month").orderBy("hash")
+    merged = (
+        daily.select(day_month.alias("month"), "hash").distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= K)
+    )
+    est_merged = kmv_estimate_grouped(merged, "month", k=K) \
+        .select("month", F.col("est").alias("est_merged"))
+    direct = kmv_build_grouped(e.select("month", "user_id"), "month",
+                               "user_id", k=K)
+    est_direct = kmv_estimate_grouped(direct, "month", k=K) \
+        .select("month", F.col("n_hashes").alias("n_hashes"),
+                F.col("est").alias("est_direct"))
+    return est_direct.join(est_merged, "month").select(
+        "month", "n_hashes", "est_direct", "est_merged",
+        (F.col("est_direct") == F.col("est_merged")).cast("int")
+        .alias("rollup_exact"),
+    ).orderBy("month")
+
+
+SQL_KMV_ROLLUP_DAILY = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%Y-%m') AS month,
+         user_id
+  FROM events
+), dh AS (
+  SELECT DISTINCT day,
+    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+      AS hash
+  FROM e WHERE user_id IS NOT NULL
+), daily AS (
+  SELECT day, hash FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hash) AS pos
+    FROM dh) WHERE pos <= 32
+), merged AS (
+  SELECT month, hash FROM (
+    SELECT month, hash,
+           ROW_NUMBER() OVER (PARTITION BY month ORDER BY hash) AS pos
+    FROM (SELECT DISTINCT substring(day, 1, 7) AS month, hash FROM daily))
+  WHERE pos <= 32
+), est_m AS (
+  SELECT month, COUNT(*) AS n, MAX(hash) AS kth FROM merged GROUP BY 1
+), mh AS (
+  SELECT DISTINCT month,
+    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+      AS hash
+  FROM e WHERE user_id IS NOT NULL
+), direct AS (
+  SELECT month, hash FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY month ORDER BY hash) AS pos
+    FROM mh) WHERE pos <= 32
+), est_d AS (
+  SELECT month, COUNT(*) AS n, MAX(hash) AS kth FROM direct GROUP BY 1
+), est AS (
+  SELECT d.month,
+    CAST(d.n AS BIGINT) AS n_hashes,
+    CAST(CASE WHEN d.n < 32 THEN d.n
+         ELSE CAST(31 * CAST(1152921504606846976 AS HUGEINT) // d.kth
+                   AS BIGINT) END AS BIGINT) AS est_direct,
+    CAST(CASE WHEN m.n < 32 THEN m.n
+         ELSE CAST(31 * CAST(1152921504606846976 AS HUGEINT) // m.kth
+                   AS BIGINT) END AS BIGINT) AS est_merged
+  FROM est_d d JOIN est_m m ON d.month = m.month
+)
+SELECT month, n_hashes, est_direct, est_merged,
+       CAST(CASE WHEN est_direct = est_merged THEN 1 ELSE 0 END AS INTEGER)
+         AS rollup_exact
+FROM est ORDER BY month
+"""
+
+
 def q_kmv_distinct(spark, sf):
     """KMV distinct-count sketches (sketch.kmv_build/kmv_estimate) over
     four key columns: the engine-portable cardinality sketch (k smallest
@@ -11659,6 +11750,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_rollup_daily": (q_kmv_rollup_daily, SQL_KMV_ROLLUP_DAILY),
     "vocab_overlap_sketch": (q_vocab_overlap_sketch, SQL_VOCAB_OVERLAP_SKETCH),
     "json_key_profile": (q_json_key_profile, SQL_JSON_KEY_PROFILE),
     "group_cap_sample": (q_group_cap_sample, SQL_GROUP_CAP_SAMPLE),

@@ -175,6 +175,7 @@ HEADLINE = [
     "schema_compat_check",
     "dq_scores",
     "rule_recall_audit",
+    "kmv_rollup_daily",
 ]
 
 # documents synthesized for the validation-suite throughput measurement

@@ -206,3 +206,25 @@ def test_kmv_overlap_disjoint(spark):
         .collect()[0]
     assert ov["inter_est"] == 0 and ov["jaccard_ppm"] == 0
     assert ov["union_est"] == 4
+
+
+def test_kmv_grouped_rollup_is_lossless(spark):
+    from anomaly_detection_spark.functions.sketch import (
+        kmv_build_grouped, kmv_estimate_grouped)
+
+    rows = [(f"d{i % 4}", f"u{(i * 7) % 300}") for i in range(600)]
+    df = spark.createDataFrame(rows, "day string, uid string")
+    daily = kmv_build_grouped(df, "day", "uid", k=16)
+    # merge all 4 days to one coarse group; compare against direct build
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    merged = (
+        daily.select(F.lit("all").alias("g"), "hash").distinct()
+        .withColumn("pos", F.row_number().over(
+            Window.partitionBy("g").orderBy("hash")))
+        .filter("pos <= 16"))
+    direct = kmv_build_grouped(
+        df.select(F.lit("all").alias("g"), "uid"), "g", "uid", k=16)
+    em = kmv_estimate_grouped(merged, "g", k=16).collect()[0]["est"]
+    ed = kmv_estimate_grouped(direct, "g", k=16).collect()[0]["est"]
+    assert em == ed
