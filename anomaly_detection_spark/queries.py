@@ -1154,6 +1154,97 @@ ORDER BY gid, nation, segment
 """
 
 
+def q_conversion_attribution(spark, sf):
+    """Multi-touch conversion attribution: every purchase distributes
+    1e6 micro-credits linearly across the SAME user's preceding
+    non-purchase events within 24 h; purchases with no preceding touch
+    fall into the '(direct)' channel. Per-user total order is
+    (ts, event_id) ranks, the nearest following purchase is a windowed
+    conditional min over ranks (no ts-tie ambiguity), and the
+    contributor→purchase close is a per-user equi-join on the rank —
+    bounded by events-per-user, never a time-range theta join. Credits
+    are integer `div` shares, so the rollup is engine-exact. The
+    marketing twin of `event_funnel`/`event_transitions`."""
+    DAY_US = 86_400_000_000
+    e = load(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = e.withColumn("rnk", F.row_number().over(w))
+    isp = F.col("event_type") == "purchase"
+    w2 = Window.partitionBy("user_id").orderBy("rnk") \
+        .rowsBetween(1, Window.unboundedFollowing)
+    r = r.withColumn("next_p", F.min(F.when(isp, F.col("rnk"))).over(w2))
+    contributors = r.filter(~isp & F.col("next_p").isNotNull()) \
+        .select("user_id", "event_type", "us", F.col("next_p").alias("p_rnk"))
+    purchases = r.filter(isp).select(
+        "user_id", F.col("rnk").alias("p_rnk"), F.col("us").alias("p_us"))
+    touches = contributors.join(purchases, ["user_id", "p_rnk"]) \
+        .filter(F.col("p_us") - F.col("us") <= DAY_US)
+    per_p = touches.groupBy("user_id", "p_rnk") \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    credited = touches.join(per_p, ["user_id", "p_rnk"]) \
+        .withColumn("credit", F.expr("1000000 div _n"))
+    chan = credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("touches"),
+        F.countDistinct("user_id", "p_rnk").alias("conversions"),
+        F.sum("credit").cast("long").alias("credit_micro"),
+    )
+    direct = purchases.join(per_p, ["user_id", "p_rnk"], "left_anti") \
+        .agg(F.count(F.lit(1)).alias("conversions")) \
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(0).cast("long").alias("touches"),
+            F.col("conversions").cast("long"),
+            (F.col("conversions") * 1_000_000).cast("long")
+            .alias("credit_micro"),
+        )
+    return chan.unionByName(direct).orderBy("channel")
+
+
+SQL_CONVERSION_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS rnk
+  FROM e
+), n AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rnk END)
+         OVER (PARTITION BY user_id ORDER BY rnk
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+  FROM r
+), contributors AS (
+  SELECT user_id, event_type, us, next_p AS p_rnk
+  FROM n WHERE event_type <> 'purchase' AND next_p IS NOT NULL
+), purchases AS (
+  SELECT user_id, rnk AS p_rnk, us AS p_us
+  FROM r WHERE event_type = 'purchase'
+), touches AS (
+  SELECT c.user_id, c.event_type, c.p_rnk
+  FROM contributors c JOIN purchases p USING (user_id, p_rnk)
+  WHERE p.p_us - c.us <= 86400000000
+), per_p AS (
+  SELECT user_id, p_rnk, COUNT(*) AS n FROM touches GROUP BY 1, 2
+), credited AS (
+  SELECT t.event_type, t.user_id, t.p_rnk, 1000000 // pp.n AS credit
+  FROM touches t JOIN per_p pp USING (user_id, p_rnk)
+), chan AS (
+  SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS touches,
+         CAST(COUNT(DISTINCT (user_id, p_rnk)) AS BIGINT) AS conversions,
+         CAST(SUM(credit) AS BIGINT) AS credit_micro
+  FROM credited GROUP BY 1
+), direct AS (
+  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS touches,
+         CAST(COUNT(*) AS BIGINT) AS conversions,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_micro
+  FROM purchases p LEFT JOIN per_p pp USING (user_id, p_rnk)
+  WHERE pp.n IS NULL
+)
+SELECT * FROM chan UNION ALL SELECT * FROM direct ORDER BY channel
+"""
+
+
 def q_session_paths(spark, sf):
     """Clickstream path mining: top-20 session-opening event-type paths
     (first 3 events per 30-min-gap session, '>'-joined) with corpus
@@ -11600,6 +11691,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma_control": (q_ewma_control, SQL_EWMA_CONTROL),
     "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
+    "conversion_attribution": (q_conversion_attribution, SQL_CONVERSION_ATTRIBUTION),
     "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
     "cdc_merge": (q_cdc_merge, SQL_CDC_MERGE),
     "scd2_versions": (q_scd2_versions, SQL_SCD2_VERSIONS),

@@ -175,3 +175,24 @@ def test_session_paths_deterministic_order_and_share(spark):
     assert counts == sorted(counts, reverse=True)
     assert all(0 < r["share_ppm"] <= 1_000_000 for r in out)
     assert all(1 <= len(r["path"].split(">")) <= 3 for r in out)
+
+
+def test_conversion_attribution_credit_conserves(spark):
+    from anomaly_detection_spark.queries import QUERIES
+
+    out = QUERIES["conversion_attribution"][0](
+        spark, "/root/testdata/sf0.001").collect()
+    rows = {r["channel"]: r.asDict() for r in out}
+    assert "(direct)" in rows
+    total_conversions = sum(
+        r["conversions"] for c, r in rows.items() if c == "(direct)")
+    # every attributed purchase's 1e6 credit is conserved up to the
+    # integer-div remainder per conversion (< n per purchase)
+    attributed = {c: r for c, r in rows.items() if c != "(direct)"}
+    credit = sum(r["credit_micro"] for r in attributed.values())
+    touches = sum(r["touches"] for r in attributed.values())
+    # distinct purchases credited (upper bound: per-channel sum overcounts)
+    max_conv = max(r["conversions"] for r in attributed.values())
+    assert credit <= 1_000_000 * touches
+    assert credit > 900_000 * max_conv  # bulk of credit lands
+    assert "purchase" not in attributed  # purchases never self-credit
