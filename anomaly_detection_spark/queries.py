@@ -1154,6 +1154,59 @@ ORDER BY gid, nation, segment
 """
 
 
+def q_source_pareto(spark, sf):
+    """Pareto concentration report: per-source token mass, share, and
+    cumulative share in (tokens DESC, source) order, with the 80%-core
+    flag — the concentration diagnostic that decides whether curation
+    effort targets a handful of dominant sources or the long tail. The
+    corpus scan is ONE map-side-combined token-count agg; every window
+    below it runs on the source-cardinality frame (metadata-sized).
+    Integer ppm with truncating div; cumulative sums over a total
+    order, so both engines agree exactly."""
+    d = load(spark, sf, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(text.token_count("text")).cast("long").alias("tokens"))
+    total = per_src.agg(F.sum("tokens").alias("_tot"))
+    w = Window.orderBy(F.desc("tokens"), F.asc("source")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_src.crossJoin(F.broadcast(total)).select(
+        "source", "tokens",
+        F.expr("(tokens * 1000000) div _tot").alias("share_ppm"),
+        (F.sum("tokens").over(w) * F.lit(1_000_000)).alias("_cumtok"),
+        F.col("_tot"),
+    ).select(
+        "source", "tokens", "share_ppm",
+        F.expr("_cumtok div _tot").cast("long").alias("cum_share_ppm"),
+    )
+    return ranked.select(
+        "source", "tokens", "share_ppm", "cum_share_ppm",
+        (F.col("cum_share_ppm") <= 800_000).cast("int").alias("core80"),
+    ).orderBy(F.desc("tokens"), F.asc("source"))
+
+
+SQL_SOURCE_PARETO = """
+WITH per_src AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+), t AS (SELECT SUM(tokens) AS tot FROM per_src),
+r AS (
+  SELECT source, tokens,
+         (tokens * 1000000) // tot AS share_ppm,
+         (SUM(tokens) OVER (ORDER BY tokens DESC, source
+                            ROWS UNBOUNDED PRECEDING) * 1000000) // tot
+           AS cum_share_ppm
+  FROM per_src, t
+)
+SELECT source, tokens, CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(cum_share_ppm AS BIGINT) AS cum_share_ppm,
+       CAST(CASE WHEN cum_share_ppm <= 800000 THEN 1 ELSE 0 END AS INTEGER)
+         AS core80
+FROM r ORDER BY tokens DESC, source ASC
+"""
+
+
 def q_conversion_attribution(spark, sf):
     """Multi-touch conversion attribution: every purchase distributes
     1e6 micro-credits linearly across the SAME user's preceding
@@ -11692,6 +11745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cusum_control": (q_cusum_control, SQL_CUSUM_CONTROL),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "conversion_attribution": (q_conversion_attribution, SQL_CONVERSION_ATTRIBUTION),
+    "source_pareto": (q_source_pareto, SQL_SOURCE_PARETO),
     "revenue_grouping_sets": (q_revenue_grouping_sets, SQL_REVENUE_GROUPING_SETS),
     "cdc_merge": (q_cdc_merge, SQL_CDC_MERGE),
     "scd2_versions": (q_scd2_versions, SQL_SCD2_VERSIONS),

@@ -176,6 +176,8 @@ HEADLINE = [
     "dq_scores",
     "rule_recall_audit",
     "kmv_rollup_daily",
+    "conversion_attribution",
+    "source_pareto",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
