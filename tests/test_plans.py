@@ -771,3 +771,24 @@ def test_rollup_is_single_expand_aggregate(spark):
     plan = plan_of(QUERIES["revenue_grouping_sets"][0](spark, SF))
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_cdc_apply_changelog_side_window_only(spark):
+    """The latest-wins window must run over the changelog, not the base:
+    the base side of the plan may not contain a Window node, and the
+    close is a single equi-join on the key."""
+    from anomaly_detection_spark.functions.cdc import cdc_apply
+
+    base = spark.range(10000).selectExpr("id AS k", "id * 2 AS v")
+    changes = spark.range(50).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 'D' ELSE 'U' END AS op",
+        "id AS seq", "id * 7 AS v")
+    plan = plan_of(cdc_apply(base, changes, "k", ["v"]))
+    tree = plan.split("\n\n")[0]
+    # exactly one Window node (plus Spark's WindowGroupLimit top-1
+    # pushdown above it), and it sits on the changelog branch
+    assert len(re.findall(r"\bWindow \(\d+\)", tree)) == 1
+    assert "WindowGroupLimit" in tree  # rank<=1 pushed below the sort
+    assert "CartesianProduct" not in plan
+    join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert join_keys and all("k#" in k for k in join_keys)
