@@ -434,14 +434,29 @@ def int8_quantize(vec_col: Column) -> Column:
     ANSI mode an unguarded ``/mx`` throws even when the caller filters
     zero vectors first, because InferFiltersFromGenerate can inline this
     expression into a scan predicate that runs before that filter
-    conjunct); callers still exclude zero vectors before any cosine."""
-    mx = F.array_max(F.transform(vec_col, lambda v: F.abs(v.cast("double"))))
-    safe_mx = F.when(mx > 0, mx).otherwise(F.lit(1.0))
-    return F.transform(
-        vec_col,
-        lambda v: F.floor(v.cast("double") * F.lit(127.0) / safe_mx + F.lit(0.5))
-        .cast("long"),
-    )
+    conjunct); callers still exclude zero vectors before any cosine.
+
+    The vector and its max-abs scale are BOTH bound through
+    single-element-array ``transform`` lambdas (the ``_shingles_of``
+    discipline): without the binding, CollapseProject inlines the
+    ``array_max`` reduction into the per-element lambda and the scale is
+    re-reduced dim times per row — measured 3.2 s → 0.2 s for the bare
+    quantize scan of 50k×64 vectors."""
+    return F.element_at(
+        F.transform(F.array(vec_col), lambda vv: F.element_at(
+            F.transform(
+                F.array(F.array_max(
+                    F.transform(vv, lambda x: F.abs(x.cast("double"))))),
+                lambda m: F.transform(
+                    vv,
+                    lambda x: F.floor(
+                        x.cast("double") * F.lit(127.0)
+                        / F.when(m > 0, m).otherwise(F.lit(1.0))
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ),
+            ), 1)),
+        1)
 
 
 def contrastive_pairs(
@@ -636,7 +651,11 @@ def spectral_top_direction(emb: DataFrame, dim: int = 64,
             ).cast("long")
             for j in range(dim)
         ]
-        v = mx.select(F.array(*comp).alias("v"))
+        # localCheckpoint the 1-row direction: without it each iteration's
+        # plan embeds the previous iteration's whole subtree, and the
+        # final consumer pays dim-wide codegen compilation per level (the
+        # ml.py LOF lesson — measured multi-second on 3 iterations)
+        v = mx.select(F.array(*comp).alias("v")).localCheckpoint(eager=True)
     return v
 
 
