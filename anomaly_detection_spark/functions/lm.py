@@ -93,22 +93,36 @@ def bigram_lm_scores(
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(vocab_k)
     )
-    vocab_row = vocab.agg(
+    # token -> integer symbol id (0..vocab_k-1 by count desc, token asc;
+    # <unk> = vocab_k). Integer ids make every downstream lookup O(1)
+    # ARRAY indexing: the previous string-keyed bigram map was a Spark
+    # MapData — element_at on it is a LINEAR scan, and ~650k bigram pairs
+    # x ~625 string-equality probes each measured ~12 s of pure map
+    # scanning in the score pass at sf0.1.
+    from pyspark.sql.window import Window as _W
+
+    vid = vocab.select(
+        "tok",
+        (F.row_number().over(
+            _W.orderBy(F.col("cnt").desc(), F.col("tok").asc())) - 1)
+        .alias("id"),
+    )
+    vocab_row = vid.agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("tok"), F.lit(1)))
-        ).alias("vset")
+            F.collect_list(F.struct(F.col("tok"), F.col("id")))
+        ).alias("vmap")
     )
 
-    def to_sym(t: Column) -> Column:
-        return F.when(
-            F.element_at(F.col("vset"), t).isNotNull(), t
-        ).otherwise(F.lit(UNK))
+    def to_id(t: Column) -> Column:
+        # 25-entry map probe per token (unavoidable: tokens are strings);
+        # everything after this runs on ints
+        return F.coalesce(F.element_at(F.col("vmap"), t),
+                          F.lit(vocab_k)).cast("int")
 
     # Bigrams of the reference slice, OOV folded to <unk> FIRST so the
-    # count table is bounded by (vocab_k+1)^2 keys. Tokens cannot contain
-    # whitespace (whitespace split), so ' ' is a collision-free separator.
+    # count table is bounded by (vocab_k+1)^2 integer keys.
     mapped_ref = ref.crossJoin(F.broadcast(vocab_row)).select(
-        F.transform(F.col("toks"), to_sym).alias("ms")
+        F.transform(F.col("toks"), to_id).alias("ms")
     )
     n = F.size("ms")
     bigrams = mapped_ref.select(
@@ -116,37 +130,50 @@ def bigram_lm_scores(
             F.zip_with(
                 F.slice(F.col("ms"), 1, F.greatest(n - 1, F.lit(0))),
                 F.slice(F.col("ms"), 2, F.greatest(n - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+                lambda a, b: a * F.lit(n_sym) + b,
             )
         ).alias("bg")
     )
     bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c12"))
     first_counts = bg_counts.select(
-        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+        F.expr(f"bg div {n_sym}").alias("w1"), "c12"
     ).groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+    # Dense count ARRAYS in the 1-row model frame (construction cost is
+    # one pass over <= n_sym^2 map entries, once): barr[a*n_sym+b+1] =
+    # c12, uarr[a+1] = c1 — O(1) ordinal element_at in the score pass.
+    def _dense(map_col: str, size: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(size - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col(map_col), i.cast("int")), F.lit(0)
+            ).cast("long"),
+        )
 
     model_row = (
         bg_counts.agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("bg"), F.col("c12")))
-            ).alias("bmap")
+                F.collect_list(F.struct(F.col("bg").cast("int"),
+                                        F.col("c12")))
+            ).alias("_bmap")
         )
         .crossJoin(
             first_counts.agg(
                 F.map_from_entries(
-                    F.collect_list(F.struct(F.col("w1"), F.col("c1")))
-                ).alias("umap")
+                    F.collect_list(F.struct(F.col("w1").cast("int"),
+                                            F.col("c1")))
+                ).alias("_umap")
             )
         )
+        .select(_dense("_bmap", n_sym * n_sym).alias("barr"),
+                _dense("_umap", n_sym).alias("uarr"))
         .crossJoin(vocab_row)
     )
 
     # -- score pass (whole corpus, in-row) --------------------------------
     def pair_nll_micro(a: Column, b: Column) -> Column:
-        c12 = F.coalesce(
-            F.element_at(F.col("bmap"), F.concat(a, F.lit(" "), b)), F.lit(0)
-        ).cast("long")
-        c1 = F.coalesce(F.element_at(F.col("umap"), a), F.lit(0)).cast("long")
+        c12 = F.element_at(F.col("barr"), a * F.lit(n_sym) + b + 1)
+        c1 = F.element_at(F.col("uarr"), a + 1)
         den = (c1 + F.lit(n_sym)).cast("double")
         num = (c12 + F.lit(1)).cast("double")
         return F.floor(F.log(den / num) * F.lit(1000000.0) + F.lit(0.5)).cast(
@@ -154,22 +181,38 @@ def bigram_lm_scores(
         )
 
     scored = base.crossJoin(F.broadcast(model_row))
-    ms = F.transform(F.col("toks"), to_sym)
-    nb = F.greatest(F.size("toks") - 1, F.lit(0)).cast("long")
-    nll = F.aggregate(
-        F.zip_with(
-            F.slice(ms, 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-            F.slice(ms, 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-            pair_nll_micro,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    # The mapped-symbol array and the NLL aggregate are bound through a
+    # single-element-array transform + inline_outer (the _shingles_of /
+    # c4_line_filter discipline): referenced bare, CollapseProject inlines
+    # the `transform(toks, to_sym)` mapping into BOTH zip_with slices and
+    # the whole aggregate into both the nll column and the keep
+    # comparison — four map-lookup passes per row instead of one.
+    def nll_of(msb: Column) -> Column:
+        k = F.greatest(F.size(msb) - 1, F.lit(0))
+        return F.aggregate(
+            F.zip_with(F.slice(msb, 1, k), F.slice(msb, 2, k),
+                       pair_nll_micro),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    res = F.element_at(
+        F.transform(
+            F.array(F.transform(F.col("toks"), to_id)),
+            lambda msb: F.element_at(
+                F.transform(
+                    F.array(nll_of(msb)),
+                    lambda nll: F.struct(
+                        F.greatest(F.size(msb) - 1, F.lit(0)).cast("long")
+                        .alias("n_bigrams"),
+                        nll.alias("nll_sum_micro"),
+                        (nll
+                         <= F.lit(int(keep_nll_micro_per_bigram))
+                         * F.greatest(F.size(msb) - 1, F.lit(0)).cast("long"))
+                        .cast("int").alias("keep"),
+                    ),
+                ), 1),
+        ), 1)
     return scored.select(
-        F.col("_id").alias(id_col),
-        nb.alias("n_bigrams"),
-        nll.alias("nll_sum_micro"),
-        (
-            nll <= F.lit(int(keep_nll_micro_per_bigram)) * nb
-        ).cast("int").alias("keep"),
-    )
+        F.col("_id").alias(id_col), F.inline_outer(F.array(res)))
