@@ -170,7 +170,11 @@ def skip_report(zones: DataFrame, predicates: list[tuple[str, str, int, int]],
     for c in stat_cols:
         mn = F.when(F.col("_p.col") == c, F.col(f"min_{c}")).otherwise(mn)
         mx = F.when(F.col("_p.col") == c, F.col(f"max_{c}")).otherwise(mx)
-    hit = (mx >= F.col("_p.lo")) & (mn <= F.col("_p.hi"))
+    # NULL envelope (all-NULL stat column, or predicate on an untracked
+    # column) ⇒ the planner CANNOT prune — must-scan, never counted as
+    # skipped (a NULL hit would silently vanish from the sums below)
+    hit = F.coalesce((mx >= F.col("_p.lo")) & (mn <= F.col("_p.hi")),
+                     F.lit(True))
     out = ex.groupBy(F.col("_p.pid").alias("pred_id")).agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum(hit.cast("long")).alias("files_scanned"),

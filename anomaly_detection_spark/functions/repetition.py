@@ -226,9 +226,13 @@ def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
     """
     ntok = F.size(F.filter(F.split(F.col(line_col), " "),
                            lambda w: w != ""))
+    # the id MUST be widened to long before encoding: with an int id the
+    # int×int product silently wraps (non-ANSI) at id ≥ 2148, corrupting
+    # keeper attribution — the '10^12 docs fit a long' claim needs this
     occ = lines.select(
         F.col(id_col), F.col(line_col).alias("_l"),
-        (F.col(id_col) * F.lit(1_000_000) + F.col(line_no_col)).alias("_k"),
+        (F.col(id_col).cast("long") * F.lit(1_000_000)
+         + F.col(line_no_col)).alias("_k"),
         ntok.alias("_t"),
     )
     groups = occ.groupBy("_l").agg(

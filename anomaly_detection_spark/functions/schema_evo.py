@@ -53,12 +53,17 @@ def schema_compat(old: DataFrame, new: DataFrame) -> DataFrame:
               F.lit("requiredness_tightened"))
         .otherwise(F.lit("unchanged"))
     )
+    # requiredness tightening breaks readers regardless of which change
+    # label won above — a column that both widens (int→bigint) AND goes
+    # optional→required is labeled 'widened' but must still be breaking
+    tightened = (F.col("old_req") == 0) & (F.col("new_req") == 1)
     compat = (
         F.when(change == "added",
                F.when(F.col("new_req") == 1, F.lit("breaking"))
                .otherwise(F.lit("ok")))
         .when(change.isin("dropped", "retyped", "requiredness_tightened"),
               F.lit("breaking"))
+        .when(tightened, F.lit("breaking"))
         .otherwise(F.lit("ok"))
     )
     return j.select(

@@ -615,9 +615,12 @@ def spectral_top_direction(emb: DataFrame, dim: int = 64,
 
     Everything is exact integers — deterministic across engines and
     partitionings. Overflow headroom: |d| ≤ dim·127·2^scale_bits ≈ 1.3e8
-    and each component sum ≤ n·127·|d|, so a long holds to n ≈ 5·10⁸
-    rows; beyond that, per-partition partial normalization (same merge
-    law) keeps the arithmetic in range.
+    and each component sum ≤ n·127·|d|, so a long holds the sums to
+    n ≈ 5·10⁸ rows; the renormalizing product ``|s|·2^scale_bits`` is
+    widened to decimal(38,0) (HUGEINT in the oracle) BEFORE the
+    multiply, so it never wraps below that structural bound. Beyond
+    n ≈ 5·10⁸, per-partition partial normalization (same merge law)
+    keeps the arithmetic in range.
 
     Input must carry ``vec_col`` as an int8-quantized long array
     (``int8_quantize``). Returns a 1-row frame with column ``v``
@@ -642,12 +645,17 @@ def spectral_top_direction(emb: DataFrame, dim: int = 64,
             F.greatest(*[F.abs(F.col(f"s{j}")) for j in range(dim)],
                        F.lit(1)).alias("_mx"),
         )
+        # widen |s|·2^scale_bits through decimal(38,0) before the div:
+        # |s| can reach n·127·|d| ≈ 1.7e10·n, so the long product wraps
+        # at n ≈ 3e4; decimal holds long·2^14 exactly (div returns long)
+        norm = (f"(cast(abs(s{{j}}) as decimal(38,0))"
+                f" * {1 << scale_bits}) div _mx")
         comp = [
             F.when(
                 F.col(f"s{j}") < 0,
-                -F.expr(f"(abs(s{j}) * {1 << scale_bits}) div _mx"),
+                -F.expr(norm.format(j=j)),
             ).otherwise(
-                F.expr(f"(abs(s{j}) * {1 << scale_bits}) div _mx")
+                F.expr(norm.format(j=j))
             ).cast("long")
             for j in range(dim)
         ]

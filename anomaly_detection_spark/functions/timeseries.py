@@ -312,10 +312,12 @@ def ewma_control(daily: DataFrame, group_col: str = "event_type",
     Exactness contract: the kernel is the INTEGER vector ``EWMA_WEIGHTS``
     (λ = 1/4 scaled by 4⁷), the prediction is the integer division
     ``(Σ wᵢ·xᵢ · 10⁶) div Σ wᵢ`` in ppm, and the 3σ test is the integer
-    comparison ``(x·den − num)² > 9·num·den`` (both sides exact longs —
-    square the Poisson band instead of taking a square root). Counts up
-    to ~10⁷/day fit the squared arithmetic in a long; beyond that, scale
-    the kernel down.
+    comparison ``(x·den − num)² > 9·num·den`` — squared instead of a
+    square root, with BOTH sides widened to 128-bit before the multiply
+    (``decimal(38,0)`` here, HUGEINT in the DuckDB oracle) so the
+    square of a full-scale residual cannot wrap an int64. The binding
+    bound is now only that ``x·den`` and ``num`` fit a long:
+    counts up to ~1.5·10¹⁴/day (den = Σw = 58 975).
 
     Shape at 100 TB: the raw stream folds to (group, day) counts by a
     map-side-combined aggregate BEFORE this function; here the only
@@ -343,15 +345,20 @@ def ewma_control(daily: DataFrame, group_col: str = "event_type",
         num.cast("long").alias("_num"),
         den.cast("long").alias("_den"),
     )
-    resid = F.col("cnt") * F.col("_den") - F.col("_num")
+    # widen the squared comparison: |resid| reaches cnt·den ≈ cnt·5.9e4,
+    # so resid² wraps an int64 once counts pass ~5·10⁴ — decimal(38,0)
+    # holds long²; DuckDB mirrors with HUGEINT (both exact ≤ 1e38)
+    resid = (F.col("cnt") * F.col("_den") - F.col("_num")) \
+        .cast("decimal(38,0)")
+    band = (F.lit(9).cast("decimal(38,0)")
+            * F.col("_num") * F.col("_den"))
     return mid.select(
         group_col, day_col, "cnt",
         F.when(F.col("_den") > 0,
                F.expr("(_num * 1000000) div _den")).cast("long")
         .alias("pred_micro"),
         F.when(
-            (F.col("_den") > 0)
-            & (resid * resid > F.lit(9) * F.col("_num") * F.col("_den")),
+            (F.col("_den") > 0) & (resid * resid > band),
             F.lit(1),
         ).otherwise(F.lit(0)).cast("int").alias("flag"),
     )

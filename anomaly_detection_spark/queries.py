@@ -880,7 +880,8 @@ WITH daily AS (
 SELECT event_type, day, cnt,
   CASE WHEN den > 0 THEN (num * 1000000) // den END AS pred_micro,
   CAST(CASE WHEN den > 0
-            AND (cnt * den - num) * (cnt * den - num) > 9 * num * den
+            AND CAST(cnt * den - num AS HUGEINT) * (cnt * den - num)
+                > 9 * CAST(num AS HUGEINT) * den
        THEN 1 ELSE 0 END AS INTEGER) AS flag
 FROM lagged ORDER BY event_type, day
 """
@@ -891,7 +892,7 @@ _SCHEMA_V1 = [
     ("doc_id", "string", 1), ("n_chars", "int", 0),
     ("score", "float", 0), ("lang", "string", 1),
     ("legacy_flag", "int", 0), ("source", "string", 0),
-    ("loose", "string", 1),
+    ("loose", "string", 1), ("span_count", "int", 0),
 ]
 _SCHEMA_V2 = [
     ("doc_id", "string", 1),            # unchanged
@@ -900,6 +901,7 @@ _SCHEMA_V2 = [
     ("lang", "int", 1),                 # retyped  (breaking)
     ("source", "string", 1),            # requiredness_tightened (breaking)
     ("loose", "string", 0),             # requiredness_loosened  (ok)
+    ("span_count", "bigint", 1),        # widened BUT opt→req (breaking)
     ("embedding", "array<float>", 0),   # added optional (ok)
     ("checksum", "string", 1),          # added required (breaking)
 ]
@@ -935,7 +937,7 @@ j AS (
          o.required AS old_req, n.required AS new_req
   FROM o FULL OUTER JOIN n ON o.name = n.name
 ), c AS (
-  SELECT name, old_type, new_type, new_req,
+  SELECT name, old_type, new_type, old_req, new_req,
     CASE WHEN old_type IS NULL THEN 'added'
          WHEN new_type IS NULL THEN 'dropped'
          WHEN old_type <> new_type THEN
@@ -952,6 +954,7 @@ SELECT name, old_type, new_type, change,
          CASE WHEN new_req = 1 THEN 'breaking' ELSE 'ok' END
        WHEN change IN ('dropped', 'retyped', 'requiredness_tightened')
          THEN 'breaking'
+       WHEN old_req = 0 AND new_req = 1 THEN 'breaking'
        ELSE 'ok' END AS compat
 FROM c ORDER BY name
 """
@@ -8807,8 +8810,10 @@ def _spectral_iter_sql(i: int) -> str:
 ), n{i} AS (
   SELECT GREATEST(MAX(ABS(s)), 1) AS mx FROM s{i}
 ), v{i} AS (
-  SELECT list(CASE WHEN s < 0 THEN -((ABS(s) * 16384) // mx)
-              ELSE (ABS(s) * 16384) // mx END ORDER BY j) AS v
+  SELECT list(CAST(CASE WHEN s < 0
+                   THEN -((CAST(ABS(s) AS HUGEINT) * 16384) // mx)
+                   ELSE (CAST(ABS(s) AS HUGEINT) * 16384) // mx END
+              AS BIGINT) ORDER BY j) AS v
   FROM s{i}, n{i}
 )"""
 
@@ -11694,10 +11699,10 @@ WITH base AS (
   FROM zones z, preds p
 ), agg AS (
   SELECT layout, pid AS pred_id, COUNT(*) AS n_files,
-         SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END)
-           AS files_scanned,
-         SUM(CASE WHEN mx >= lo AND mn <= hi THEN n_rows ELSE 0 END)
-           AS rows_scanned
+         SUM(CASE WHEN COALESCE(mx >= lo AND mn <= hi, TRUE)
+             THEN 1 ELSE 0 END) AS files_scanned,
+         SUM(CASE WHEN COALESCE(mx >= lo AND mn <= hi, TRUE)
+             THEN n_rows ELSE 0 END) AS rows_scanned
   FROM j GROUP BY 1, 2
 )
 SELECT layout, pred_id, CAST(n_files AS BIGINT) AS n_files,
