@@ -67,17 +67,64 @@ def brute_force_topk(
     )
 
 
+def _cap_cells(e: DataFrame, bucket_col: str,
+               max_bucket: int | None) -> DataFrame:
+    """Oversize-cell PREFILTER — the ``dedup.lsh_candidate_pairs``
+    discipline applied to the ANN cell joins: a map-side-combinable count
+    finds cells above ``max_bucket``, then a broadcast anti-join drops
+    their rows BEFORE any per-cell join materializes. Cells here are
+    data-given labels, not a balanced codebook, so one skewed cell at
+    100 TB would otherwise make the candidate join Σ|cell|² unbounded.
+    Pair with ``ivf_cell_stats`` to log what was dropped (a silent cap
+    reads as full coverage). ``None`` opts out."""
+    if max_bucket is None:
+        return e
+    oversize = (
+        e.groupBy(bucket_col).agg(F.count("*").alias("_sz"))
+        .filter(F.col("_sz") > max_bucket)
+        .select(bucket_col)
+    )
+    return e.join(F.broadcast(oversize), bucket_col, "left_anti")
+
+
+def ivf_cell_stats(emb: DataFrame, bucket_col: str = "label",
+                   max_bucket: int = 2000) -> DataFrame:
+    """One-row observability frame for an IVF ANN run (the ANN twin of
+    ``dedup.lsh_bucket_stats``): cell count/size extremes and how many
+    cells the ``max_bucket`` cap drops, plus the ordered candidate pairs
+    (Σ sz·(sz−1), the directed query→neighbor fan-out) those cells held.
+    Run alongside any ``ivf_*_topk`` call at scale."""
+    sizes = emb.groupBy(bucket_col).agg(F.count("*").alias("sz"))
+    over = F.col("sz") > max_bucket
+    return sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.max("sz").alias("max_cell_size"),
+        F.sum(over.cast("long")).alias("n_cells_dropped"),
+        F.sum(F.when(over, F.col("sz") * (F.col("sz") - 1))
+              .otherwise(F.lit(0)).cast("long")).alias("candidates_dropped"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
-    bucket_col: str = "label",
+    bucket_col: str = "label", max_bucket: int | None = 2000,
 ) -> DataFrame:
     """IVF-style ANN: candidates restricted to the same coarse bucket
     (cluster label / LSH bucket). The join is an equi-join on the bucket —
-    shuffle-partitioned by bucket, Σ|bucket|² work instead of n²."""
-    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                   F.col(bucket_col).alias("_b")).withColumn("qn", norm(F.col("qv")))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                   F.col(bucket_col).alias("_b")).withColumn("cn", norm(F.col("cv")))
+    shuffle-partitioned by bucket, Σ|bucket|² work instead of n².
+
+    ``max_bucket`` (default 2000; ``None`` opts out) drops oversized
+    cells entirely — queries probe only their home cell here, so a
+    dropped cell's members emit no rows (the LSH-bucket drop semantics);
+    log the drop with ``ivf_cell_stats``."""
+    capped = _cap_cells(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                   F.col(bucket_col).alias("_b")),
+        "_b", max_bucket)
+    q = capped.select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+                      "_b").withColumn("qn", norm(F.col("qv")))
+    c = capped.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+                      "_b").withColumn("cn", norm(F.col("cv")))
     scored = (
         q.join(c, "_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -148,6 +195,7 @@ def ivf_multiprobe_topk(
     emb: DataFrame, k: int = 3, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bucket_col: str = "label", scale: int = 1000, dim: int = 64,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """IVF ANN with multi-bucket probing — the recall fix over single-bucket
     ``ivf_topk``: each query searches its ``nprobe`` NEAREST coarse cells
@@ -176,13 +224,14 @@ def ivf_multiprobe_topk(
                      lambda x: F.round(x.cast("double") * scale).cast("long"))
     e = emb.select(F.col(id_col).alias("_id"), qz.alias("_v"),
                    F.col(bucket_col).alias("_b"))
-    return _ivf_multiprobe_quantized(e, k, nprobe, dim)
+    return _ivf_multiprobe_quantized(e, k, nprobe, dim, max_bucket)
 
 
 def int8_ivf_topk(
     emb: DataFrame, k: int = 3, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bucket_col: str = "label", dim: int = 64,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """INT8-quantized IVF multi-probe ANN — the composition that actually
     ships at 100 TB: vectors stored 4× smaller (``int8_quantize``; cosine
@@ -206,15 +255,24 @@ def int8_ivf_topk(
         int8_quantize(F.col(vec_col)).alias("_v"),
         F.col(bucket_col).alias("_b"),
     )
-    return _ivf_multiprobe_quantized(e, k, nprobe, dim)
+    return _ivf_multiprobe_quantized(e, k, nprobe, dim, max_bucket)
 
 
 def _ivf_multiprobe_quantized(
     e: DataFrame, k: int, nprobe: int, dim: int,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Shared IVF multi-probe core over a pre-quantized frame
     ``(_id, _v array<long>, _b)`` — see ``ivf_multiprobe_topk`` for the
     plan-shape contract (broadcast integer codebook, per-bucket join).
+
+    ``max_bucket`` applies the ``_cap_cells`` oversize prefilter to the
+    INDEX side only: codebook and candidates come from cells ≤ the cap
+    (Σ|cell|² bounded by n·nprobe·max_bucket), while every query still
+    probes its ``nprobe`` nearest KEPT cells — a member of a dropped
+    cell keeps returning neighbors, they just come from indexed cells
+    (drop the index entries, not the queries). Log drops with
+    ``ivf_cell_stats``.
 
     ``e`` feeds FOUR subtrees (codebook sums, bucket counts, query side,
     candidate side); column pruning makes them non-identical so exchange
@@ -225,6 +283,7 @@ def _ivf_multiprobe_quantized(
     (quantize-on-write; a production table reads int8 directly and this
     checkpoint is the scan)."""
     e = e.localCheckpoint(eager=False)
+    idx = _cap_cells(e, "_b", max_bucket)
     # codebook: exact per-dim int sums as ONE wide hash aggregate — dim
     # sum(element_at(_v, i)) columns re-assembled into an array.  This
     # keeps one row per bucket per map task (map-side combine), versus
@@ -232,7 +291,7 @@ def _ivf_multiprobe_quantized(
     # and needs a second agg level plus a collect_list sort — at 100 TB
     # the explode is the difference between shuffling n rows and n·dim.
     cent = (
-        e.groupBy("_b")
+        idx.groupBy("_b")
         .agg(
             F.count("*").alias("n"),
             *[F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}")
@@ -260,8 +319,8 @@ def _ivf_multiprobe_quantized(
     inrm = lambda col: F.aggregate(  # noqa: E731
         col, F.lit(0).cast("long"), lambda a, x: a + x * x)
     q = probed.withColumn("qn", inrm(F.col("qv")))
-    c = e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
-                 "_b").withColumn("cn", inrm(F.col("cv")))
+    c = idx.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+                   "_b").withColumn("cn", inrm(F.col("cv")))
     idot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b),
         F.lit(0).cast("long"), lambda a, x: a + x,

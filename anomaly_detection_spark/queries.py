@@ -1951,8 +1951,15 @@ SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
 
 def q_embedding_ivf_topk(spark, sf):
     """IVF-bucketed ANN: candidates restricted to the same label cluster —
-    the join is per-bucket (scale path), same quantized-cosine math."""
+    the join is per-bucket (scale path), same quantized-cosine math. Cells
+    above the max_bucket=2000 cap are dropped by the count + broadcast
+    anti-join prefilter (similarity._cap_cells — the LSH discipline; a
+    skewed data-given cell would otherwise make Σ|cell|² unbounded),
+    mirrored in the oracle's HAVING filter."""
     emb = load(spark, sf, "embeddings")
+    oversize = (emb.groupBy("label").agg(F.count("*").alias("_sz"))
+                .filter(F.col("_sz") > 2000).select("label"))
+    emb = emb.join(F.broadcast(oversize), "label", "left_anti")
     nrm = lambda col: F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x * x)  # noqa: E731
     q = emb.select(
         F.col("vec_id").alias("query_id"), _quantize(F.col("embedding")).alias("qv"),
@@ -1986,12 +1993,15 @@ WITH e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
   FROM embeddings
+), kept AS (
+  SELECT label FROM e GROUP BY label HAVING COUNT(*) <= 2000
 ), scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
     CAST(list_sum(list_transform(generate_series(1, len(a.qe)), i -> a.qe[i]*b.qe[i])) AS DOUBLE)
       / sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS DOUBLE)
            * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM e a JOIN kept ON kept.label = a.label
+           JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
@@ -2017,10 +2027,13 @@ WITH e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
   FROM embeddings
-), cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+), cnt AS (
+  SELECT label, COUNT(*) AS n FROM e GROUP BY 1 HAVING COUNT(*) <= 2000
+),
 dimsum AS (
-  SELECT label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
-  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2
+  SELECT e.label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e JOIN cnt ON cnt.label = e.label, generate_series(1, 64) t(i)
+  GROUP BY 1, 2
 ), cent AS (
   SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
 ), probe AS (
@@ -8849,13 +8862,44 @@ FROM proj GROUP BY label ORDER BY label
 def q_embedding_int8_ivf(spark, sf):
     """INT8 × IVF composed ANN (similarity.int8_ivf_topk) — the production
     configuration at 100 TB: 4×-compressed vectors searched with the
-    nprobe=2 broadcast-codebook bucket join. Closes the r3 gap where int8
-    rode only the bounded brute-force baseline."""
+    nprobe=2 broadcast-codebook bucket join, index cells capped at
+    max_bucket=2000 by the count + broadcast anti-join prefilter (the
+    LSH discipline — a skewed data-given cell can no longer make the
+    candidate join Σ|cell|² unbounded; queries still probe their nprobe
+    nearest KEPT cells). Closes the r3 gap where int8 rode only the
+    bounded brute-force baseline."""
     from anomaly_detection_spark.functions.similarity import int8_ivf_topk
 
     return int8_ivf_topk(
         load(spark, sf, "embeddings"), k=3, nprobe=2
     ).orderBy("query_id", "rank")
+
+
+def q_ivf_cell_stats(spark, sf):
+    """ANN index observability (similarity.ivf_cell_stats — the ANN twin
+    of `lsh_bucket_stats`): cell count/size extremes and what a
+    max_bucket cap would DROP, in cells and in ordered query→neighbor
+    candidates. The cap here (40) is chosen to actually fire on the test
+    labels so the drop arithmetic is oracle-verified; production runs
+    log this frame next to every `ivf_*_topk` call — a silent cap reads
+    as full coverage."""
+    from anomaly_detection_spark.functions.similarity import ivf_cell_stats
+
+    return ivf_cell_stats(load(spark, sf, "embeddings"), max_bucket=40)
+
+
+SQL_IVF_CELL_STATS = """
+WITH sizes AS (
+  SELECT label, COUNT(*) AS sz FROM embeddings GROUP BY label
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(MAX(sz) AS BIGINT) AS max_cell_size,
+       CAST(SUM(CASE WHEN sz > 40 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_dropped,
+       CAST(SUM(CASE WHEN sz > 40 THEN sz * (sz - 1) ELSE 0 END) AS BIGINT)
+         AS candidates_dropped
+FROM sizes
+"""
 
 
 SQL_EMBEDDING_INT8_IVF = """
@@ -8870,10 +8914,13 @@ WITH base AS (
            v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
            AS qe
   FROM base WHERE mx > 0
-), cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY 1),
+), cnt AS (
+  SELECT label, COUNT(*) AS n FROM e GROUP BY 1 HAVING COUNT(*) <= 2000
+),
 dimsum AS (
-  SELECT label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
-  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2
+  SELECT e.label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e JOIN cnt ON cnt.label = e.label, generate_series(1, 64) t(i)
+  GROUP BY 1, 2
 ), cent AS (
   SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
 ), probe AS (
@@ -11921,6 +11968,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
+    "ivf_cell_stats": (q_ivf_cell_stats, SQL_IVF_CELL_STATS),
     "embedding_spectral_top": (q_embedding_spectral_top, SQL_EMBEDDING_SPECTRAL_TOP),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),

@@ -141,6 +141,42 @@ def test_int8_ivf_excludes_zero_vectors(spark):
     assert {r["query_id"] for r in got} == {1, 2, 3}
 
 
+def test_ivf_max_bucket_cap_drops_skewed_cell(spark):
+    """The oversize-cell prefilter (the LSH discipline applied to the ANN
+    family): with a planted skewed cell above max_bucket, the IVF index
+    must drop that cell's CANDIDATES (bounding the per-cell join fan-out)
+    while every query — including the dropped cell's members — still
+    probes its nearest kept cells and answers."""
+    d = 8
+    rows = [(i, [1.0] * (d - 1) + [1.0 + i / 50.0], 0) for i in range(6)]
+    rows += [(10 + i, [0.9] * (d - 1) + [1.0 + i / 50.0], 1)
+             for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    got = similarity.int8_ivf_topk(
+        df, k=2, nprobe=1, dim=d, max_bucket=4).collect()
+    assert {r["neighbor_id"] for r in got} <= {10, 11, 12}, \
+        "a dropped cell must contribute no candidates"
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3, 4, 5, 10, 11, 12}, \
+        "dropped-cell members must still query the kept index"
+
+    unc = similarity.int8_ivf_topk(
+        df, k=2, nprobe=1, dim=d, max_bucket=None).collect()
+    assert {r["neighbor_id"] for r in unc
+            if r["query_id"] == 0} <= {1, 2, 3, 4, 5}  # opt-out restores
+
+    # single-probe ivf_topk: dropped-cell members emit no rows (their only
+    # probe target is gone — the LSH-bucket drop semantics)
+    single = similarity.ivf_topk(df, k=2, max_bucket=4).collect()
+    assert {r["query_id"] for r in single} == {10, 11, 12}
+
+    st = similarity.ivf_cell_stats(df, max_bucket=4).collect()[0]
+    assert st["n_cells"] == 2 and st["n_cells_dropped"] == 1
+    assert st["max_cell_size"] == 6
+    assert st["candidates_dropped"] == 30  # 6·5 ordered pairs
+
+
 def test_contrastive_pairs_margin_and_sides(spark, emb):
     """Every mined anchor's positive is same-label and its negative
     different-label (checked against the raw labels); the margin is
