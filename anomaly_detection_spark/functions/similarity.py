@@ -258,6 +258,50 @@ def int8_ivf_topk(
     return _ivf_multiprobe_quantized(e, k, nprobe, dim, max_bucket)
 
 
+def ivf_kmeans_topk(
+    emb: DataFrame, k: int = 3, n_clusters: int = 8, n_iters: int = 2,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, max_bucket: int | None = 2000,
+) -> DataFrame:
+    """IVF ANN over a LEARNED balanced codebook — the production shape:
+    instead of trusting a data-given label column (whose cells can be
+    arbitrarily skewed — the hazard ``max_bucket`` backstops), train the
+    coarse quantizer with ``clustering.kmeans`` and assign every vector
+    to its nearest centroid IN-ROW (the k·dim centroids ride the
+    assignment expression as literals — no join, no shuffle of the
+    vectors), then run the standard int8 multi-probe search with the
+    cluster id as the cell. Lloyd's objective drives cells toward
+    balance by construction; the cap remains as the backstop for
+    pathological distributions.
+
+    Training cost: ``n_iters`` corpus scans each ending in a k-row
+    driver collect (integer sums — nothing row-sized); search cost is
+    identical to ``int8_ivf_topk``. Deterministic end to end (int8 +127
+    shifted coordinates, smallest-id init, ties → smallest centroid
+    index), so the oracle replays codebook AND search bit-for-bit.
+    Zero vectors are excluded per ``int8_quantize``'s contract."""
+    from anomaly_detection_spark.functions import clustering
+
+    nonzero = emb.filter(
+        F.array_max(F.transform(
+            F.col(vec_col), lambda v: F.abs(v.cast("double")))) > 0)
+    _, centroids = clustering.kmeans(
+        nonzero, k=n_clusters, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col)
+    if not centroids:
+        empty = nonzero.sparkSession.range(0)
+        return empty.select(
+            F.col("id").alias("query_id"), F.col("id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"), F.lit(0).cast("int").alias("rank"))
+    pts = nonzero.select(
+        F.col(id_col).alias("_id"),
+        int8_quantize(F.col(vec_col)).alias("_v"),
+    ).withColumn("_sv", F.transform("_v", lambda q: q + F.lit(127)))
+    e = clustering.assign_clusters(pts, centroids, vec_col="_sv") \
+        .select("_id", "_v", F.col("cluster").alias("_b"))
+    return _ivf_multiprobe_quantized(e, k, nprobe, dim, max_bucket)
+
+
 def _ivf_multiprobe_quantized(
     e: DataFrame, k: int, nprobe: int, dim: int,
     max_bucket: int | None = 2000,

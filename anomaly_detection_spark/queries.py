@@ -10295,16 +10295,20 @@ def q_kmeans_clusters(spark, sf):
         e, k=_KM_K, n_iters=_KM_ITERS).orderBy("cluster")
 
 
-def _kmeans_sql(k: int, n_iters: int, dim: int) -> str:
-    """Unrolled Lloyd pyramid: qz (shifted int8 quantize) → c0 (k
-    smallest ids) → per round r: argmin assignment a{r} (cross join ×k,
-    exact integer distances, ties → smallest centroid index) and
+def _kmeans_pyramid_sql(k: int, n_iters: int, dim: int,
+                        nonzero: bool = False) -> str:
+    """Unrolled Lloyd pyramid through the final assignment ``a{n_iters}``
+    (vec_id, qv shifted-int8, j, dist): qz (shifted int8 quantize) → c0
+    (k smallest ids) → per round r: argmin assignment a{r} (cross join
+    ×k, exact integer distances, ties → smallest centroid index) and
     updated centroids c{r+1} (round-half-up integer division on
-    non-negative sums, LEFT JOIN keeps empty clusters' old centroids)
-    → final assignment + per-cluster rollup. MATERIALIZED throughout —
-    each level is referenced twice."""
+    non-negative sums, LEFT JOIN keeps empty clusters' old centroids).
+    MATERIALIZED throughout — each level is referenced twice.
+    ``nonzero`` adds the int8 zero-vector exclusion (the ivf_kmeans
+    search contract)."""
     d1 = dim + 1
     sums = ", ".join(f"SUM(qv[{i + 1}])" for i in range(dim))
+    zfilter = " WHERE mx > 0" if nonzero else ""
     parts = [f"""
 WITH qz AS MATERIALIZED (
   SELECT vec_id,
@@ -10315,7 +10319,7 @@ WITH qz AS MATERIALIZED (
   FROM (SELECT vec_id, embedding,
                list_max(list_transform(embedding,
                         v -> abs(CAST(v AS DOUBLE)))) AS mx
-        FROM embeddings)
+        FROM embeddings){zfilter}
 ), c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
          qv AS c
@@ -10349,7 +10353,13 @@ WITH qz AS MATERIALIZED (
     END AS c
   FROM c{r} c LEFT JOIN u{r} u USING (j)
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int, n_iters: int, dim: int) -> str:
+    """Full k-means oracle: the ``_kmeans_pyramid_sql`` rounds plus the
+    per-cluster (n_points, wss, centroid_l1) rollup."""
+    return _kmeans_pyramid_sql(k, n_iters, dim) + f"""
 SELECT agg.cluster, agg.n_points, agg.wss, l1.centroid_l1
 FROM (
   SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
@@ -10363,11 +10373,71 @@ JOIN (
   FROM c{n_iters}
 ) l1 USING (cluster)
 ORDER BY cluster
-""")
-    return "".join(parts)
+"""
 
 
 SQL_KMEANS_CLUSTERS = _kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM)
+
+
+_IVFKM_K = 8        # codebook size (coarse cells)
+_IVFKM_ITERS = 2    # Lloyd rounds
+
+
+def q_embedding_ivf_kmeans(spark, sf):
+    """IVF ANN over a LEARNED codebook (similarity.ivf_kmeans_topk):
+    cells come from clustering.kmeans (k=8, 2 Lloyd rounds on shifted
+    int8 coordinates) instead of the data-given label column, so cell
+    balance is driven by the objective rather than hoped for — the
+    production fix for the skewed-cell hazard the max_bucket cap
+    backstops. Assignment is in-row (k·dim centroid literals, no join);
+    the search is the same int8 nprobe=2 broadcast-codebook bucket join
+    as `embedding_int8_ivf`. The oracle replays codebook training AND
+    the search bit-for-bit via the unrolled Lloyd pyramid."""
+    from anomaly_detection_spark.functions.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(
+        load(spark, sf, "embeddings"), k=3, n_clusters=_IVFKM_K,
+        n_iters=_IVFKM_ITERS, nprobe=2,
+    ).orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_IVF_KMEANS = (
+    _kmeans_pyramid_sql(_IVFKM_K, _IVFKM_ITERS, 64, nonzero=True)
+    + f""", e AS MATERIALIZED (
+  SELECT vec_id, j AS label, list_transform(qv, x -> x - 127) AS qe
+  FROM a{_IVFKM_ITERS}
+), cnt AS (
+  SELECT label, COUNT(*) AS n FROM e GROUP BY 1 HAVING COUNT(*) <= 2000
+),
+dimsum AS (
+  SELECT e.label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e JOIN cnt ON cnt.label = e.label, generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
+), probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
+        c.label ASC) AS pr
+    FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM e q JOIN probe p ON p.query_id = q.vec_id
+           JOIN e b ON b.label = p.label AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+""")
 
 
 def q_class_separation(spark, sf):
@@ -11969,6 +12039,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
     "ivf_cell_stats": (q_ivf_cell_stats, SQL_IVF_CELL_STATS),
+    "embedding_ivf_kmeans": (q_embedding_ivf_kmeans, SQL_EMBEDDING_IVF_KMEANS),
     "embedding_spectral_top": (q_embedding_spectral_top, SQL_EMBEDDING_SPECTRAL_TOP),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),

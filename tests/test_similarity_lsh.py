@@ -177,6 +177,34 @@ def test_ivf_max_bucket_cap_drops_skewed_cell(spark):
     assert st["candidates_dropped"] == 30  # 6·5 ordered pairs
 
 
+def test_ivf_kmeans_codebook_beats_skewed_labels(spark):
+    """The learned-codebook fix for the skewed-cell hazard: when the
+    data-given label column lumps everything into ONE oversized cell
+    (dropped by the cap → zero recall), kmeans-derived cells split the
+    data into balanced cells and recover the true neighbors."""
+    d = 64
+    rows = [(i, [1.0] * (d // 2) + [1.0 + i / 50.0] * (d // 2), 0)
+            for i in range(6)]
+    rows += [(10 + i, [-1.0] * (d // 2) + [-1.0 - i / 50.0] * (d // 2), 0)
+             for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    label_cells = similarity.int8_ivf_topk(
+        df, k=2, nprobe=1, dim=d, max_bucket=8).collect()
+    assert label_cells == [], "the single 12-member label cell is dropped"
+
+    learned = similarity.ivf_kmeans_topk(
+        df, k=2, n_clusters=2, n_iters=2, nprobe=1, dim=d, max_bucket=8)
+    got = {(r["query_id"], r["neighbor_id"]) for r in learned.collect()}
+    assert got, "kmeans cells must be searchable under the same cap"
+    # neighbors stay within each natural cluster (no cross-sign pairs)
+    for q, n in got:
+        assert (q < 10) == (n < 10)
+    # every vector queries and finds in-cluster neighbors
+    assert {q for q, _ in got} == {r[0] for r in rows}
+
+
 def test_contrastive_pairs_margin_and_sides(spark, emb):
     """Every mined anchor's positive is same-label and its negative
     different-label (checked against the raw labels); the margin is
