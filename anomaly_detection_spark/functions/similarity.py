@@ -210,10 +210,14 @@ def ivf_multiprobe_topk(
     * vectors quantize to int64 milli-units (``round(x*scale)``);
     * the centroid codebook keeps per-dimension integer SUMS + counts —
       never a float mean, whose summation order is non-associative;
-    * query→centroid distance compares ``Σ (xᵢ·n − sᵢ)²`` (the true
-      distance to the mean scaled by n², all int64 — exact while
+    * query→centroid distance accumulates ``Σ (xᵢ·n − sᵢ)²`` exactly in
+      int64 (= n² × the true distance to the mean; exact while
       ``dim·(|x|·scale·n)² < 2⁶³``, i.e. beyond 10⁸ rows per cell at
-      unit-norm 64-dim), ties broken by bucket id.
+      unit-norm 64-dim), then divides the per-cell n² back out in
+      double for the CROSS-cell probe ranking — cells have different
+      counts, so the raw integer would bias probes toward small cells.
+      ``(d2/n)/n`` is fixed-order IEEE arithmetic both engines replay;
+      ties break on the bucket id.
 
     Scale shape: the codebook is ``n_buckets × dim`` — tiny — built with
     one map-side-combined aggregation and BROADCAST back, so probe
@@ -256,6 +260,33 @@ def int8_ivf_topk(
         F.col(bucket_col).alias("_b"),
     )
     return _ivf_multiprobe_quantized(e, k, nprobe, dim, max_bucket)
+
+
+def ann_recall(truth: DataFrame, variant: DataFrame, name: str) -> DataFrame:
+    """Recall of an ANN variant against brute-force ground truth — the
+    eval every production ANN deployment runs before choosing nprobe /
+    plane counts: the fraction of true top-k ``(query, neighbor)`` pairs
+    the variant actually returns. One row:
+    ``(variant, n_queries, n_truth, n_hits, recall_ppm)`` (truncating
+    integer ppm, oracle-replayable).
+
+    Scale shape: ground truth is only ever computed on a QUERY SAMPLE
+    (n_queries·k rows — broadcast-sized however big the corpus), so the
+    pair-key left join here is against a tiny frame; the variant side is
+    the ANN output already restricted to the same sample."""
+    t = truth.select("query_id", "neighbor_id")
+    v = variant.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    j = t.join(v, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+        .alias("n_hits"),
+    ).select(
+        F.lit(name).alias("variant"),
+        "n_queries", "n_truth", "n_hits",
+        F.expr("(n_hits * 1000000) div n_truth").alias("recall_ppm"),
+    )
 
 
 def ivf_kmeans_topk(
@@ -351,11 +382,19 @@ def _ivf_multiprobe_quantized(
                    lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s)),
         F.lit(0).cast("long"), lambda a, v: a + v,
     )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("_b"))
+    # cross-cell ranking must divide the n²-scaled exact distance back
+    # out: Σ(x·n − s)² = n²·(true distance to the mean), so ordering on
+    # the raw integer biases probes toward SMALL cells (n² is per-cell) —
+    # with a skew-balanced kmeans codebook that bias collapsed recall to
+    # ~1% in the ann_recall_report eval. (d2/n)/n is deterministic IEEE
+    # arithmetic both engines replay; ties break on the cell id.
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_d2n"), F.asc("_b"))
     probed = (
         e.select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"))
         .crossJoin(F.broadcast(cent))
         .withColumn("_d2", d2)
+        .withColumn("_d2n", (F.col("_d2").cast("double") / F.col("n"))
+                    / F.col("n"))
         .withColumn("_pr", F.row_number().over(wp))
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "qv", "_b")

@@ -2040,8 +2040,9 @@ dimsum AS (
   SELECT query_id, label FROM (
     SELECT q.vec_id AS query_id, c.label,
       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        list_sum(list_transform(generate_series(1, 64),
-          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i])))
+          AS DOUBLE) / cnt.n) / cnt.n ASC,
         c.label ASC) AS pr
     FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
   ) WHERE pr <= 2
@@ -8875,6 +8876,177 @@ def q_embedding_int8_ivf(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_recall_report(spark, sf):
+    """ANN recall@3 eval (similarity.ann_recall) — the measurement every
+    production ANN deployment runs before choosing nprobe / plane
+    counts, previously only asserted qualitatively in tests: brute-force
+    int8-cosine ground truth on a 100-query sample, then the fraction of
+    true (query, neighbor) pairs each shipped variant returns —
+    int8×IVF at nprobe 1 vs 2 (the probe-depth recall curve), the
+    kmeans-learned codebook, and multi-probe LSH. Exact integer ppm;
+    the oracle replays truth AND all four variants. Ground truth cost
+    is sample×corpus, never corpus²."""
+    from anomaly_detection_spark.functions import similarity as sim
+
+    emb = load(spark, sf, "embeddings")
+    nonzero = emb.filter(
+        F.array_max(F.transform(
+            F.col("embedding"), lambda v: F.abs(v.cast("double")))) > 0)
+    inrm = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    q = nonzero.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        sim.int8_quantize(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", inrm(F.col("qv")))
+    c = nonzero.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.int8_quantize(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", inrm(F.col("cv")))
+    idot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                (idot.cast("double")
+                 / F.sqrt(F.col("qn").cast("double")
+                          * F.col("cn").cast("double"))).alias("cos_x"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_x"), F.asc("neighbor_id"))
+    truth = scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= 3).select("query_id", "neighbor_id") \
+        .localCheckpoint(eager=False)
+    variants = [
+        ("int8_ivf_np1", sim.int8_ivf_topk(emb, k=3, nprobe=1)),
+        ("int8_ivf_np2", sim.int8_ivf_topk(emb, k=3, nprobe=2)),
+        ("ivf_kmeans_np2", sim.ivf_kmeans_topk(
+            emb, k=3, n_clusters=_IVFKM_K, n_iters=_IVFKM_ITERS, nprobe=2)),
+        ("lsh_multiprobe", sim.lsh_multiprobe_topk(emb, k=3, n_planes=8)),
+    ]
+    legs = [sim.ann_recall(truth, v.filter(F.col("query_id") < 100), nm)
+            for nm, v in variants]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("variant")
+
+
+def _recall_leg_sql(name: str, v: str) -> str:
+    return (
+        "SELECT '" + name + "' AS variant,"
+        " CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,"
+        " CAST(COUNT(*) AS BIGINT) AS n_truth,"
+        " CAST(SUM(CASE WHEN " + v + ".neighbor_id IS NOT NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,"
+        " CAST((SUM(CASE WHEN " + v + ".neighbor_id IS NOT NULL"
+        " THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm"
+        " FROM truth t LEFT JOIN " + v
+        + " ON t.query_id = " + v + ".query_id"
+        " AND t.neighbor_id = " + v + ".neighbor_id"
+    )
+
+
+def _int8_ivf_sql(nprobe: int) -> str:
+    """Full int8×IVF multiprobe oracle, parameterized on nprobe (mirrors
+    similarity.int8_ivf_topk with the max_bucket=2000 index-side cap)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qe
+  FROM base WHERE mx > 0
+), cnt AS (
+  SELECT label, COUNT(*) AS n FROM e GROUP BY 1 HAVING COUNT(*) <= 2000
+),
+dimsum AS (
+  SELECT e.label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
+  FROM e JOIN cnt ON cnt.label = e.label, generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
+), probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i])))
+          AS DOUBLE) / cnt.n) / cnt.n ASC,
+        c.label ASC) AS pr
+    FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
+      / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
+           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
+  FROM e q JOIN probe p ON p.query_id = q.vec_id
+           JOIN e b ON b.label = p.label AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_RECALL_REPORT = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
+           AS qe
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings)
+  WHERE mx > 0
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
+          / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
+               * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) DESC,
+        b.vec_id ASC) AS rank
+    FROM e q JOIN e b ON q.vec_id < 100 AND q.vec_id <> b.vec_id
+  ) WHERE rank <= 3
+), v1 AS (SELECT query_id, neighbor_id FROM ("""
+    + _int8_ivf_sql(1)
+    + """) WHERE query_id < 100
+), v2 AS (SELECT query_id, neighbor_id FROM ("""
+    + _int8_ivf_sql(2)
+    + """) WHERE query_id < 100
+), v3 AS (SELECT query_id, neighbor_id FROM ("""
+    + "{IVF_KMEANS}"
+    + """) WHERE query_id < 100
+), v4 AS (SELECT query_id, neighbor_id FROM ("""
+    + "{LSH_MULTIPROBE}"
+    + """) WHERE query_id < 100
+)
+SELECT * FROM (
+  """
+    + "\n  UNION ALL ".join([
+        _recall_leg_sql("int8_ivf_np1", "v1"),
+        _recall_leg_sql("int8_ivf_np2", "v2"),
+        _recall_leg_sql("ivf_kmeans_np2", "v3"),
+        _recall_leg_sql("lsh_multiprobe", "v4"),
+    ])
+    + """
+) ORDER BY variant
+"""
+)
+
+
 def q_ivf_cell_stats(spark, sf):
     """ANN index observability (similarity.ivf_cell_stats — the ANN twin
     of `lsh_bucket_stats`): cell count/size extremes and what a
@@ -8902,50 +9074,7 @@ FROM sizes
 """
 
 
-SQL_EMBEDDING_INT8_IVF = """
-WITH base AS (
-  SELECT vec_id, label, embedding,
-         list_max(list_transform(embedding,
-                                 v -> abs(CAST(v AS DOUBLE)))) AS mx
-  FROM embeddings
-), e AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / mx + 0.5) AS BIGINT))
-           AS qe
-  FROM base WHERE mx > 0
-), cnt AS (
-  SELECT label, COUNT(*) AS n FROM e GROUP BY 1 HAVING COUNT(*) <= 2000
-),
-dimsum AS (
-  SELECT e.label, i, CAST(SUM(qe[i]) AS BIGINT) AS s
-  FROM e JOIN cnt ON cnt.label = e.label, generate_series(1, 64) t(i)
-  GROUP BY 1, 2
-), cent AS (
-  SELECT label, list(s ORDER BY i) AS sv FROM dimsum GROUP BY 1
-), probe AS (
-  SELECT query_id, label FROM (
-    SELECT q.vec_id AS query_id, c.label,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        list_sum(list_transform(generate_series(1, 64),
-          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
-        c.label ASC) AS pr
-    FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
-  ) WHERE pr <= 2
-), scored AS (
-  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-    CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qe[i]*b.qe[i])) AS DOUBLE)
-      / sqrt(CAST(list_sum(list_transform(q.qe, x -> x*x)) AS DOUBLE)
-           * CAST(list_sum(list_transform(b.qe, x -> x*x)) AS DOUBLE)) AS cos_x
-  FROM e q JOIN probe p ON p.query_id = q.vec_id
-           JOIN e b ON b.label = p.label AND b.vec_id <> q.vec_id
-)
-SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_x DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= 3
-ORDER BY query_id, rank
-"""
+SQL_EMBEDDING_INT8_IVF = _int8_ivf_sql(2)
 
 
 SQL_EMBEDDING_INT8_TOPK = """
@@ -10419,8 +10548,9 @@ dimsum AS (
   SELECT query_id, label FROM (
     SELECT q.vec_id AS query_id, c.label,
       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        list_sum(list_transform(generate_series(1, 64),
-          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i]))) ASC,
+        (CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> (q.qe[i]*cnt.n - c.sv[i]) * (q.qe[i]*cnt.n - c.sv[i])))
+          AS DOUBLE) / cnt.n) / cnt.n ASC,
         c.label ASC) AS pr
     FROM e q CROSS JOIN cent c JOIN cnt ON cnt.label = c.label
   ) WHERE pr <= 2
@@ -10438,6 +10568,15 @@ SELECT query_id, neighbor_id, ROUND(cos_x, 6) AS cos, rank FROM (
 ) WHERE rank <= 3
 ORDER BY query_id, rank
 """)
+
+
+# the recall report's v3/v4 legs replay the kmeans-IVF and LSH-multiprobe
+# oracles verbatim as subqueries; splice them in now that both exist
+SQL_ANN_RECALL_REPORT = (
+    SQL_ANN_RECALL_REPORT
+    .replace("{IVF_KMEANS}", SQL_EMBEDDING_IVF_KMEANS)
+    .replace("{LSH_MULTIPROBE}", SQL_EMBEDDING_LSH_MULTIPROBE)
+)
 
 
 def q_class_separation(spark, sf):
@@ -12040,6 +12179,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_int8_ivf": (q_embedding_int8_ivf, SQL_EMBEDDING_INT8_IVF),
     "ivf_cell_stats": (q_ivf_cell_stats, SQL_IVF_CELL_STATS),
     "embedding_ivf_kmeans": (q_embedding_ivf_kmeans, SQL_EMBEDDING_IVF_KMEANS),
+    "ann_recall_report": (q_ann_recall_report, SQL_ANN_RECALL_REPORT),
     "embedding_spectral_top": (q_embedding_spectral_top, SQL_EMBEDDING_SPECTRAL_TOP),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),

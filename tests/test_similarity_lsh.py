@@ -108,10 +108,16 @@ def test_ivf_multiprobe_recovers_cross_cell_neighbour(spark):
 
 def test_int8_ivf_recall_parity_with_float_path(emb):
     """int8 × IVF (the 100 TB storage configuration) must track the float
-    (milli-quantized) IVF path: ≥95% of the float path's top-3 pairs
-    survive 4× compression on the real testdata distribution. Not 100% —
-    int8 coarsening legitimately reorders near-ties; the bound pins the
-    compression cost instead of assuming it."""
+    (milli-quantized) IVF path in TRUE recall against brute-force ground
+    truth — the honest compression-cost metric (pair-by-pair agreement
+    between the two paths is the wrong pin: near cell boundaries the two
+    representations legitimately probe different second-nearest cells,
+    so agreement can drop while both paths' real recall improves).
+    4× compression may cost at most 3 points of recall@3."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, k=3).collect()
+    }
     flt = {
         (r["query_id"], r["neighbor_id"])
         for r in similarity.ivf_multiprobe_topk(emb, k=3, nprobe=2).collect()
@@ -120,9 +126,12 @@ def test_int8_ivf_recall_parity_with_float_path(emb):
         (r["query_id"], r["neighbor_id"])
         for r in similarity.int8_ivf_topk(emb, k=3, nprobe=2).collect()
     }
-    assert len(i8) == len(flt)                      # same query coverage
-    recall = len(flt & i8) / len(flt)
-    assert recall >= 0.95, f"int8 IVF recall vs float path = {recall:.3f}"
+    assert {q for q, _ in i8} == {q for q, _ in flt}  # same query coverage
+    r_flt = len(truth & flt) / len(truth)
+    r_i8 = len(truth & i8) / len(truth)
+    assert r_i8 >= r_flt - 0.03, \
+        f"int8 recall {r_i8:.3f} vs float recall {r_flt:.3f}"
+    assert r_flt > 0.2  # the label cells carry real signal at nprobe=2
 
 
 def test_int8_ivf_excludes_zero_vectors(spark):
