@@ -264,6 +264,97 @@ def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Exact-substring deduplication (ExactSubstr, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4.1) —
+    the cross-document repeated-substring REMOVAL pass run after
+    ``dup_length_spectrum`` picks the window size ``n``: every ``n``-token
+    window that occurs anywhere else in the corpus (another document, or
+    earlier in the same document) is removed, keeping exactly the
+    globally FIRST occurrence (minimal ``(doc, pos)`` — the suffix-array
+    semantics recast over fixed-width windows). Emits the per-document
+    removal report the curation pipeline acts on: windows removed, and
+    the exact token count their merged spans cover (overlapping removed
+    windows coalesce — the number that says what ExactSubstr actually
+    saves at 100 TB).
+
+    Scale shape (the ``line_dedup_stats`` discipline, extended to
+    positions): ONE hash-aggregate keyed by the gram computes each gram
+    group's canonical keeper ``min(doc·10⁶ + pos)`` — map-side
+    combinable, so a boilerplate gram in millions of documents partially
+    aggregates inside every scan task. Because the keeper key IS the
+    kept occurrence (for singleton grams it is the only occurrence),
+    per-document KEPT positions come from re-grouping the group frame by
+    the keeper's doc id — there is NO join back on the power-law gram
+    key at all; removed positions are the in-row complement
+    ``sequence(1, n_windows) \\ kept`` and span merging is pure in-row
+    array arithmetic (bounded by document length). The close is a tiny
+    id-keyed left join onto the per-doc spine. At 10¹² docs the gram
+    shuffle key would be ``xxhash64`` instead of the raw string — same
+    plan, narrower exchange.
+
+    Contract: ``pos`` < 10⁶ per document (the encoded-key bound; ids are
+    widened to long before encoding). Returns one row per input document:
+    ``(id, n_tokens, n_windows, removed_windows, removed_tokens,
+    removed_ppm)``; documents shorter than ``n`` tokens report zeros.
+    """
+    M = 1_000_000
+    sh = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").alias("_nt"),
+        _shingles_of(F.col("_toks"), n).alias("_sh"),
+    )
+    # posexplode_outer (see repetition_stats): plain posexplode's inferred
+    # non-empty pre-filter would inline the shingle construction into the
+    # scan filter and re-evaluate it per position.
+    ex = sh.select(
+        F.col(id_col),
+        F.posexplode_outer("_sh").alias("_p0", "_g"),
+    ).filter(F.col("_g").isNotNull())
+    key = F.col(id_col).cast("long") * F.lit(M) + F.col("_p0") + 1
+    keep = (
+        ex.select("_g", key.alias("_k"))
+        .groupBy("_g").agg(F.min("_k").alias("_mk"))
+        .groupBy(F.expr(f"_mk div {M}").alias(id_col))
+        .agg(F.sort_array(F.collect_list((F.col("_mk") % M).cast("int")))
+             .alias("_kp"))
+    )
+    spine = sh.select(
+        id_col,
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.size("_sh").cast("long").alias("n_windows"),
+    )
+    seq = F.when(
+        F.col("n_windows") > 0,
+        F.sequence(F.lit(1), F.col("n_windows").cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    kp = F.coalesce(F.col("_kp"), F.array().cast("array<int>"))
+    j = spine.join(keep, id_col, "left") \
+        .withColumn("_rem", F.array_except(seq, kp))
+    # merged span coverage of the sorted removed window starts: window i
+    # covers [p_i, p_i + n - 1]; consecutive starts closer than n overlap,
+    # so each contributes min(next - this, n), the last a full n
+    covered = F.aggregate(
+        F.zip_with(
+            F.col("_rem"),
+            F.expr("slice(_rem, 2, greatest(size(_rem) - 1, 0))"),
+            lambda a, b: F.when(b.isNull(), F.lit(n))
+            .otherwise(F.least(b - a, F.lit(n))),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return j.select(
+        id_col, "n_tokens", "n_windows",
+        F.size("_rem").cast("long").alias("removed_windows"),
+        covered.alias("removed_tokens"),
+        _ppm(covered, F.greatest(F.col("n_tokens"), F.lit(1)))
+        .alias("removed_ppm"),
+    )
+
+
 def corpus_dup_ngrams(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 5,
                       min_docs: int = 2) -> DataFrame:

@@ -9447,6 +9447,81 @@ ORDER BY s.doc_id
 """
 
 
+#: 12-token quote planted across documents for the ExactSubstr fixture —
+#: long enough that every 8-token window inside it duplicates cross-doc.
+_ESS_QUOTE = ("it was the best of times it was the worst of times indeed")
+
+
+def q_exact_substring_spans(spark, sf):
+    """Exact-substring dedup (repetition.exact_substring_spans — Lee et
+    al. 2022 ExactSubstr §4.1, the removal pass `dup_length_spectrum`
+    sizes): a 12-token quote is planted across documents (appended to
+    every 7th, prepended to every 13th — cross-document duplication at
+    DIFFERENT positions), then every 8-token window occurring anywhere
+    else in the corpus is removed keeping only the globally first
+    occurrence, with overlapping removed windows merged to exact token
+    coverage. ONE map-side-combined hash-agg on the gram key, keeper
+    attribution via doc-keyed regrouping (NO join back on the power-law
+    gram key — plan-pinned), in-row span arithmetic for the merge."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    txt = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _ESS_QUOTE)))
+        .when(F.col("doc_id") % 13 == 0,
+              F.concat(F.lit(_ESS_QUOTE + " "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    planted = d.select("doc_id", txt.alias("text"))
+    return repetition.exact_substring_spans(planted, n=8).orderBy("doc_id")
+
+
+SQL_EXACT_SUBSTRING_SPANS = f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' {_ESS_QUOTE}'
+         WHEN doc_id % 13 = 0 THEN '{_ESS_QUOTE} ' || text
+         ELSE text END AS text
+  FROM documents
+), sh AS (
+  SELECT doc_id, len(toks) AS nt,
+         GREATEST(len(toks) - 7, 0) AS nw, toks
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM raw)
+), occ AS (
+  SELECT doc_id, u['pos'] AS pos, u['g'] AS g
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, nw + 1),
+        i -> {{'pos': i, 'g': array_to_string(toks[i : i + 7], ' ')}})) AS u
+    FROM sh)
+), groups AS (
+  SELECT g, MIN(doc_id * 1000000 + pos) AS mk FROM occ GROUP BY g
+), keep AS (
+  SELECT CAST(mk // 1000000 AS BIGINT) AS doc_id,
+         list_sort(list(mk % 1000000)) AS kp
+  FROM groups GROUP BY 1
+), rep AS (
+  SELECT s.doc_id, CAST(s.nt AS BIGINT) AS n_tokens,
+         CAST(s.nw AS BIGINT) AS n_windows,
+         list_filter(range(1, s.nw + 1),
+                     p -> NOT list_contains(COALESCE(k.kp, []), p)) AS rem
+  FROM sh s LEFT JOIN keep k USING (doc_id)
+), cov AS (
+  SELECT doc_id, n_tokens, n_windows,
+         CAST(len(rem) AS BIGINT) AS removed_windows,
+         CAST(COALESCE(list_sum(list_transform(range(1, len(rem) + 1),
+           i -> CASE WHEN i = len(rem) THEN 8
+                ELSE LEAST(rem[i + 1] - rem[i], 8) END)), 0) AS BIGINT)
+           AS removed_tokens
+  FROM rep
+)
+SELECT doc_id, n_tokens, n_windows, removed_windows, removed_tokens,
+  CAST(FLOOR(1000000.0 * removed_tokens / GREATEST(n_tokens, 1) + 0.5)
+       AS BIGINT) AS removed_ppm
+FROM cov ORDER BY doc_id
+"""
+
+
 #: Literal BM25 query set for the registry entry: terms drawn from the
 #: testdata vocabulary so every query has real hits.
 _BM25_QUERIES = [
@@ -12044,6 +12119,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "global_line_dedup": (q_global_line_dedup, SQL_GLOBAL_LINE_DEDUP),
+    "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),

@@ -53,3 +53,39 @@ def test_within_doc_first_line_wins_by_line_no(spark):
     rows = [(7, 5, "a b c"), (7, 2, "a b c")]
     got = _run(spark, rows)
     assert got[7]["kept_lines"] == 1 and got[7]["removed_lines"] == 1
+
+
+# ------------------------------------------------ exact-substring (ExactSubstr)
+
+def test_exact_substring_removal_semantics(spark):
+    """Lee et al. 2022 window-removal semantics by hand: cross-document
+    duplicate windows removed (globally first occurrence kept), same-doc
+    repeats removed, overlapping removed windows merged to exact token
+    coverage, short docs report zeros."""
+    from anomaly_detection_spark.functions.repetition import (
+        exact_substring_spans)
+
+    rows = [
+        (1, "a b c d e"),          # all 3 windows unique (first occs)
+        (2, "x y a b c d q"),      # windows @3 ("a b c") and @4 ("b c d")
+                                   #   duplicate doc 1 -> merged span [3,6]
+        (3, "m n o p m n o p"),    # same-doc repeats @5 @6 -> tokens 5-8
+        (4, "z z"),                # shorter than n -> zeros
+        (5, "a b c d e"),          # full copy of doc 1 -> fully removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in exact_substring_spans(df, n=3).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 5, "n_windows": 3,
+                      "removed_windows": 0, "removed_tokens": 0,
+                      "removed_ppm": 0}
+    assert got[2]["n_windows"] == 5 and got[2]["removed_windows"] == 2
+    assert got[2]["removed_tokens"] == 4        # [3,5] u [4,6] merged
+    assert got[2]["removed_ppm"] == 571429
+    assert got[3]["removed_windows"] == 2 and got[3]["removed_tokens"] == 4
+    assert got[4] == {"doc_id": 4, "n_tokens": 2, "n_windows": 0,
+                      "removed_windows": 0, "removed_tokens": 0,
+                      "removed_ppm": 0}
+    assert got[5]["removed_windows"] == 3
+    assert got[5]["removed_tokens"] == 5        # the whole doc goes
+    assert got[5]["removed_ppm"] == 1_000_000

@@ -792,3 +792,24 @@ def test_cdc_apply_changelog_side_window_only(spark):
     assert "CartesianProduct" not in plan
     join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
     assert join_keys and all("k#" in k for k in join_keys)
+
+
+def test_exact_substring_no_gram_keyed_join(spark):
+    """ExactSubstr removal must never join on the (power-law) gram key —
+    a boilerplate 8-gram appears in millions of documents. The gram may
+    appear only under the map-side-combined keeper aggregate; every join
+    closes on the doc id."""
+    from anomaly_detection_spark.functions.repetition import (
+        exact_substring_spans)
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 'the shared quote text repeats here' "
+        "ELSE concat('unique prose ', id, ' with filler words after') "
+        "END AS text")
+    plan = plan_of(exact_substring_spans(df, n=3))
+    join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert join_keys, "expected join key lines in the formatted plan"
+    for keys in join_keys:
+        assert "_g#" not in keys and "doc_id" in keys
+    assert "SortMergeJoin" not in plan
