@@ -809,6 +809,101 @@ def spectral_top_direction(emb: DataFrame, dim: int = 64,
     return v
 
 
+def _renorm_direction(frame: DataFrame, src: str,
+                      scale_bits: int) -> DataFrame:
+    """Renormalize a 1-row integer direction to max-component
+    2^``scale_bits``: truncating div on the absolute value (Spark ``div``
+    == DuckDB ``//`` for non-negative operands), the product widened to
+    decimal(38,0) so a full-scale component never wraps an int64."""
+    body = (f"CAST((CAST(abs(x) AS DECIMAL(38,0)) * {1 << scale_bits})"
+            f" div _mx AS BIGINT)")
+    return frame.select(
+        F.col(src).alias("_w"),
+        F.greatest(
+            F.array_max(F.transform(src, lambda x: F.abs(x))),
+            F.lit(1).cast("long")).alias("_mx"),
+    ).select(F.expr(
+        f"transform(_w, x -> CASE WHEN x < 0 THEN -{body}"
+        f" ELSE {body} END)").alias("v"))
+
+
+def _orthogonalize(vf: DataFrame, pf: DataFrame,
+                   scale_bits: int) -> DataFrame:
+    """One Gram-Schmidt step on 1-row direction frames, all exact
+    integers: v ← v·‖p‖² − ⟨v,p⟩·p, then renormalize. With both
+    directions at scale 2^14 the products stay ≤ 2^49 — driver-free,
+    corpus-free, long-safe."""
+    j = vf.crossJoin(F.broadcast(pf.select(F.col("v").alias("_p"))))
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    np_ = F.aggregate(F.zip_with("_p", "_p", mul),
+                      F.lit(0).cast("long"), add)
+    vp = F.aggregate(F.zip_with("v", "_p", mul),
+                     F.lit(0).cast("long"), add)
+    t = j.withColumn("_np", np_).withColumn("_vp", vp).select(
+        F.zip_with("v", "_p",
+                   lambda a, b: a * F.col("_np") - F.col("_vp") * b)
+        .alias("_w"))
+    return _renorm_direction(t, "_w", scale_bits)
+
+
+def spectral_top_directions(emb: DataFrame, n_components: int = 3,
+                            dim: int = 64, vec_col: str = "qv",
+                            iters: int = 3,
+                            scale_bits: int = 14) -> DataFrame:
+    """Top ``n_components`` singular directions of the quantized
+    embedding matrix by DEFLATED integer power iteration (orthogonal
+    iteration) — the multi-component PCA analogue the reference runs
+    before its ML ensemble (``PCA(n_components=...)``,
+    ``/root/reference/anomaly_detection/analyzers/ml_analyzer.py:86-90``),
+    built on ``spectral_top_direction``'s one-wide-agg-per-round shape:
+    each round is one corpus scan + ONE ``dim``-component sum aggregate;
+    deflation happens entirely in the 1-row direction frame (Gram-
+    Schmidt against every previously-found direction after each
+    multiply — v·‖p‖² − ⟨v,p⟩·p then renormalize, exact longs ≤ 2^49),
+    so later components cost the SAME corpus work as the first and the
+    vectors are never rewritten or re-shuffled.
+
+    Integer-exact and engine-replayable end to end (the renormalizing
+    product rides decimal(38,0) / HUGEINT). Directions are orthogonal up
+    to the 2^``scale_bits`` integer rounding — pinned by the
+    orthogonality test, not assumed. A degenerate (rank-deficient)
+    matrix deflates later components to the zero vector, which is
+    reported as-is.
+
+    Returns ``n_components`` rows: ``(component, v array<long>)``,
+    each at scale 2^``scale_bits``.
+    """
+    q = emb.select(F.col(vec_col).alias("_q"))
+    spark = emb.sparkSession
+    dirs: list[DataFrame] = []
+    for _c in range(n_components):
+        v = spark.range(1).select(
+            F.array(*[F.lit(1).cast("long")] * dim).alias("v"))
+        for _ in range(iters):
+            joined = q.crossJoin(F.broadcast(v))
+            d = F.aggregate(
+                F.zip_with("_q", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            sums = joined.select(d.alias("_d"), "_q").agg(*[
+                F.sum(F.col("_d") * F.col("_q")[j]).alias(f"s{j}")
+                for j in range(dim)
+            ]).select(F.array(*[f"s{j}" for j in range(dim)]).alias("_w"))
+            v = _renorm_direction(sums, "_w", scale_bits)
+            for p in dirs:
+                v = _orthogonalize(v, p, scale_bits)
+            # localCheckpoint per round (the spectral_top_direction
+            # lesson): without it every level re-embeds the previous
+            # subtree and codegen compilation dominates
+            v = v.localCheckpoint(eager=True)
+        dirs.append(v)
+    out = None
+    for i, dv in enumerate(dirs):
+        row = dv.select(F.lit(i).cast("int").alias("component"), "v")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def spectral_projections(emb: DataFrame, direction: DataFrame,
                          vec_col: str = "qv") -> DataFrame:
     """Each row's integer projection onto a ``spectral_top_direction``

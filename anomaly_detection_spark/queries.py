@@ -8860,6 +8860,118 @@ FROM proj GROUP BY label ORDER BY label
 """
 
 
+def q_embedding_spectral_multi(spark, sf):
+    """Multi-component spectral analysis
+    (similarity.spectral_top_directions): top-3 singular directions of
+    the int8-quantized matrix by deflated integer power iteration — the
+    PCA(n_components) analogue of the reference's ML-ensemble
+    preprocessing (ml_analyzer.py:86-90). Each round per component is
+    one corpus scan + ONE wide 64-component sum aggregate (identical to
+    `embedding_spectral_top`); deflation is Gram-Schmidt in the 1-row
+    direction frame, so components 2 and 3 cost the same corpus work as
+    the first. Emits per-(component, label) projection envelopes; the
+    oracle replays every multiply, renormalization, and orthogonalization
+    bit-for-bit."""
+    from anomaly_detection_spark.functions.similarity import (
+        int8_quantize, spectral_top_directions)
+
+    e = load(spark, sf, "embeddings")
+    qz = e.select(
+        "vec_id", "label", int8_quantize(F.col("embedding")).alias("qv"))
+    dirs = spectral_top_directions(qz, n_components=3, iters=2)
+    d = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    proj = qz.crossJoin(F.broadcast(dirs)).withColumn("proj", d)
+    return proj.groupBy("component", "label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("proj").alias("sum_proj"),
+        F.min("proj").alias("min_proj"),
+        F.max("proj").alias("max_proj"),
+    ).orderBy("component", "label")
+
+
+def _spectral_renorm_sql(src: str, out: str) -> str:
+    return f""", {out} AS (
+  SELECT list_transform(v, x -> CAST(CASE WHEN x < 0
+           THEN -((CAST(ABS(x) AS HUGEINT) * 16384) // mx)
+           ELSE (CAST(ABS(x) AS HUGEINT) * 16384) // mx END AS BIGINT)) AS v
+  FROM (SELECT v, GREATEST(list_max(list_transform(v, x -> abs(x))),
+                           CAST(1 AS BIGINT)) AS mx FROM {src})
+)"""
+
+
+def _spectral_orth_sql(cur: str, prev: str, out: str) -> str:
+    return f""", {out}_u AS (
+  SELECT list_transform(range(1, 65), j -> v[j]*np - vp*p[j]) AS v
+  FROM (
+    SELECT a.v AS v, b.v AS p,
+           list_sum(list_transform(b.v, x -> x*x)) AS np,
+           list_sum(list_transform(range(1, 65), j -> a.v[j] * b.v[j])) AS vp
+    FROM {cur} a, {prev} b)
+)""" + _spectral_renorm_sql(f"{out}_u", out)
+
+
+def _spectral_multi_sql(nc: int, iters: int) -> str:
+    parts = ["""
+WITH qz AS MATERIALIZED (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 /
+                      (CASE WHEN mx > 0 THEN mx ELSE 1 END) + 0.5)
+           AS BIGINT)) AS qv
+  FROM (
+    SELECT *, list_max(list_transform(embedding,
+                                      v -> abs(CAST(v AS DOUBLE)))) AS mx
+    FROM embeddings)
+), dims AS (
+  SELECT unnest(range(1, 65)) AS j
+), vinit AS (
+  SELECT list_transform(range(1, 65), i -> CAST(1 AS BIGINT)) AS v
+)"""]
+    finals = []
+    for c in range(nc):
+        prev = "vinit"
+        for i in range(1, iters + 1):
+            parts.append(f""", d{c}_{i} AS (
+  SELECT qv, list_sum(list_transform(range(1, 65), k -> qv[k] * v[k])) AS d
+  FROM qz, {prev}
+), s{c}_{i} AS (
+  SELECT j, SUM(d * qv[j]) AS s FROM d{c}_{i}, dims GROUP BY j
+), w{c}_{i} AS (
+  SELECT list(CAST(s AS BIGINT) ORDER BY j) AS v FROM s{c}_{i}
+)""")
+            cur = f"r{c}_{i}"
+            parts.append(_spectral_renorm_sql(f"w{c}_{i}", cur))
+            for k, fk in enumerate(finals):
+                o = f"o{c}_{i}_{k}"
+                parts.append(_spectral_orth_sql(cur, fk, o))
+                cur = o
+            prev = cur
+        finals.append(prev)
+    dirs_sql = " UNION ALL ".join(
+        f"SELECT {ci} AS component, v FROM {fn}"
+        for ci, fn in enumerate(finals))
+    parts.append(f""", dirs AS (
+  {dirs_sql}
+), proj AS (
+  SELECT component, label,
+         list_sum(list_transform(range(1, 65), k -> qv[k] * v[k])) AS d
+  FROM qz, dirs
+)
+SELECT CAST(component AS INTEGER) AS component, label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS sum_proj,
+       CAST(MIN(d) AS BIGINT) AS min_proj,
+       CAST(MAX(d) AS BIGINT) AS max_proj
+FROM proj GROUP BY 1, 2 ORDER BY component, label
+""")
+    return "".join(parts)
+
+
+SQL_EMBEDDING_SPECTRAL_MULTI = _spectral_multi_sql(3, 2)
+
+
 def q_embedding_int8_ivf(spark, sf):
     """INT8 × IVF composed ANN (similarity.int8_ivf_topk) — the production
     configuration at 100 TB: 4×-compressed vectors searched with the
@@ -12256,6 +12368,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_cell_stats": (q_ivf_cell_stats, SQL_IVF_CELL_STATS),
     "embedding_ivf_kmeans": (q_embedding_ivf_kmeans, SQL_EMBEDDING_IVF_KMEANS),
     "ann_recall_report": (q_ann_recall_report, SQL_ANN_RECALL_REPORT),
+    "embedding_spectral_multi": (q_embedding_spectral_multi, SQL_EMBEDDING_SPECTRAL_MULTI),
     "embedding_spectral_top": (q_embedding_spectral_top, SQL_EMBEDDING_SPECTRAL_TOP),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "domain_similarity": (q_domain_similarity, SQL_DOMAIN_SIMILARITY),

@@ -68,3 +68,47 @@ def test_zero_matrix_is_stable(spark):
     v = spectral_top_direction(_qframe(spark, rows), dim=DIM, iters=3) \
         .collect()[0]["v"]
     assert v == [0, 0, 0, 0]
+
+
+def test_multi_component_integer_orthogonality(spark):
+    """Deflated power iteration: component 0 must equal the single-
+    direction path exactly, and every direction pair must be orthogonal
+    up to the 2^14 integer rounding (|cos| below 1e-3 — the integer
+    orthogonality contract, measured not assumed)."""
+    from anomaly_detection_spark.functions.similarity import (
+        int8_quantize, spectral_top_directions)
+    import itertools
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qz = emb.select(int8_quantize(F.col("embedding")).alias("qv"))
+    dirs = {r["component"]: list(r["v"])
+            for r in spectral_top_directions(
+                qz, n_components=3, iters=2).collect()}
+    assert set(dirs) == {0, 1, 2}
+    top1 = list(spectral_top_direction(qz, iters=2).collect()[0]["v"])
+    assert dirs[0] == top1          # deflation leaves component 0 untouched
+    for a, b in itertools.combinations(dirs, 2):
+        va, vb = dirs[a], dirs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        assert na > 0 and nb > 0
+        assert abs(dot / (na * nb)) < 1e-3, f"components {a},{b} not orthogonal"
+    # every direction is normalized to max-component 2^14 exactly
+    for v in dirs.values():
+        assert max(abs(x) for x in v) == 16384
+
+
+def test_multi_component_rank_deficient_deflates_to_zero(spark):
+    """A rank-1 matrix has one singular direction; deflation must send
+    later components to the zero vector rather than fabricate structure."""
+    from anomaly_detection_spark.functions.similarity import (
+        spectral_top_directions)
+
+    emb = spark.range(50).select(
+        F.array(*[F.lit(127).cast("long")] * 8).alias("qv"))
+    dirs = {r["component"]: list(r["v"])
+            for r in spectral_top_directions(
+                emb, n_components=2, dim=8, iters=2).collect()}
+    assert dirs[0] == [16384] * 8
+    assert all(abs(x) <= 1 for x in dirs[1])  # rounding residue at most 1
