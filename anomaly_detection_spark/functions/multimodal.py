@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` passes.
 
-Decode support is two-tier. Uncompressed 24-bit BMP decodes FOR REAL via the
-pure-Python codec below (``encode_bmp``/``decode_bmp`` — header validation,
-bottom-up row un-mirroring, padding strip), exercised end-to-end by the
-``media_decode_stats`` registry entry. Other formats (PNG/JPEG/audio) still
-raise ``NotImplementedError`` unless ``fake=True`` — this container ships no
-external codecs — in which case a deterministic fake decoder (hash-derived
-dimensions) stands in. Everything around the codec — schema contract,
+Decode support is two-tier. Uncompressed 24-bit BMP and non-interlaced
+8-bit RGB PNG decode FOR REAL via the pure-Python codecs below
+(``encode_bmp``/``decode_bmp`` — header validation, bottom-up row
+un-mirroring, padding strip; ``encode_png``/``decode_png`` — chunk CRC
+verification, stdlib-zlib inflate, full five-type scanline unfiltering),
+both exercised end-to-end by the ``media_decode_stats`` registry entry.
+Other formats (JPEG/audio) still raise ``NotImplementedError`` unless
+``fake=True`` — this container ships no external codecs — in which case a
+deterministic fake decoder (hash-derived dimensions) stands in.
+Everything around the codec — schema contract,
 partition-preserving ``mapInPandas`` signature, Arrow batch shapes, metadata
 extraction — is identical for real and fake paths; swapping in PIL/ffmpeg
 later changes one function body, not the plan.
@@ -52,7 +55,8 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
 
 
 def decode_image(payload: bytes, fake: bool = False):
-    """Real decode for uncompressed 24-bit BMP payloads (see ``decode_bmp``);
+    """Real decode for uncompressed 24-bit BMP (``decode_bmp``) and
+    non-interlaced 8-bit RGB PNG (``decode_png`` — stdlib zlib) payloads;
     other formats still raise ``NotImplementedError`` unless ``fake=True``
     (this container ships no external codecs)."""
     if fake:
@@ -60,9 +64,13 @@ def decode_image(payload: bytes, fake: bool = False):
     if payload[:2] == b"BM":
         width, height, _, _ = decode_bmp(payload)
         return width, height, 1
+    if payload[:8] == PNG_SIG:
+        width, height, _, _ = decode_png(payload)
+        return width, height, 1
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP is decodable in this environment; "
-        "pass fake=True for the deterministic stub decoder"
+        "only uncompressed 24-bit BMP and non-interlaced 8-bit RGB PNG are "
+        "decodable in this environment; pass fake=True for the "
+        "deterministic stub decoder"
     )
 
 
@@ -140,6 +148,124 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, pixel_sum, topleft_sum
 
 
+# ---------------------------------------------------------------------
+# Executable codec: non-interlaced 8-bit RGB PNG (pure Python, stdlib
+# zlib + numpy) — the second REAL format beside the BMP codec. Format per
+# the public PNG spec (RFC 2083): 8-byte signature, length/tag/data/CRC32
+# chunks, IHDR (bit depth 8, color type 2 truecolor, no interlace),
+# concatenated IDAT zlib stream of filter-prefixed scanlines, IEND.
+# ---------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, pixel_fn) -> bytes:
+    """Encode a real non-interlaced 8-bit RGB PNG using stdlib zlib only.
+    ``pixel_fn(x, y, c)`` returns channel ``c`` ∈ {0,1,2} (RGB order) for
+    image pixel (x, y); y=0 is the TOP row — PNG stores top-down, the
+    opposite of BMP's bottom-up. Scanlines use filter type 0 (None); the
+    decoder below nevertheless handles all five filter types."""
+    import zlib
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        for x in range(width):
+            raw += bytes((pixel_fn(x, y, 0) & 0xFF,
+                          pixel_fn(x, y, 1) & 0xFF,
+                          pixel_fn(x, y, 2) & 0xFF))
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a non-interlaced 8-bit RGB PNG: chunk walk with CRC32
+    verification, IDAT concatenation, zlib inflate, and FULL scanline
+    unfiltering (all five types — None/Sub/Up/Average/Paeth), so output
+    from real encoders decodes, not just this module's filter-0 bytes.
+
+    Returns ``(width, height, pixel_sum, topleft_sum)`` mirroring
+    ``decode_bmp``: ``pixel_sum`` is the exact integer sum of every
+    decoded pixel byte and ``topleft_sum`` the channel sum of the
+    top-left pixel — which lives in the FIRST scanline here (top-down),
+    the opposite corner of the BMP storage order."""
+    import zlib
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 12 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); only non-interlaced 8-bit RGB "
+            "supported")
+    if width < 1 or height < 1:
+        raise ValueError("unsupported PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).copy()
+        if ft == 0:                       # None
+            cur = line
+        elif ft == 2:                     # Up (uint8 wraps mod 256)
+            cur = line + prev
+        elif ft in (1, 3, 4):             # Sub / Average / Paeth
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                if ft == 1:
+                    cur[i] = (int(cur[i]) + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (int(cur[i]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[i - 3]) if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = out[y]
+    pixel_sum = int(out.astype(np.int64).sum())
+    topleft_sum = int(out[0, :3].astype(np.int64).sum())
+    return width, height, pixel_sum, topleft_sum
+
+
 BMP_MEDIA_SCHEMA = "media_ref string, doc_id long, payload binary"
 BMP_FEATURE_SCHEMA = (
     "media_ref string, width long, height long, byte_len long, "
@@ -172,6 +298,75 @@ def synth_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return ids.mapInPandas(encode, schema=BMP_MEDIA_SCHEMA)
+
+
+def synth_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic executor-side PNG synthesis — the PNG twin of
+    ``synth_bmp_media``: same dimensions (4 + id % 13, 3 + id % 7) and
+    the same closed-form pixel bytes v(x, y, c) = (id % 256 + 7x + 13y +
+    29c) % 256, so the decoded stats share one oracle formula across both
+    formats (pixel and channel-order semantics differ — RGB top-down here
+    vs BGR bottom-up BMP — but byte sums are order-free). mapInPandas,
+    partition-preserving; bytes never touch the driver."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                seed = did % 256
+                payloads.append(encode_png(
+                    4 + did % 13, 3 + did % 7,
+                    lambda x, y, c, s=seed: (s + 7 * x + 13 * y + 29 * c) % 256,
+                ))
+            yield pd.DataFrame({
+                "media_ref": ["m" + str(int(d)) for d in pdf[id_col]],
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": payloads,
+            })
+
+    return ids.mapInPandas(encode, schema=BMP_MEDIA_SCHEMA)
+
+
+MEDIA_DECODE_SCHEMA = (
+    "media_ref string, format string, width long, height long, "
+    "pixel_sum long, topleft_sum long"
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """Format-dispatching REAL decode pass: sniffs each payload's magic
+    bytes and routes to the BMP or PNG codec, emitting exact integer
+    pixel stats plus the detected format. Arrow-batched mapInPandas,
+    partition-preserving, no shuffle; an unknown magic raises (an honest
+    failure, not a silent skip)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "format", "width", "height",
+                                   "pixel_sum", "topleft_sum")}
+            for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    fmt, (w, h, ps, tl) = "bmp", decode_bmp(b)
+                elif b[:8] == PNG_SIG:
+                    fmt, (w, h, ps, tl) = "png", decode_png(b)
+                else:
+                    raise ValueError("unknown media magic; expected BMP or PNG")
+                out["media_ref"].append(ref)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(ps)
+                out["topleft_sum"].append(tl)
+            yield pd.DataFrame({
+                k: pd.array(v, dtype="string" if k in ("media_ref", "format")
+                            else "int64")
+                for k, v in out.items()})
+
+    return media.mapInPandas(process, schema=MEDIA_DECODE_SCHEMA)
 
 
 def decode_bmp_features(media: DataFrame) -> DataFrame:

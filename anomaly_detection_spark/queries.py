@@ -2315,28 +2315,34 @@ FROM d ORDER BY media_ref
 
 
 def q_media_decode_stats(spark, sf):
-    """REAL media decode end-to-end (no stub): synthesize genuine
-    uncompressed 24-bit BMP bytes executor-side (multimodal.encode_bmp —
-    headers, bottom-up rows, 4-byte padding), then decode every byte back
-    (multimodal.decode_bmp — magic/bpp/compression validation, padding
-    strip, row un-mirroring) and emit exact integer stats. The oracle
-    reproduces dims, file size, pixel sum and the top-left pixel (stored in
-    the LAST row — proves bottom-up handling) in closed form via
-    generate_series. Closes the one previously never-executed hot path
-    (r3 verdict Missing #4); reference treats attachments as opaque blobs
+    """REAL media decode end-to-end, TWO formats (no stub): synthesize
+    genuine uncompressed 24-bit BMP bytes for even ids and genuine
+    zlib-compressed 8-bit RGB PNG bytes for odd ids executor-side
+    (multimodal.encode_bmp / encode_png), then decode every byte back via
+    the format-sniffing dispatch (decode_media_features → decode_bmp /
+    decode_png — header+CRC validation, zlib inflate, scanline
+    unfiltering, bottom-up vs top-down row order) and emit exact integer
+    stats. Both formats share one closed-form pixel function, so the
+    oracle reproduces dims, pixel sum and the top-left pixel (LAST stored
+    row for BMP, FIRST scanline for PNG — proves both orders) per format
+    via generate_series. Reference treats attachments as opaque blobs
     (file_parser.py) and never decodes.
 
     Scale shape: two chained partition-preserving mapInPandas passes, no
     shuffle, bytes never touch the driver; Arrow batch memory bounded by
     maxRecordsPerBatch × image size."""
     from anomaly_detection_spark.functions.multimodal import (
-        decode_bmp_features, synth_bmp_media)
+        decode_media_features, synth_bmp_media, synth_png_media)
 
     ids = load(spark, sf, "documents").filter(
         F.col("doc_id") % 13 == 0).select("doc_id")
-    feats = decode_bmp_features(synth_bmp_media(ids))
+    bmp = synth_bmp_media(ids.filter(F.col("doc_id") % 2 == 0))
+    png = synth_png_media(ids.filter(F.col("doc_id") % 2 == 1))
+    media = bmp.select("media_ref", "payload") \
+        .unionByName(png.select("media_ref", "payload"))
+    feats = decode_media_features(media)
     return feats.select(
-        "media_ref", "width", "height", "byte_len", "pixel_sum",
+        "media_ref", "format", "width", "height", "pixel_sum",
         "topleft_sum",
         F.floor(F.col("pixel_sum") * 10000.0
                 / (3.0 * F.col("width") * F.col("height")) + 0.5)
@@ -2347,21 +2353,21 @@ def q_media_decode_stats(spark, sf):
 SQL_MEDIA_DECODE_STATS = """
 WITH dims AS (
   SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
-         doc_id % 256 AS seed
+         doc_id % 256 AS seed,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format
   FROM documents WHERE doc_id % 13 = 0
 ), px AS (
-  SELECT d.doc_id, d.w, d.h, d.seed,
+  SELECT d.doc_id, d.format, d.w, d.h, d.seed,
          SUM((d.seed + 7*x.x + 13*y.y + 29*c.c) % 256) AS pixel_sum
   FROM dims d
   CROSS JOIN generate_series(0, 16) AS x(x)
   CROSS JOIN generate_series(0, 9) AS y(y)
   CROSS JOIN generate_series(0, 2) AS c(c)
   WHERE x.x < d.w AND y.y < d.h
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2, 3, 4, 5
 )
-SELECT 'm' || doc_id AS media_ref,
+SELECT 'm' || doc_id AS media_ref, format,
   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-  CAST(54 + ((3*w + 3) // 4) * 4 * h AS BIGINT) AS byte_len,
   CAST(pixel_sum AS BIGINT) AS pixel_sum,
   CAST(seed % 256 + (seed + 29) % 256 + (seed + 58) % 256 AS BIGINT)
     AS topleft_sum,

@@ -138,3 +138,107 @@ def test_bmp_spark_encode_decode_e2e(spark):
             w, h, lambda x, y, c, s=seed: (s + 7 * x + 13 * y + 29 * c) % 256)
         dw, dh, psum, tl = decode_bmp(payload)
         assert got[f"m{did}"] == (dw, dh, len(payload), psum, tl)
+
+
+# ------------------------------------------------------------- PNG codec
+
+def test_png_roundtrip_exact_stats():
+    """Encode a real zlib-compressed PNG, decode every byte back: dims,
+    exact pixel sum, and the top-left pixel (FIRST scanline — top-down
+    order, the opposite of BMP) must match the closed form."""
+    from anomaly_detection_spark.functions.multimodal import (
+        decode_png, encode_png)
+
+    w, h, seed = 7, 5, 42
+    payload = encode_png(w, h, lambda x, y, c: (seed + 7*x + 13*y + 29*c) % 256)
+    gw, gh, psum, tl = decode_png(payload)
+    assert (gw, gh) == (w, h)
+    expect = sum((seed + 7*x + 13*y + 29*c) % 256
+                 for x in range(w) for y in range(h) for c in range(3))
+    assert psum == expect
+    assert tl == sum((seed + 29*c) % 256 for c in range(3))
+
+
+def test_png_unfilters_all_five_types():
+    """The decoder must undo Sub/Up/Average/Paeth filtering, not just the
+    filter-0 bytes our encoder emits: build an IDAT stream with one row
+    per filter type (filters applied forward by hand) and require the
+    decoded stats to equal the unfiltered image's."""
+    import zlib
+    from anomaly_detection_spark.functions.multimodal import (
+        PNG_SIG, _png_chunk, decode_png)
+
+    w, h = 4, 5
+    img = [[(11 * y + 7 * i) % 256 for i in range(3 * w)] for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ft)
+        for i in range(3 * w):
+            cur = img[y][i]
+            a = img[y][i - 3] if i >= 3 else 0
+            b = img[y - 1][i] if y >= 1 else 0
+            c = img[y - 1][i - 3] if (y >= 1 and i >= 3) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+            raw.append((cur - pred) & 0xFF)
+    ihdr = __import__("struct").pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    gw, gh, psum, tl = decode_png(payload)
+    assert (gw, gh) == (w, h)
+    assert psum == sum(sum(row) for row in img)
+    assert tl == sum(img[0][:3])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+    import pytest
+    from anomaly_detection_spark.functions.multimodal import (
+        PNG_SIG, _png_chunk, decode_png, encode_png)
+
+    good = encode_png(3, 3, lambda x, y, c: x + y + c)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOPE" + good[4:])
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF        # inside IDAT data
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlaced / wrong depth headers are refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(payload)
+
+
+def test_decode_media_features_dispatches_both_formats(spark):
+    """Mixed BMP + PNG payloads through the sniffing mapInPandas pass:
+    per-format rows with identical closed-form stats."""
+    from anomaly_detection_spark.functions.multimodal import (
+        decode_media_features, synth_bmp_media, synth_png_media)
+
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    bmp = synth_bmp_media(ids.filter("doc_id % 2 = 0"))
+    png = synth_png_media(ids.filter("doc_id % 2 = 1"))
+    media = bmp.select("media_ref", "payload") \
+        .unionByName(png.select("media_ref", "payload"))
+    got = {r["media_ref"]: r.asDict()
+           for r in decode_media_features(media).collect()}
+    assert len(got) == 10
+    for i in range(10):
+        r = got[f"m{i}"]
+        assert r["format"] == ("bmp" if i % 2 == 0 else "png")
+        assert r["width"] == 4 + i % 13 and r["height"] == 3 + i % 7
+        expect = sum((i % 256 + 7*x + 13*y + 29*c) % 256
+                     for x in range(r["width"])
+                     for y in range(r["height"]) for c in range(3))
+        assert r["pixel_sum"] == expect
