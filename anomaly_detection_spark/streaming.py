@@ -250,6 +250,79 @@ def streaming_duplicate_doc_ids(docs_stream: DataFrame,
     )
 
 
+_CDC_OUT_SCHEMA = StructType([
+    StructField("k", LongType()),
+    StructField("seq", LongType()),
+    StructField("op", StringType()),
+    StructField("cents", LongType()),
+    StructField("status", StringType()),
+])
+_CDC_STATE_SCHEMA = StructType([
+    StructField("seq", LongType()),
+    StructField("op", StringType()),
+    StructField("cents", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def make_cdc_tracker():
+    """Build the ``applyInPandasWithState`` function for streaming CDC
+    apply — the incremental twin of ``cdc.cdc_apply``'s latest-wins fold:
+    state per key is exactly ONE row (winning seq, op, payload) — bounded
+    by construction, however many changes a hot key receives — and a new
+    resolved row is emitted whenever a batch's best change for the key
+    beats the stored sequence (out-of-order arrivals that lose simply
+    don't emit, the same global contract the batch window enforces).
+    Deletes emit a tombstone (op='D', NULL payload) so downstream sinks
+    can retract; the current snapshot after any prefix of batches is the
+    per-key latest emission with op != 'D'."""
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        k = key[0]
+        best = None
+        for pdf in pdfs:
+            for seq, op, cents, status in zip(
+                    pdf["seq"], pdf["op"], pdf["cents"], pdf["status"]):
+                row = (
+                    int(seq), str(op),
+                    None if pd.isna(cents) else int(cents),
+                    None if (status is None or (isinstance(status, float)
+                                                and pd.isna(status)))
+                    else str(status),
+                )
+                if best is None or row[0] > best[0]:
+                    best = row
+        cur_seq = state.get[0] if state.exists else None
+        if best is not None and (cur_seq is None or best[0] > cur_seq):
+            state.update(best)
+            yield pd.DataFrame({
+                "k": pd.array([k], dtype="int64"),
+                "seq": pd.array([best[0]], dtype="int64"),
+                "op": pd.array([best[1]], dtype="string"),
+                "cents": pd.array([best[2]], dtype="Int64"),
+                "status": pd.array([best[3]], dtype="string"),
+            })
+
+    return track
+
+
+def streaming_cdc_apply(changes_stream: DataFrame) -> DataFrame:
+    """Streaming CDC apply (the ``cdc.cdc_apply`` twin): a changelog
+    stream ``(k long, op string, seq long, cents long, status string)``
+    folds to per-key latest-wins state via ``applyInPandasWithState``.
+    Seed the base snapshot as seq-0 'I' rows (the ``scd2_build``
+    convention) and the resolved stream state equals the batch merge on
+    the data seen so far — pinned by the parity test. State is one row
+    per live key; shards by key across executors like the batch join."""
+    return changes_stream.groupBy("k").applyInPandasWithState(
+        make_cdc_tracker(),
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_psi_drift(
     stream: DataFrame,
     baseline_hist: DataFrame,

@@ -416,3 +416,59 @@ def test_streaming_checksum_matches_batch(spark, docs, stream_dirs):
     got = sorted(map(tuple, got_df.collect()))
     want = sorted(map(tuple, table_checksum(docs, cols).collect()))
     assert got == want and len(want) > 0
+
+
+def test_streaming_cdc_apply_matches_batch(spark):
+    """Latest-wins CDC fold as a stream (cdc.cdc_apply's stateful twin):
+    base seeded as seq-0 inserts, changelog split across two micro-batches
+    so per-key update/delete sequences straddle the batch boundary — the
+    per-key latest emission (op != 'D') must equal the batch merge, and a
+    key whose winning change is a delete must be tombstoned out."""
+    import shutil
+    import tempfile
+    from pyspark.sql.window import Window
+    from anomaly_detection_spark.functions.cdc import cdc_apply
+    from anomaly_detection_spark.streaming import streaming_cdc_apply
+
+    base = spark.range(20).selectExpr(
+        "id AS k", "id * 100 AS cents", "'O' AS status")
+    # updates on every 3rd key, deletes on every 5th, an insert of a new
+    # key, and an out-of-order LOWER seq that must lose
+    changes = spark.createDataFrame(
+        [(int(k), "U", int(k * 10 + 1), int(k * 100 + 7), "P")
+         for k in range(0, 20, 3)]
+        + [(int(k), "D", int(k * 10 + 2), None, None)
+           for k in range(0, 20, 5)]
+        + [(99, "I", 500, 4242, "N"),
+           (3, "U", 5, 1, "stale")],       # seq 5 < seq 31 -> must lose
+        "k long, op string, seq long, cents long, status string")
+    seeded = base.selectExpr(
+        "k", "'I' AS op", "CAST(0 AS LONG) AS seq", "cents", "status"
+    ).unionByName(changes)
+
+    tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        seeded.filter("seq % 2 = 0").coalesce(1).write.parquet(f"{tmp}/in/b0")
+        seeded.filter("seq % 2 = 1").coalesce(1).write.parquet(f"{tmp}/in/b1")
+        stream = (
+            spark.readStream.schema(seeded.schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in/*")
+        )
+        got_df = _run_to_memory(
+            streaming_cdc_apply(stream), spark, "cdc_state", f"{tmp}/ckpt",
+            output_mode="update",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("seq"))
+        latest = got_df.withColumn("_rn", F.row_number().over(w)) \
+            .filter("_rn = 1")
+        got = {(r["k"], r["cents"], r["status"])
+               for r in latest.filter("op <> 'D'").collect()}
+        want = {(r["k"], r["cents"], r["status"])
+                for r in cdc_apply(base, changes, "k",
+                                   ["cents", "status"]).collect()}
+        assert got == want and len(want) > 0
+        deleted = {r["k"] for r in latest.filter("op = 'D'").collect()}
+        assert deleted == {0, 5, 10, 15} - {k for k, _, _ in got}
+        assert (3, 1, "stale") not in got   # out-of-order lower seq lost
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
