@@ -229,7 +229,15 @@ def kcenter_coreset(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     of the vectors, k·(scan + 1-row collect) total. Assignment ties
     break on selection index (the oracle replays the same total order).
     If the max min-distance hits 0 (every remaining point duplicates a
-    center) selection stops early — the set is already fully covered."""
+    center) selection stops early — the set is already fully covered.
+
+    Practical ceiling on k: the k sequential 1-row collects are latency-
+    bound — total wall ≈ k × (one corpus-scan job), and the min-distance
+    expression itself grows O(k·dim), so coreset sizes in the DOZENS are
+    the intended regime (the classic coreset use). At k ≳ 10³ the
+    driver round-trips dominate (hours of job overhead, not a data
+    hazard); switch to k-means++-style oversampling (one scan drawing
+    many candidates per round) if you need thousand-point coresets."""
     pts = emb.select(F.col(id_col),
                      shifted_quantize(F.col(vec_col)).alias("qv"))
     first = pts.orderBy(id_col).limit(1).collect()

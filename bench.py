@@ -178,6 +178,14 @@ HEADLINE = [
     "kmv_rollup_daily",
     "conversion_attribution",
     "source_pareto",
+    # round-5 families: capped/learned-codebook ANN + recall eval,
+    # exact-substring removal, multi-component spectral, dual-format
+    # media decode (media_decode_stats above now covers BMP + PNG)
+    "ivf_cell_stats",
+    "embedding_ivf_kmeans",
+    "ann_recall_report",
+    "embedding_spectral_multi",
+    "exact_substring_spans",
 ]
 
 # documents synthesized for the validation-suite throughput measurement
