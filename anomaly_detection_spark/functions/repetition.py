@@ -355,6 +355,66 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+def exact_substring_clean(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """The APPLY step of ``exact_substring_spans``: materialize each
+    document's cleaned text with every duplicated window's tokens removed
+    (keeping the globally first occurrence) — what the curation pipeline
+    actually writes back after the report says removal is worth it.
+
+    Same skew-safe machinery (one gram-keyed hash-agg, keeper attribution
+    by doc-keyed regrouping, no join on the gram key); the close joins the
+    kept-position frame onto the corpus carrying its token arrays — the
+    cleaned output is corpus-sized, so this pass inherently rewrites the
+    table (run it once, after the report). Token filtering is in-row:
+    a token at 1-based index t survives iff no removed window start p has
+    ``p ≤ t < p + n`` (membership over the doc-bounded removed array,
+    formulated identically in the SQL oracle).
+
+    Returns ``(id, n_tokens, kept_tokens, cleaned_text)``; documents
+    shorter than ``n`` tokens pass through whole.
+    """
+    M = 1_000_000
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sh = base.select(
+        id_col, "_toks", _shingles_of(F.col("_toks"), n).alias("_sh"))
+    ex = sh.select(
+        F.col(id_col),
+        F.posexplode_outer("_sh").alias("_p0", "_g"),
+    ).filter(F.col("_g").isNotNull())
+    key = F.col(id_col).cast("long") * F.lit(M) + F.col("_p0") + 1
+    keep = (
+        ex.select("_g", key.alias("_k"))
+        .groupBy("_g").agg(F.min("_k").alias("_mk"))
+        .groupBy(F.expr(f"_mk div {M}").alias(id_col))
+        .agg(F.sort_array(F.collect_list((F.col("_mk") % M).cast("int")))
+             .alias("_kp"))
+    )
+    spine = sh.select(id_col, "_toks", F.size("_sh").alias("_nw"))
+    seq_w = F.when(
+        F.col("_nw") > 0,
+        F.sequence(F.lit(1), F.col("_nw")),
+    ).otherwise(F.array().cast("array<int>"))
+    kp = F.coalesce(F.col("_kp"), F.array().cast("array<int>"))
+    j = spine.join(keep, id_col, "left") \
+        .withColumn("_rem", F.array_except(seq_w, kp))
+    nt = F.size("_toks")
+    seq_t = F.when(nt > 0, F.sequence(F.lit(1), nt)) \
+        .otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        seq_t,
+        lambda t: ~F.exists("_rem",
+                            lambda p: (p <= t) & (t < p + F.lit(n))))
+    kept_toks = F.transform(kept_idx, lambda t: F.element_at("_toks", t))
+    return j.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        F.size(kept_idx).cast("long").alias("kept_tokens"),
+        F.array_join(kept_toks, " ").alias("cleaned_text"),
+    )
+
+
 def corpus_dup_ngrams(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 5,
                       min_docs: int = 2) -> DataFrame:

@@ -9640,6 +9640,74 @@ FROM cov ORDER BY doc_id
 """
 
 
+def q_exact_substring_clean(spark, sf):
+    """The ExactSubstr APPLY step (repetition.exact_substring_clean):
+    same planted-quote corpus as `exact_substring_spans`, but emitting
+    the actual cleaned text with every duplicated window's tokens
+    removed (globally first occurrence kept) — md5-pinned so the oracle
+    verifies the exact post-removal strings, not just counts."""
+    from anomaly_detection_spark.functions import repetition
+
+    d = load(spark, sf, "documents")
+    txt = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" " + _ESS_QUOTE)))
+        .when(F.col("doc_id") % 13 == 0,
+              F.concat(F.lit(_ESS_QUOTE + " "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    planted = d.select("doc_id", txt.alias("text"))
+    out = repetition.exact_substring_clean(planted, n=8)
+    return out.select(
+        "doc_id", "n_tokens", "kept_tokens",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_EXACT_SUBSTRING_CLEAN = f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' {_ESS_QUOTE}'
+         WHEN doc_id % 13 = 0 THEN '{_ESS_QUOTE} ' || text
+         ELSE text END AS text
+  FROM documents
+), sh AS (
+  SELECT doc_id, len(toks) AS nt,
+         GREATEST(len(toks) - 7, 0) AS nw, toks
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM raw)
+), occ AS (
+  SELECT doc_id, u['pos'] AS pos, u['g'] AS g
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, nw + 1),
+        i -> {{'pos': i, 'g': array_to_string(toks[i : i + 7], ' ')}})) AS u
+    FROM sh)
+), groups AS (
+  SELECT g, MIN(doc_id * 1000000 + pos) AS mk FROM occ GROUP BY g
+), keep AS (
+  SELECT CAST(mk // 1000000 AS BIGINT) AS doc_id,
+         list_sort(list(mk % 1000000)) AS kp
+  FROM groups GROUP BY 1
+), rep AS (
+  SELECT s.doc_id, s.nt, s.toks,
+         list_filter(range(1, s.nw + 1),
+                     p -> NOT list_contains(COALESCE(k.kp, []), p)) AS rem
+  FROM sh s LEFT JOIN keep k USING (doc_id)
+), cleaned AS (
+  SELECT doc_id, nt,
+         list_filter(range(1, nt + 1),
+                     t -> len(list_filter(rem,
+                              p -> p <= t AND t < p + 8)) = 0) AS kept_idx,
+         toks
+  FROM rep
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(len(kept_idx) AS BIGINT) AS kept_tokens,
+  md5(COALESCE(array_to_string(list_transform(kept_idx, t -> toks[t]), ' '),
+               '')) AS cleaned_md5
+FROM cleaned ORDER BY doc_id
+"""
+
+
 #: Literal BM25 query set for the registry entry: terms drawn from the
 #: testdata vocabulary so every query has real hits.
 _BM25_QUERIES = [
@@ -12238,6 +12306,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "global_line_dedup": (q_global_line_dedup, SQL_GLOBAL_LINE_DEDUP),
     "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
+    "exact_substring_clean": (q_exact_substring_clean, SQL_EXACT_SUBSTRING_CLEAN),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "url_host_blocklist": (q_url_host_blocklist, SQL_URL_HOST_BLOCKLIST),
     "domain_quality_stats": (q_domain_quality_stats, SQL_DOMAIN_QUALITY_STATS),

@@ -89,3 +89,31 @@ def test_exact_substring_removal_semantics(spark):
     assert got[5]["removed_windows"] == 3
     assert got[5]["removed_tokens"] == 5        # the whole doc goes
     assert got[5]["removed_ppm"] == 1_000_000
+
+
+def test_exact_substring_clean_applies_report(spark):
+    """The apply step must be consistent with the report: kept_tokens =
+    n_tokens - removed_tokens, and the cleaned strings drop exactly the
+    merged spans (full copies clean to empty)."""
+    from anomaly_detection_spark.functions.repetition import (
+        exact_substring_clean, exact_substring_spans)
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y a b c d q"),
+        (3, "m n o p m n o p"),
+        (4, "z z"),
+        (5, "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["doc_id"]: r.asDict()
+           for r in exact_substring_spans(df, n=3).collect()}
+    cln = {r["doc_id"]: r.asDict()
+           for r in exact_substring_clean(df, n=3).collect()}
+    for k in rep:
+        assert cln[k]["kept_tokens"] == \
+            rep[k]["n_tokens"] - rep[k]["removed_tokens"]
+    assert cln[1]["cleaned_text"] == "a b c d e"
+    assert cln[2]["cleaned_text"] == "x y q"
+    assert cln[3]["cleaned_text"] == "m n o p"
+    assert cln[5]["cleaned_text"] == ""          # full copy vanishes

@@ -813,3 +813,23 @@ def test_exact_substring_no_gram_keyed_join(spark):
     for keys in join_keys:
         assert "_g#" not in keys and "doc_id" in keys
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_cap_prefilter_is_broadcast_anti_join(spark):
+    """The ANN oversize-cell cap must stay a count + BROADCAST anti-join
+    prefilter (the LSH discipline): a regression to a shuffled SMJ would
+    reshuffle the corpus on the cell key, and losing the anti-join would
+    let a skewed cell back into the candidate join."""
+    from anomaly_detection_spark.functions.similarity import int8_ivf_topk
+
+    df = spark.range(300).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(id % 7 + i AS FLOAT)) "
+        "AS embedding",
+        "CAST(id % 3 AS INT) AS label")
+    plan = plan_of(int8_ivf_topk(df, k=2, nprobe=1, dim=8, max_bucket=50))
+    assert "LeftAnti" in plan, "oversize-cell prefilter lost"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the codebook rides a broadcast; the pair join is a hash equi-join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
